@@ -1,0 +1,19 @@
+from mempool_dumpster_spark.operators.dedup import (
+    dedup_keep_earliest,
+    dedup_keep_earliest_row,
+    dedup_min_timestamp,
+)
+from mempool_dumpster_spark.operators.joins import (
+    anti_join_blacklist,
+    attach_sources,
+    inclusion_enrich,
+)
+
+__all__ = [
+    "dedup_keep_earliest",
+    "dedup_keep_earliest_row",
+    "dedup_min_timestamp",
+    "anti_join_blacklist",
+    "attach_sources",
+    "inclusion_enrich",
+]

@@ -1,0 +1,527 @@
+"""Core query surface: the mempool-dumpster operator inventory (SURVEY.md §2)
+re-expressed over the driver's testdata tables, plus the TPC-H-style
+analytical queries that exercise the same join/agg machinery at scale.
+
+Mapping of the reference's data model onto `events` (TESTDATA.md):
+    events.user_id    ≈ tx hash        (the dedup / join key)
+    events.event_type ≈ source         (who saw the tx)
+    events.ts         ≈ timestamp_ms   (receive time)
+so e.g. `dedup_earliest` is A1 (reference common/txsfile.go:121-129),
+`sources_attach` is J1+O2 (reference cmd/merge/transactions.go:111-136), etc.
+
+Each query notes the SURVEY §2 operator IDs it implements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.operators.dedup import (
+    dedup_keep_earliest_row,
+    dedup_min_timestamp,
+)
+from mempool_dumpster_spark.operators.joins import sources_by_first_seen
+from mempool_dumpster_spark.plans.registry import register
+from mempool_dumpster_spark.plans.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Mempool-core operator analogs on `events`
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_earliest",
+    oracle="""
+    SELECT user_id,
+           event_id   AS first_event_id,
+           ts         AS first_ts,
+           event_type AS first_event_type,
+           value      AS first_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="A1: dedup by key keeping the earliest row (ref common/txsfile.go:121-129). "
+    "One shuffle on the key; window variant keeps the whole earliest row.",
+)
+def dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    first = dedup_keep_earliest_row(events, key="user_id", order=["ts", "event_id"])
+    return first.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts").alias("first_ts"),
+        F.col("event_type").alias("first_event_type"),
+        F.col("value").alias("first_value"),
+    )
+
+
+@register(
+    "sourcelog_dedup",
+    oracle="""
+    SELECT user_id, event_type, min(ts) AS first_ts
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="A2: sourcelog dedup — per (hash, source) keep min timestamp "
+    "(ref common/sourcelog.go:52-62). Pure hash agg, map-side combined.",
+)
+def sourcelog_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    deduped = dedup_min_timestamp(
+        events.select("user_id", "event_type", "ts"),
+        keys=("user_id", "event_type"),
+        ts_col="ts",
+    )
+    return deduped.select("user_id", "event_type", F.col("ts").alias("first_ts"))
+
+
+@register(
+    "sources_attach",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, event_type, min(ts) AS first_ts
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           string_agg(event_type, ' ' ORDER BY first_ts, event_type) AS sources_str
+    FROM fs GROUP BY user_id
+    """,
+    doc="J1+O2: per-key source array ordered by first-seen timestamp, "
+    "space-joined like the reference CSV (ref cmd/merge/transactions.go:111-136, "
+    "common/txsummary.go:104). Two-level agg; shuffle ∝ distinct keys.",
+)
+def sources_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = sources_by_first_seen(
+        events, hash_col="user_id", source_col="event_type", ts_col="ts"
+    )
+    return src.select(
+        "user_id",
+        F.size("sources").cast("bigint").alias("n_sources"),
+        F.array_join("sources", " ").alias("sources_str"),
+    )
+
+
+@register(
+    "first_source_counts",
+    oracle="""
+    SELECT event_type AS source, CAST(count(*) AS BIGINT) AS n_first
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY event_type
+    """,
+    doc="ST4/A15 (batch form): which source delivered each key first, counted "
+    "per source (ref collector/tx_processor.go:240-247, sourcemetrics.go:29-55).",
+)
+def first_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    first = dedup_keep_earliest_row(events, key="user_id", order=["ts", "event_id"])
+    return (
+        first.groupBy(F.col("event_type").alias("source"))
+        .agg(F.count("*").alias("n_first"))
+    )
+
+
+@register(
+    "exclusive_orderflow",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             min(event_type) AS et, count(DISTINCT event_type) AS nt
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT et AS source, CAST(count(*) AS BIGINT) AS n_exclusive
+    FROM ud WHERE nt = 1 GROUP BY et
+    """,
+    doc="A12: exclusive orderflow — keys seen by exactly one source within a "
+    "day, counted per source (ref common/analyzer.go:109-122; README.md:125).",
+)
+def exclusive_orderflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    ud = events.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        F.min("event_type").alias("et"),
+        F.countDistinct("event_type").alias("nt"),
+    )
+    return (
+        ud.filter(F.col("nt") == 1)
+        .groupBy(F.col("et").alias("source"))
+        .agg(F.count("*").alias("n_exclusive"))
+    )
+
+
+@register(
+    "included_split",
+    oracle="""
+    SELECT (value > 250.0) AS included,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(count(*) * 1000.0 / sum(count(*)) OVER ()) / 10 AS pct_floor1
+    FROM events GROUP BY (value > 250.0)
+    """,
+    doc="A7+A17+P10: split on a derived boolean flag with floor-rounded "
+    "percentage — never rounds up, 99.97→99.9 (ref common/analyzer.go:87-91, "
+    "common/utils.go:97-122).",
+)
+def included_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    grouped = events.groupBy((F.col("value") > 250.0).alias("included")).agg(
+        F.count("*").alias("n")
+    )
+    total = Window.partitionBy()
+    return grouped.select(
+        "included",
+        "n",
+        (F.floor(F.col("n") * 1000.0 / F.sum("n").over(total)) / 10).alias(
+            "pct_floor1"
+        ),
+    )
+
+
+@register(
+    "per_source_counts",
+    oracle="""
+    SELECT event_type AS source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           CAST(count(*) FILTER (WHERE value > 250.0) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+    doc="A10+A11+A13: per-source totals, distinct keys, first/last seen, and "
+    "flag-split counts (ref common/analyzer.go:98-137).",
+)
+def per_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return events.groupBy(F.col("event_type").alias("source")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.when(F.col("value") > 250.0, 1)).alias("n_high"),
+    )
+
+
+@register(
+    "hourly_stats",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type AS source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="ST2+ST3 (batch form): tumbling time-bucketed per-source stats "
+    "(ref collector/tx_processor.go:419-489, 492-552). Batch equivalent of "
+    "the streaming windowed agg; bucket column prunes at 100 TB when the "
+    "table is date-partitioned.",
+)
+def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.col("event_type").alias("source"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "blacklist_anti",
+    oracle="""
+    SELECT event_type AS source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_acctbal < 0 AND c.c_custkey = e.user_id
+    )
+    GROUP BY event_type
+    """,
+    doc="F2+J2+U2: blacklist exclusion as a broadcast left-anti join "
+    "(ref common/txsfile.go:115-119). The blacklist side is aggregated+distinct "
+    "before broadcast, so the big side never shuffles.",
+)
+def blacklist_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events", "customer"])
+    blacklist = (
+        t["customer"]
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("user_id"))
+        .distinct()
+    )
+    kept = t["events"].join(F.broadcast(blacklist), on="user_id", how="left_anti")
+    return kept.groupBy(F.col("event_type").alias("source")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "point_lookup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE user_id = 42 AND event_type = 'click'
+    """,
+    doc="F7: point-lookup WHERE clause of the documented query surface "
+    "(README.md:110-117 `WHERE hash=...`). Predicate pushes down to the "
+    "parquet scan (PushedFilters).",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return events.filter(
+        (F.col("user_id") == 42) & (F.col("event_type") == "click")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type AS source,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="§2.9 JSON surface: extract a typed field from a JSON payload column "
+    "(the reference parses feed JSON at the ingestion edge, common/types.go:16-30).",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy(F.col("event_type").alias("source")).agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "value_quantiles",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    )
+    SELECT event_type AS source,
+           max(CASE WHEN rn = 1 + floor(0.5  * (cnt - 1)) THEN value END) AS p50,
+           max(CASE WHEN rn = 1 + floor(0.9  * (cnt - 1)) THEN value END) AS p90,
+           max(CASE WHEN rn = 1 + floor(0.99 * (cnt - 1)) THEN value END) AS p99,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o GROUP BY event_type
+    """,
+    doc="A16: quantiles of a numeric column per group (README.md:134). "
+    "Nearest-rank (discrete) selection of actual data values — deterministic "
+    "across engines, unlike interpolated quantile_cont. At 100 TB switch to "
+    "percentile_approx (one pass, mergeable sketches).",
+)
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    o = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(F.col("rn") == 1 + F.floor(F.lit(p) * (F.col("cnt") - 1)), F.col("value"))
+        )
+
+    return o.groupBy(F.col("event_type").alias("source")).agg(
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical surface (the "12 README queries" machinery at scale:
+# wide aggregation, multi-way joins, top-k with skewed keys)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship: TPC-H Q1-style pricing summary — scan-heavy partial+final "
+    "hash aggregate on low-cardinality keys; the shape of the reference "
+    "analyzer (A6-A9). DECIMAL-exact arithmetic, final cast to DOUBLE.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style: selective dim filter → 3-way join → top-k. The "
+    "customer side is broadcast (filtered dim); ordering carries l_orderkey "
+    "as tiebreaker so the top-10 set is deterministic.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t["orders"].filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = t["lineitem"].filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey), l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-style: 6-way star join, small dims broadcast, fact-side "
+    "shuffle only on the orders⋈lineitem equi-join; AQE handles skew.",
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+    )
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = t["customer"].join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    oc = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "n_name")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    ol = l.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    joined = ol.join(
+        F.broadcast(s),
+        (F.col("s_suppkey") == F.col("l_suppkey"))
+        & (F.col("s_nationkey") == F.col("c_nationkey")),
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return joined.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@register(
+    "top_partkeys",
+    oracle="""
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY n DESC, l_partkey LIMIT 10
+    """,
+    doc="Top-k over a skewed key — the README.md:128 'top to-addresses' query "
+    "shape. Partial agg shrinks the shuffle; deterministic tiebreak on the key.",
+)
+def top_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("l_partkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="A8-style per-type counts on the orders fact (ref common/analyzer.go:94, "
+    "201-210) with DECIMAL-exact money sum.",
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_price"
+        ),
+    )

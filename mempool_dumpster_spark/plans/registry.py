@@ -1,0 +1,60 @@
+"""Query registry: every operator from SURVEY.md §2 exposed as a named query
+over the driver's testdata tables, each with a DuckDB oracle SQL string.
+
+The driver runs the Spark callable and the oracle side-by-side at sf=0.01 and
+compares row-count + schema + order-insensitive value hash, so every Spark
+query aliases its computed columns identically to the oracle and follows the
+cross-engine determinism rules:
+
+- float aggregation goes through exact DECIMAL arithmetic, final
+  CAST(... AS DOUBLE) → bit-identical doubles in both engines;
+- averages are computed as CAST(decimal_sum AS DOUBLE) / count (double ÷
+  bigint — identical), never engine-native AVG over doubles;
+- top-k always carries a unique tiebreaker column in the ordering;
+- percentiles use nearest-rank (discrete) selection of actual data values,
+  not interpolation;
+- counts are CAST(... AS BIGINT) on the DuckDB side (DuckDB sums to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def _ensure_loaded() -> None:
+    # Import side-effect modules that populate REGISTRY.
+    from mempool_dumpster_spark.plans import queries, text_queries  # noqa: F401

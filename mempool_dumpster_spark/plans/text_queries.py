@@ -1,0 +1,473 @@
+"""Training-data pipeline query surface: deduplication, similarity search,
+text analysis, multimodal byte-column stats — over `documents` and
+`embeddings` (TESTDATA.md). These are the 100 TB-scale extensions beyond the
+reference's own operators (see task brief); each is expressed as declarative
+DataFrame ops so Catalyst keeps the whole plan JVM-side — no Python UDFs in
+any of these paths.
+
+Cross-engine determinism: hashes are md5 hex strings (identical in Spark and
+DuckDB), set similarities are exact integer ratios cast to double, cosine
+similarities are rounded to 4 decimals before ranking with id tiebreakers.
+
+Indexing note: Spark SQL `array[i]` is 0-based while `element_at(arr, i)` and
+DuckDB `list[i]` are 1-based — everything here uses the 1-based forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.plans.registry import register
+from mempool_dumpster_spark.plans.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def words_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_expr(words: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as space-joined strings; empty array when the
+    document has fewer than k words (guards Spark's descending `sequence`)."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
+    mk = lambda i: F.concat_ws(
+        " ", *[F.element_at(words, (i + off).cast("int")) for off in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct — the shingle *set* per document."""
+    return (
+        docs.select("doc_id", F.explode(shingles_expr(words_col())).alias("shingle"))
+        .distinct()
+    )
+
+
+#: DuckDB rendering of the same shingle set (1-based list indexing).
+DUCK_SHINGLES = """
+      SELECT DISTINCT doc_id, unnest(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                i -> string_split(text, ' ')[i] || ' ' ||
+                                     string_split(text, ' ')[i+1] || ' ' ||
+                                     string_split(text, ' ')[i+2])
+               ELSE [] END) AS shingle
+      FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS BIGINT) - CAST(count(DISTINCT md5(text)) AS BIGINT)
+             AS n_dups
+    FROM documents GROUP BY source
+    """,
+    doc="Exact dedup via content hash (hash-groupBy). At 100 TB: hash is "
+    "computed map-side, shuffle moves (source, md5) pairs only.",
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+@register(
+    "docs_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    """,
+    doc="Near-dup detection: exact n-gram Jaccard over word-3-gram shingle "
+    "sets. Set algebra as joins+aggregates — the 100 TB path prefilters "
+    "candidates with MinHash-LSH (docs_minhash_lsh_pairs) before this exact "
+    "verify step; jaccard is an exact integer ratio.",
+)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = doc_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _minhash_cols(n_hashes: int = 8) -> list:
+    """MinHash signature: h_i(s) = md5(i || ':' || s), min over the shingle
+    set, as hex strings (identical across engines)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def _duck_minhash(n_hashes: int = 8) -> str:
+    cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(n_hashes)
+    )
+    return f"SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+@register(
+    "docs_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS ({DUCK_SHINGLES}),
+    sig AS ({_duck_minhash(8)}),
+    bands AS (
+      SELECT doc_id, 0 AS band, m0 AS key FROM sig UNION ALL
+      SELECT doc_id, 1, m1 FROM sig UNION ALL
+      SELECT doc_id, 2, m2 FROM sig UNION ALL
+      SELECT doc_id, 3, m3 FROM sig UNION ALL
+      SELECT doc_id, 4, m4 FROM sig UNION ALL
+      SELECT doc_id, 5, m5 FROM sig UNION ALL
+      SELECT doc_id, 6, m6 FROM sig UNION ALL
+      SELECT doc_id, 7, m7 FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    doc="MinHash-LSH candidate pairs: 8 md5-derived min-hashes per shingle "
+    "set, banded r=1/b=8, candidates sharing ≥2 bands. The scale path for "
+    "near-dup: signature is a map-side agg, the band self-join groups by "
+    "band key so shuffle ∝ docs × bands, never docs².",
+)
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sig = doc_shingles(docs).groupBy("doc_id").agg(*_minhash_cols(8))
+    bands = None
+    for i in range(8):
+        band = sig.select(
+            "doc_id", F.lit(i).alias("band"), F.col(f"m{i}").alias("key")
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= 2)
+    )
+
+
+def _simhash_bit_exprs_spark() -> Column:
+    """16-bit SimHash over term-frequency-weighted word hashes.
+
+    bit j comes from hex digit j//4 of md5(word); each word votes ±1 per bit;
+    simhash bit = (vote sum > 0). Pure integer arithmetic — identical in any
+    engine.
+    """
+    digit = lambda c: F.conv(F.substring(F.md5("word"), c + 1, 1), 16, 10).cast("int")
+    total = F.lit(0)
+    for j in range(16):
+        nib = digit(j // 4)
+        bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
+        vote = F.sum(F.when(bit == 1, 1).otherwise(-1))
+        total = total + F.when(vote > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return total.cast("bigint")
+
+
+def _simhash_sql_duck() -> str:
+    terms = []
+    for j in range(16):
+        c = j // 4 + 1
+        shift = 3 - (j % 4)
+        nib = f"(strpos('0123456789abcdef', substr(md5(word), {c}, 1)) - 1)"
+        bit = f"(({nib} >> {shift}) & 1)"
+        vote = f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2**j} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@register(
+    "docs_simhash",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT doc_id, CAST({_simhash_sql_duck()} AS BIGINT) AS simhash16
+    FROM w GROUP BY doc_id
+    """,
+    doc="SimHash document fingerprint (16-bit, tf-weighted word hashes). "
+    "Near-dup docs land within small Hamming distance; at scale pairs are "
+    "mined by banding the simhash bits, same topology as MinHash-LSH.",
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = docs.select("doc_id", F.explode(words_col()).alias("word"))
+    return w.groupBy("doc_id").agg(_simhash_bit_exprs_spark().alias("simhash16"))
+
+
+@register(
+    "docs_fingerprint",
+    oracle=f"""
+    WITH sh AS ({DUCK_SHINGLES})
+    SELECT doc_id, min(md5(shingle)) AS fp,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+    doc="Document fingerprint: minimum shingle hash (winnowing-style 1-sample "
+    "sketch) + shingle-set cardinality. Map-side aggregable at any scale.",
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        doc_shingles(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("shingle")).alias("fp"),
+            F.count("*").alias("n_shingles"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_token_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Token counting (whitespace tokenizer) + char stats per language — "
+    "the text-analysis primitives for corpus curation. All JVM-side string "
+    "functions; no UDF.",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ntok = F.size(words_col()).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("sum_tokens"),
+        F.max(ntok).alias("max_tokens"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@register(
+    "docs_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len,
+           CAST((length(' ' || text || ' ')
+                 - length(replace(' ' || text || ' ', ' the ', ' '))) / 4
+                AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Per-document quality scoring: token count, average word length, "
+    "stopword ratio — the length/stopword heuristics of LLM corpus filters. "
+    "Exact integer arithmetic → identical doubles across engines.",
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ntok = F.size(words_col()).cast("bigint")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_the = (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit(" ")))) / 4
+    return docs.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        ((F.length("text") - ntok + 1).cast("double") / ntok).alias("avg_word_len"),
+        (n_the.cast("double") / ntok).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "docs_binary_stats",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+    doc="Multimodal byte-column plumbing: payloads as opaque binary with "
+    "typed metadata; decode/feature-extraction runs as Arrow-batched "
+    "mapInPandas (see ml.multimodal — stubbed, no codec libs in container). "
+    "This query is the metadata/size-accounting pass over binary columns.",
+)
+def docs_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    blob = F.col("text").cast("binary")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length(blob)).alias("sum_bytes"),
+        F.max(F.octet_length(blob)).alias("max_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_knn",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb)
+                   / (sqrt(list_dot_product(q.emb, q.emb))
+                      * sqrt(list_dot_product(c.emb, c.emb))), 4) AS sim_r
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
+    "JVM-side zip_with/aggregate dot products, per-query top-k via window. "
+    "Similarity rounded to 4 decimals before ranking (tiebreak neighbor_id) "
+    "for cross-engine determinism. Scale path: LSH/IVF bucketing (ml.similarity) "
+    "replaces the cross join with a bucket equi-join.",
+)
+def emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    dot = lambda u, v: F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    e = e.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                4,
+            ).alias("sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "sim_r", "rank")
+    )
+
+
+@register(
+    "emb_centroids",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+             / count(*) AS c1,
+           CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+             / count(*) AS c2,
+           CAST(sum(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+             / count(*) AS c3
+    FROM embeddings GROUP BY label
+    """,
+    doc="Per-label centroid components (k-means-style update step) with "
+    "DECIMAL-exact summation — order-independent, so the parallel Spark sum "
+    "matches any engine bit-for-bit.",
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    comp = lambda i: F.element_at("embedding", i).cast("double").cast(
+        "decimal(20,10)"
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        (F.sum(comp(1)).cast("double") / F.count("*")).alias("c1"),
+        (F.sum(comp(2)).cast("double") / F.count("*")).alias("c2"),
+        (F.sum(comp(3)).cast("double") / F.count("*")).alias("c3"),
+    )

@@ -1,0 +1,111 @@
+"""Replicates the driver's t2 correctness gate locally: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the same
+sf directory, compare row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values normalized).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+
+def normalize_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # repr of a double is exact round-trip; engines agreeing bit-for-bit
+        # will stringify identically
+        return repr(v)
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    return str(v)
+
+
+def canonical(rows: list[dict]) -> tuple[int, list[str], list[tuple]]:
+    if not rows:
+        return 0, [], []
+    cols = sorted(rows[0].keys())
+    data = sorted(tuple(normalize_cell(r[c]) for c in cols) for r in rows)
+    return len(rows), cols, data
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from mempool_dumpster_spark.session import get_spark
+
+    spark = get_spark("selfcheck", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"okR  {name}: rows-only, {len(srows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            cols = [d[0] for d in cur.description]
+            drows = [dict(zip(cols, row)) for row in cur.fetchall()]
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        sn, scols, sdata = canonical(srows)
+        dn, dcols, ddata = canonical(drows)
+        if sn != dn:
+            print(f"FAIL {name}: rowcount spark={sn} duck={dn}")
+            failures.append(name)
+        elif scols != dcols:
+            print(f"FAIL {name}: cols spark={scols} duck={dcols}")
+            failures.append(name)
+        elif sdata != ddata:
+            bad = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(sdata, ddata)) if a != b
+            )
+            print(f"FAIL {name}: values differ at sorted row {bad[0]}:\n"
+                  f"  cols {scols}\n  spark {bad[1]}\n  duck  {bad[2]}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {sn} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passing")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
