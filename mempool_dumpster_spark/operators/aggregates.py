@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-INCLUDED = F.col("includedAtBlockHeight") > 0
+def _included():
+    return F.col("includedAtBlockHeight") > 0
 
 
 def count_unique(txs: DataFrame) -> DataFrame:
@@ -26,7 +27,7 @@ def count_unique(txs: DataFrame) -> DataFrame:
 def included_split(txs: DataFrame) -> DataFrame:
     """A7: included / not-included counts (reference common/analyzer.go:87-91)."""
     return (
-        txs.groupBy(INCLUDED.alias("included"))
+        txs.groupBy(_included().alias("included"))
         .agg(F.count("*").alias("n"))
         .orderBy("included")
     )
@@ -57,7 +58,7 @@ def count_by_source(txs: DataFrame) -> DataFrame:
 def source_inclusion_split(txs: DataFrame) -> DataFrame:
     """A11: per-source landed / not-landed (reference common/analyzer.go:102-107)."""
     return (
-        txs.select(F.explode("sources").alias("source"), INCLUDED.alias("included"))
+        txs.select(F.explode("sources").alias("source"), _included().alias("included"))
         .groupBy("source", "included")
         .agg(F.count("*").alias("n"))
         .orderBy("source", "included")
@@ -70,7 +71,7 @@ def exclusive_orderflow(txs: DataFrame) -> DataFrame:
     return (
         txs.filter(F.size("sources") == 1)
         .select(
-            F.element_at("sources", 1).alias("source"), INCLUDED.alias("included")
+            F.element_at("sources", 1).alias("source"), _included().alias("included")
         )
         .groupBy("source", "included")
         .agg(F.count("*").alias("n"))
@@ -107,7 +108,7 @@ def inclusion_delay_quantiles(
     sort-based percentile is not worth it.
     """
     secs = (F.col("inclusionDelayMs") / 1000.0).alias("s")
-    return txs.filter(INCLUDED).select(secs).agg(
+    return txs.filter(_included()).select(secs).agg(
         F.percentile("s", F.lit(list(probs))).alias("quantiles_s"),
         F.avg("s").alias("avg_s"),
     )

@@ -67,12 +67,17 @@ def anti_join_blacklist(
     df: DataFrame,
     blacklist: DataFrame,
     hash_col: str = "hash",
+    blacklist_col: str | None = None,
     broadcast: bool = True,
 ) -> DataFrame:
     """Drop rows whose hash appears in the blacklist (reference
     common/txsfile.go:115-119). left_anti ≡ set difference on keys.
+
+    `blacklist_col` names the key column on the blacklist side (defaults to
+    its first column); it is lowercased and aliased to `hash_col`.
     """
-    bl = blacklist.select(F.lower(F.col(hash_col)).alias(hash_col)).distinct()
+    key = blacklist_col or blacklist.columns[0]
+    bl = blacklist.select(F.lower(F.col(key)).alias(hash_col)).distinct()
     if broadcast:
         bl = F.broadcast(bl)
     return df.join(bl, on=hash_col, how="left_anti")

@@ -1,0 +1,145 @@
+"""The merge pipeline — Spark restatement of the reference's main batch job
+`mempool-dumpster merge transactions` (SURVEY.md §3.1; reference
+cmd/merge/transactions.go:22-185).
+
+Plan shape (each stage is declarative; Catalyst fuses the filters into the
+scans):
+
+    tx CSVs ──F1──▶ anti-join blacklist ──A1 dedup──▶ P1 parse UDF ─┐
+    sourcelog CSVs ──F1──▶ A2 dedup ──▶ J1 sources-by-first-seen ───┼─▶ join
+    blocks table ───────────────────────▶ J3 inclusion enrich ──────┘
+        ──▶ F3 filter already-included ──▶ O1 sort ──▶ S13/S14/S15 sinks
+
+Deliberate ordering (SURVEY.md §4.1 "predicate-before-parse"): blacklist
+anti-join and hash-dedup run BEFORE the Python parse UDF so each unique tx
+is RLP-decoded exactly once — Catalyst will not hoist filters across a
+Python UDF, so the plan encodes it. At 1000 executors the only all-to-all
+exchanges are the dedup on `hash` and the two hash-joins on `hash`; AQE
+coalesces/skew-splits them at runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.functions.rlp_udf import with_parsed_tx
+from mempool_dumpster_spark.operators.dedup import dedup_keep_earliest
+from mempool_dumpster_spark.operators.joins import (
+    anti_join_blacklist,
+    attach_sources,
+    inclusion_enrich,
+    was_included_before_received,
+)
+from mempool_dumpster_spark.schemas import ALREADY_INCLUDED_THRESHOLD_MS, TXSUMMARY
+from mempool_dumpster_spark.sources.readers import (
+    read_blacklist_csv,
+    read_sourcelog_csv,
+    read_tx_csv,
+)
+from mempool_dumpster_spark.sources.sinks import (
+    write_metadata_csv,
+    write_raw_csv,
+    write_transactions_parquet,
+)
+from mempool_dumpster_spark.sources.zipcsv import expand_zip_inputs
+
+
+@dataclass
+class MergeResult:
+    transactions: DataFrame  # TXSUMMARY-shaped, sorted by timestamp
+    sourcelog: DataFrame  # deduped (hash, source, min ts)
+    stats: dict = field(default_factory=dict)
+
+
+def merge_transactions(
+    spark: SparkSession,
+    tx_paths: list[str],
+    sourcelog_paths: list[str] | None = None,
+    blacklist_paths: list[str] | None = None,
+    blocks: DataFrame | None = None,
+    collect_stats: bool = False,
+) -> MergeResult:
+    """Load a day of collector outputs and produce the merged TxSummary table.
+
+    `blocks` is the (hash → block number/timestamp) enrichment table (J3) —
+    the DataFrame equivalent of the reference's RPC inclusion check with its
+    BlockCache (cmd/merge/inclusioncheck.go). Omit it and every tx is
+    marked not-included, like running the reference without check-nodes.
+    """
+    tx_read = read_tx_csv(spark, expand_zip_inputs(tx_paths))
+    raw = tx_read.valid.withColumnRenamed("hash", "csv_hash")
+
+    if blacklist_paths:
+        blacklist = read_blacklist_csv(spark, expand_zip_inputs(blacklist_paths))
+        raw = anti_join_blacklist(raw, blacklist, hash_col="csv_hash")
+
+    # A1 before the UDF: one RLP parse per unique hash
+    deduped = dedup_keep_earliest(raw, key="csv_hash", ts_col="timestamp_ms")
+
+    parsed = with_parsed_tx(deduped, raw_col="raw_tx")
+    txs = parsed.filter(F.col("parse_ok")).select(
+        F.col("timestamp_ms").alias("timestamp"),
+        "hash",
+        "chainId",
+        "txType",
+        "from",
+        "to",
+        "value",
+        "nonce",
+        "gas",
+        "gasPrice",
+        "gasTipCap",
+        "gasFeeCap",
+        "dataSize",
+        "data4Bytes",
+        "rawTx",
+    )
+
+    if sourcelog_paths:
+        sl_read = read_sourcelog_csv(spark, expand_zip_inputs(sourcelog_paths))
+        sourcelog = sl_read.valid.groupBy("hash", "source").agg(
+            F.min("timestamp_ms").alias("timestamp_ms")
+        )
+        txs = attach_sources(txs, sourcelog)
+    else:
+        sourcelog = spark.createDataFrame(
+            [], "hash string, source string, timestamp_ms long"
+        )
+        txs = txs.withColumn("sources", F.array().cast("array<string>"))
+
+    blocks_df = blocks if blocks is not None else spark.createDataFrame(
+        [], "hash string, block_number long, block_timestamp_ms long"
+    )
+    enriched = inclusion_enrich(txs, blocks_df, ts_col="timestamp")
+
+    # F3: drop txs included on-chain ≥12 s before first receipt
+    filtered = enriched.filter(
+        ~was_included_before_received(ALREADY_INCLUDED_THRESHOLD_MS)
+    )
+
+    final = filtered.select([f.name for f in TXSUMMARY.fields]).orderBy("timestamp")
+
+    stats: dict = {}
+    if collect_stats:
+        stats = {
+            "tx_rows_rejected": tx_read.rejects.count(),
+            "parse_failures": parsed.filter(~F.col("parse_ok")).count(),
+            "output_rows": final.count(),
+        }
+    return MergeResult(transactions=final, sourcelog=sourcelog, stats=stats)
+
+
+def write_merge_outputs(result: MergeResult, out_dir: str) -> None:
+    """S13+S14+S15 off one persisted DataFrame — the reference writes all
+    three formats in a single pass (cmd/merge/transactions.go:237-272); the
+    Spark version pays one compute and three sink scans of the cache."""
+    final = result.transactions.persist()
+    try:
+        write_transactions_parquet(final, f"{out_dir}/transactions.parquet")
+        write_metadata_csv(final, f"{out_dir}/transactions.csv")
+        write_raw_csv(final, f"{out_dir}/transactions_raw.csv")
+    finally:
+        final.unpersist()

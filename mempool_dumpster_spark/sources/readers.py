@@ -1,0 +1,122 @@
+"""Schema-enforced readers S1-S7 with the F1 validity filters and reject
+accounting (SURVEY.md §2.1, §2.3).
+
+The reference reads CSVs line-by-line and silently skips malformed rows
+(common/txsfile.go:96-111, common/sourcelog.go:22-48). Spark restatement:
+read every field as string (so no row is lost to a cast error), then split
+into a valid stream (typed) and a rejects stream via explicit predicates —
+rejects stay countable, matching the reference's stat logs, without a second
+scan (both branches come off one cached read when the caller asks for both).
+
+All readers take multi-path lists (U1 multi-file union is built into
+``spark.read.csv([paths])``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mempool_dumpster_spark.functions.scalars import is_valid_hash
+
+
+@dataclass
+class ReadResult:
+    valid: DataFrame
+    rejects: DataFrame
+
+    def reject_count(self) -> int:
+        return self.rejects.count()
+
+
+def _string_schema(names: list[str]) -> T.StructType:
+    return T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+
+
+_INT_RE = r"^[0-9]+$"
+
+
+def read_tx_csv(spark: SparkSession, paths: list[str] | str) -> ReadResult:
+    """S1: collector transactions CSV `timestamp_ms,hash,raw_tx` (headerless).
+
+    Validity (reference common/txsfile.go:96-111): 3 fields, integer
+    timestamp, well-formed 66-char hash; raw_tx present. The reference's
+    "line shorter than 66 chars" guard is subsumed by the hash check.
+    """
+    raw = spark.read.schema(_string_schema(["timestamp_ms", "hash", "raw_tx"])).csv(
+        paths if isinstance(paths, list) else [paths]
+    )
+    ok = (
+        F.col("timestamp_ms").rlike(_INT_RE)
+        & is_valid_hash(F.lower("hash"))
+        & F.col("raw_tx").isNotNull()
+    )
+    valid = raw.filter(ok).select(
+        F.col("timestamp_ms").cast("long").alias("timestamp_ms"),
+        F.lower("hash").alias("hash"),
+        F.col("raw_tx"),
+    )
+    return ReadResult(valid=valid, rejects=raw.filter(~ok | ok.isNull()))
+
+
+def read_sourcelog_csv(spark: SparkSession, paths: list[str] | str) -> ReadResult:
+    """S4: sourcelog CSV `timestamp_ms,hash,source` with hash lowercasing and
+    validity rules (reference common/sourcelog.go:12-48)."""
+    raw = spark.read.schema(_string_schema(["timestamp_ms", "hash", "source"])).csv(
+        paths if isinstance(paths, list) else [paths]
+    )
+    ok = (
+        F.col("timestamp_ms").rlike(_INT_RE)
+        & is_valid_hash(F.lower("hash"))
+        & F.col("source").isNotNull()
+    )
+    valid = raw.filter(ok).select(
+        F.col("timestamp_ms").cast("long").alias("timestamp_ms"),
+        F.lower("hash").alias("hash"),
+        F.col("source"),
+    )
+    return ReadResult(valid=valid, rejects=raw.filter(~ok | ok.isNull()))
+
+
+def read_trash_csv(spark: SparkSession, paths: list[str] | str) -> ReadResult:
+    """S5: trash CSV `timestamp_ms,hash,source,reason,notes`; 4-field rows are
+    legal (notes empty — reference common/trashfile.go:44-46)."""
+    raw = spark.read.schema(
+        _string_schema(["timestamp_ms", "hash", "source", "reason", "notes"])
+    ).csv(paths if isinstance(paths, list) else [paths])
+    ok = F.col("timestamp_ms").rlike(_INT_RE) & is_valid_hash(F.lower("hash"))
+    valid = raw.filter(ok).select(
+        F.col("timestamp_ms").cast("long").alias("timestamp_ms"),
+        F.lower("hash").alias("hash"),
+        "source",
+        "reason",
+        F.coalesce("notes", F.lit("")).alias("notes"),
+    )
+    return ReadResult(valid=valid, rejects=raw.filter(~ok | ok.isNull()))
+
+
+def read_blacklist_csv(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """S6: known-hash blacklist — any CSV whose SECOND column is a tx hash;
+    rows with <2 fields or short hashes are skipped (reference
+    common/txsfile.go:212-239). Returns a single-column `hash` DataFrame.
+    """
+    raw = spark.read.schema(_string_schema(["c0", "hash"])).csv(
+        paths if isinstance(paths, list) else [paths]
+    )
+    return (
+        raw.select(F.lower("hash").alias("hash"))
+        .filter(is_valid_hash(F.col("hash")))
+        .distinct()
+    )
+
+
+def read_transactions_parquet(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """S7: merged-output parquet scan (reference cmd/analyze/main.go:81-107).
+    Schema comes from the parquet footer — column pruning means analyzer
+    queries never touch the heavy rawTx column."""
+    return spark.read.parquet(
+        *(paths if isinstance(paths, list) else [paths])
+    )

@@ -1,0 +1,134 @@
+"""Operator unit tests vs hand-computed expectations (SURVEY.md §5.2 #1):
+dedup A1-A3, sources-array J1/O2, anti-join J2, inclusion enrich J3,
+analyzer aggregates, property-style idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.operators.aggregates import (
+    count_by_source,
+    exclusive_orderflow,
+    included_split,
+)
+from mempool_dumpster_spark.operators.dedup import (
+    dedup_keep_earliest,
+    dedup_keep_earliest_row,
+    dedup_min_timestamp,
+)
+from mempool_dumpster_spark.operators.joins import (
+    anti_join_blacklist,
+    attach_sources,
+    inclusion_enrich,
+    sources_by_first_seen,
+    was_included_before_received,
+)
+
+
+def test_dedup_keep_earliest(spark):
+    df = spark.createDataFrame(
+        [("h1", 100, "a"), ("h1", 90, "b"), ("h2", 50, "c")],
+        "hash string, timestamp_ms long, payload string",
+    )
+    out = {r["hash"]: r for r in dedup_keep_earliest(df).collect()}
+    assert out["h1"]["timestamp_ms"] == 90
+    assert out["h1"]["payload"] == "b"  # payload travels with the min-ts row
+    assert out["h2"]["timestamp_ms"] == 50
+
+
+def test_dedup_idempotent(spark):
+    """Property: dedup of its own output is a no-op (SURVEY.md §5.2 #5)."""
+    df = spark.createDataFrame(
+        [("h1", 100, "a"), ("h1", 90, "b"), ("h2", 50, "c")],
+        "hash string, timestamp_ms long, payload string",
+    )
+    once = dedup_keep_earliest(df)
+    twice = dedup_keep_earliest(once)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_dedup_keep_earliest_row(spark):
+    df = spark.createDataFrame(
+        [("h1", "s1", 100, "x"), ("h1", "s1", 100, "y"), ("h1", "s2", 90, "z")],
+        "hash string, source string, ts long, note string",
+    )
+    out = dedup_keep_earliest_row(df, key=["hash", "source"], order=["ts", "note"])
+    got = {(r["hash"], r["source"]): r["note"] for r in out.collect()}
+    assert got == {("h1", "s1"): "x", ("h1", "s2"): "z"}
+
+
+def test_sourcelog_dedup_min(spark):
+    df = spark.createDataFrame(
+        [(100, "h1", "a"), (90, "h1", "a"), (95, "h1", "b")],
+        "timestamp_ms long, hash string, source string",
+    )
+    out = {
+        (r["hash"], r["source"]): r["timestamp_ms"]
+        for r in dedup_min_timestamp(df).collect()
+    }
+    assert out == {("h1", "a"): 90, ("h1", "b"): 95}
+
+
+def test_sources_ordered_by_first_seen(spark):
+    sl = spark.createDataFrame(
+        [(100, "h1", "late"), (50, "h1", "early"), (75, "h1", "mid"),
+         (60, "h1", "early"), (10, "h2", "only")],
+        "timestamp_ms long, hash string, source string",
+    )
+    out = {r["hash"]: r["sources"] for r in sources_by_first_seen(sl).collect()}
+    assert out["h1"] == ["early", "mid", "late"]
+    assert out["h2"] == ["only"]
+
+
+def test_attach_sources_left_outer(spark):
+    txs = spark.createDataFrame([("h1",), ("h3",)], "hash string")
+    sl = spark.createDataFrame(
+        [(50, "h1", "a")], "timestamp_ms long, hash string, source string"
+    )
+    out = {r["hash"]: r["sources"] for r in attach_sources(txs, sl).collect()}
+    assert out["h1"] == ["a"]
+    assert out["h3"] == []  # no sourcelog rows → empty array, not null
+
+
+def test_anti_join_blacklist(spark):
+    df = spark.createDataFrame([("h1",), ("h2",)], "hash string")
+    bl = spark.createDataFrame([("H2",)], "hash string")  # case-insensitive
+    assert [r["hash"] for r in anti_join_blacklist(df, bl).collect()] == ["h1"]
+
+
+def test_inclusion_enrich_and_f3(spark):
+    txs = spark.createDataFrame(
+        [("h1", 1000_000), ("h2", 2000_000), ("h3", 500_000)],
+        "hash string, timestamp long",
+    )
+    blocks = spark.createDataFrame(
+        [("h1", 18_000_000, 1010_000),  # included 10s after receipt
+         ("h3", 18_000_001, 400_000)],  # included 100s BEFORE receipt → F3
+        "hash string, block_number long, block_timestamp_ms long",
+    )
+    out = {r["hash"]: r for r in inclusion_enrich(txs, blocks).collect()}
+    assert out["h1"]["inclusionDelayMs"] == 10_000
+    assert out["h2"]["includedAtBlockHeight"] == 0
+    assert out["h2"]["inclusionDelayMs"] == 0
+    assert out["h3"]["inclusionDelayMs"] == -100_000  # negative is legal
+    kept = (
+        inclusion_enrich(txs, blocks)
+        .filter(~was_included_before_received())
+        .collect()
+    )
+    assert {r["hash"] for r in kept} == {"h1", "h2"}
+
+
+def test_analyzer_aggregates(spark):
+    txs = spark.createDataFrame(
+        [("h1", ["a"], 1, 10), ("h2", ["a", "b"], 0, 20), ("h3", ["b"], 5, 30)],
+        "hash string, sources array<string>, includedAtBlockHeight long, timestamp long",
+    )
+    inc = {r["included"]: r["n"] for r in included_split(txs).collect()}
+    assert inc == {True: 2, False: 1}
+    per_src = {r["source"]: r["n"] for r in count_by_source(txs).collect()}
+    assert per_src == {"a": 2, "b": 2}
+    excl = {
+        (r["source"], r["included"]): r["n"] for r in exclusive_orderflow(txs).collect()
+    }
+    assert excl == {("a", True): 1, ("b", True): 1}
