@@ -1,0 +1,123 @@
+"""Driver-contract queries backed by the `ml` operator library (language ID,
+quality scoring, exact-dedup keep-list, LSH ANN). Where DuckDB can express
+the same semantics the oracle is exact; the LSH ANN entry is rows-only (its
+result is approximate by construction, there is no SQL ground truth)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.ml.dedup import exact_dedup
+from mempool_dumpster_spark.ml.similarity import lsh_bucketed_topk
+from mempool_dumpster_spark.ml.text import (
+    DEFAULT_LANG_PROFILES,
+    language_id,
+    quality_features,
+    quality_score,
+)
+from mempool_dumpster_spark.plans.registry import register
+from mempool_dumpster_spark.plans.tables import load_tables
+
+_PROFILE_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in sorted(DEFAULT_LANG_PROFILES.items())
+}
+
+_SCORES = ", ".join(
+    f"(CAST(len(list_filter(string_split(text, ' '), w -> list_contains({lst}, w))) AS DOUBLE)"
+    f" / len(string_split(text, ' '))) AS s_{lang}"
+    for lang, lst in _PROFILE_SQL.items()
+)
+
+_LANG_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, s_{lang} AS score, '{lang}' AS lang FROM scored"
+    for lang in _PROFILE_SQL
+)
+
+
+@register(
+    "docs_langid",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, {_SCORES} FROM documents),
+    ranked AS (
+      SELECT doc_id, score, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM ({_LANG_ROWS})
+    )
+    SELECT doc_id,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Language ID via stopword-profile scoring (ml.text.language_id): "
+    "argmax of per-language hit ratios, ties broken by language code, 'und' "
+    "when no profile hits. Pure projection — no shuffle at any scale.",
+)
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return language_id(docs).select("doc_id", "predicted_lang")
+
+
+@register(
+    "docs_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','and','of','to','a','in','is'], w)))
+                  AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
+           (least(n_tokens / 20.0, 1.0) + least(distinct_ratio * 2, 1.0)
+            + least(stopword_ratio * 10, 1.0)) / 3.0 AS quality_score
+    FROM f
+    """,
+    doc="Composite quality score (ml.text.quality_score): length, lexical "
+    "diversity, stopword presence — the cheap corpus filters of LLM data "
+    "pipelines, as one codegen'd projection.",
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = quality_score(quality_features(docs))
+    return out.select(
+        "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+@register(
+    "docs_dedup_keep",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    GROUP BY source
+    """,
+    doc="Exact dedup keep-list (ml.dedup.exact_dedup): smallest doc_id per "
+    "content hash survives; counted per source.",
+)
+def docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return exact_dedup(docs).groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "emb_knn_lsh",
+    oracle=None,  # approximate by construction — rows-only check
+    doc="LSH-bucketed approximate top-3 ANN (ml.similarity.lsh_bucketed_topk): "
+    "random-hyperplane sign signatures, bucket equi-join, exact cosine "
+    "re-rank on candidates. The 100 TB path replacing the |Q|×|C| cross "
+    "join; deterministic for the fixed seed.",
+)
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, queries, k=3, dim=64, n_planes=10, n_tables=4).select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )

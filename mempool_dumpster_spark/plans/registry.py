@@ -57,4 +57,8 @@ def all_oracles() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     # Import side-effect modules that populate REGISTRY.
-    from mempool_dumpster_spark.plans import queries, text_queries  # noqa: F401
+    from mempool_dumpster_spark.plans import (  # noqa: F401
+        ml_queries,
+        queries,
+        text_queries,
+    )

@@ -1,0 +1,153 @@
+"""ML/training-data operator tests: dedup tiers (exact, minhash-LSH, simhash,
+jaccard, components), similarity search (exact vs LSH recall), text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.ml.dedup import (
+    duplicate_components,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    simhash,
+    simhash_near_pairs,
+)
+from mempool_dumpster_spark.ml.multimodal import decode_images, frame_sample_plan
+from mempool_dumpster_spark.ml.similarity import cosine_topk, lsh_bucketed_topk
+from mempool_dumpster_spark.ml.text import language_id, quality_features, quality_score
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near-dup of 0
+        (3, "completely different text about spark query engines and shuffles ok"),
+        (4, "der hund und die katze sind nicht das problem und der rest ist gut"),
+        (5, "el perro y el gato es una historia y los dos son una familia"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids  # smallest id survives
+    assert ids == {0, 2, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sh = shingle_sets(docs)
+    sig = minhash_signatures(sh, n_hashes=16)
+    pairs = lsh_candidate_pairs(sig, bands=8, rows_per_band=2)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # identical docs share all bands
+    assert (0, 2) in got or (1, 2) in got  # near-dup caught by some band
+    assert (0, 3) not in got
+
+
+def test_jaccard_with_candidate_pushdown(spark, docs):
+    sh = shingle_sets(docs)
+    cand = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sh, threshold=0.0, candidates=cand).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) not in out  # not in candidate set → never computed
+    assert out.get((0, 3), 0.0) < 0.2
+
+
+def test_simhash_and_near_pairs(docs):
+    sig = simhash(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert rows[0] == rows[1]  # identical docs, identical fingerprint
+    pairs = simhash_near_pairs(sig, max_hamming=10)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+
+
+def test_duplicate_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    comp = {r["doc_id"]: r["component_id"] for r in duplicate_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[9] == 7
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 clusters around orthogonal axes in 8d + the queries themselves
+    rows = []
+    for i in range(30):
+        axis = i % 3
+        vec = [0.05 * ((i * 7 + d) % 5) for d in range(8)]
+        vec[axis] += 10.0
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    out = cosine_topk(vectors, vectors.filter(F.col("vec_id") < 3), k=5)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        # same-cluster neighbors dominate: cluster id = id % 3
+        assert r["neighbor_id"] % 3 == r["query_id"] % 3
+        assert r["sim"] > 0.9
+
+
+def test_lsh_topk_recall(vectors):
+    exact = cosine_topk(vectors, vectors.filter(F.col("vec_id") < 3), k=3)
+    approx = lsh_bucketed_topk(
+        vectors, vectors.filter(F.col("vec_id") < 3), k=3, dim=8,
+        n_planes=6, n_tables=6,
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 2 / 3  # deterministic given the fixed seed
+
+
+def test_quality_and_langid(docs):
+    q = quality_score(quality_features(docs))
+    rows = {r["doc_id"]: r for r in q.collect()}
+    assert 0.0 <= rows[0]["quality_score"] <= 1.0
+    assert rows[0]["stopword_ratio"] > 0  # 'the' appears 3×
+    lang = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[4] == "de"
+    assert lang[5] == "es"
+
+
+def test_multimodal_decode_stub(spark):
+    media = spark.createDataFrame(
+        [
+            (1, b"\x00\x01\x02\x03" * 100, "image/png", {"k": "v"}),
+            (2, b"", "image/png", {}),
+        ],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    feats = {r["media_id"]: r for r in decode_images(media).collect()}
+    assert feats[1]["n_bytes"] == 400
+    assert feats[1]["decode_ok"]
+    assert feats[1]["width"] * feats[1]["height"] >= 400
+    assert abs(feats[1]["byte_entropy"] - 2.0) < 1e-9  # 4 equiprobable bytes
+    assert feats[2]["n_bytes"] == 0
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, None, "video/mp4", {"duration_s": "12"})],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    frames = frame_sample_plan(media, every_n_seconds=5).collect()
+    assert [r["frame_ts_s"] for r in frames] == [0, 5]

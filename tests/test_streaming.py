@@ -1,0 +1,121 @@
+"""Streaming collector tests (SURVEY.md §5.2 #4): file source → fork-before-
+dedup topology → bucketed sinks, with availableNow draining. Asserts the
+reference's core streaming semantics: sourcelog gets every receipt, the
+transactions sink only first arrivals, invalid txs route to trash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.streaming.collector import (
+    file_stream_source,
+    source_metrics,
+    start_collector,
+    union_sources,
+)
+from txgen import make_tx, tx_hash_of
+
+T0 = "2023-09-04 00:00:00"
+T1 = "2023-09-04 00:00:01"
+T2 = "2023-09-04 01:30:00"  # different hour bucket
+
+
+@pytest.fixture(scope="module")
+def stream_day(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    indir = root / "in"
+    indir.mkdir()
+    tx_a = make_tx(priv=0xAA, tx_type=2, nonce=1)
+    tx_bad = make_tx(priv=0xBB, tx_type=2, nonce=2, tip=10, fee=1)  # invalid
+    tx_c = make_tx(priv=0xCC, tx_type=0, nonce=3)
+    (indir / "f1.csv").write_text(
+        f"{T0},{tx_a},alchemy\n"
+        f"{T1},{tx_a},infura\n"  # duplicate hash, second source
+        f"{T0},{tx_bad},alchemy\n"
+    )
+    (indir / "f2.csv").write_text(
+        f"{T2},{tx_c},bloxroute\n"
+        f"{T2},{tx_a},bloxroute\n"  # third receipt of a
+    )
+    return {
+        "in": str(indir),
+        "out": str(root / "out"),
+        "ckpt": str(root / "ckpt"),
+        "h_a": tx_hash_of(tx_a),
+        "h_bad": tx_hash_of(tx_bad),
+        "h_c": tx_hash_of(tx_c),
+    }
+
+
+@pytest.fixture(scope="module")
+def drained(spark, stream_day):
+    stream = file_stream_source(spark, stream_day["in"], max_files_per_trigger=1)
+    queries = start_collector(
+        stream,
+        out_dir=stream_day["out"],
+        checkpoint_dir=stream_day["ckpt"],
+        trigger_available_now=True,
+    )
+    queries.await_all()
+    return stream_day
+
+
+def test_sourcelog_gets_every_receipt(spark, drained):
+    sl = spark.read.schema(
+        "timestamp_ms long, hash string, source string"
+    ).csv(f"{drained['out']}/sourcelog")
+    rows = sl.collect()
+    assert len(rows) == 5  # every receipt, including dups and the invalid tx
+    per_hash = {}
+    for r in rows:
+        per_hash.setdefault(r["hash"], set()).add(r["source"])
+    assert per_hash[drained["h_a"]] == {"alchemy", "infura", "bloxroute"}
+
+
+def test_transactions_first_arrival_only(spark, drained):
+    txs = spark.read.schema(
+        "timestamp_ms long, hash string, raw_tx string, source string"
+    ).csv(f"{drained['out']}/transactions")
+    rows = {r["hash"]: r for r in txs.collect()}
+    assert set(rows) == {drained["h_a"], drained["h_c"]}
+    # first arrival wins: a was first seen by alchemy at T0
+    assert rows[drained["h_a"]]["source"] == "alchemy"
+
+
+def test_trash_routing(spark, drained):
+    trash = spark.read.schema(
+        "timestamp_ms long, hash string, source string, reason string, notes string"
+    ).csv(f"{drained['out']}/trash")
+    rows = trash.collect()
+    assert len(rows) == 1
+    assert rows[0]["hash"] == drained["h_bad"]
+    assert rows[0]["reason"] == "gasFeeCap lower than gasTipCap"
+
+
+def test_hour_bucketing(spark, drained):
+    import glob
+
+    parts = glob.glob(f"{drained['out']}/sourcelog/date=*/hour=*")
+    hours = {p.rsplit("hour=", 1)[-1] for p in parts}
+    assert hours == {"00", "01"}  # T0/T1 → 00, T2 → 01
+
+
+def test_union_and_metrics(spark, stream_day):
+    s1 = file_stream_source(spark, stream_day["in"])
+    s2 = file_stream_source(spark, stream_day["in"])
+    u = union_sources([s1, s2])
+    metrics = source_metrics(u)
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("metrics_tbl")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from metrics_tbl").collect()
+    got = {(r["minute"].start.strftime("%H:%M"), r["source"]): r["n_all"] for r in rows}
+    # both unioned copies contribute: alchemy saw 2 receipts in minute 00:00 ×2
+    assert got[("00:00", "alchemy")] == 4
+    assert got[("01:30", "bloxroute")] == 4
