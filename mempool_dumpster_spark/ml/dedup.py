@@ -85,9 +85,14 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *slots).alias("key"))
         )
-    bands_df = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    # cache: the self-join would otherwise evaluate the signature lineage
+    # twice (aliased sides don't share exchanges); band rows are tiny
+    # (docs × bands), so this is always worth it.
+    bands_df = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.key")
+        .cache()
+    )
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(

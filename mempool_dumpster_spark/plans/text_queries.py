@@ -189,13 +189,22 @@ def _duck_minhash(n_hashes: int = 8) -> str:
 )
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sig = doc_shingles(docs).groupBy("doc_id").agg(*_minhash_cols(8))
-    bands = None
-    for i in range(8):
-        band = sig.select(
-            "doc_id", F.lit(i).alias("band"), F.col(f"m{i}").alias("key")
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # cache: both self-join sides would otherwise re-run the whole
+    # shingle→md5→agg pipeline (no exchange reuse across join aliases)
+    sig = doc_shingles(docs).groupBy("doc_id").agg(*_minhash_cols(8)).cache()
+    # One explode instead of an 8-way union: the union re-evaluates the
+    # signature aggregation once per branch; the explode computes it once.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"m{i}").alias("key"))
+                    for i in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
