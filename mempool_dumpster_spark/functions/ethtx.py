@@ -19,18 +19,26 @@ from dataclasses import dataclass
 
 from mempool_dumpster_spark.functions import rlp_codec as rlp
 from mempool_dumpster_spark.functions.keccak import keccak256
+from mempool_dumpster_spark.functions.secp256k1 import N as _SECP_N
 from mempool_dumpster_spark.functions.secp256k1 import recover_pubkey
 
 _UINT256_MAX = (1 << 256) - 1
+_SECP_N_HALF = _SECP_N >> 1  # EIP-2 low-s bound (geth crypto.ValidateSignatureValues)
 
-# Trash reasons (reference common/consts.go:16-17, collector/tx_processor.go:327-353)
-REASON_SIGNATURE_ERROR = "signature-error"
+#: geth's zero-value Address — what TxSummaryEntry.From holds when sender
+#: recovery fails (reference common/txsfile.go:165-169: the error is ignored
+#: and the zero address is formatted).
+ZERO_ADDRESS = "0x" + "00" * 20
+
+# Trash reasons — exact strings from reference collector/tx_processor.go:327-353
+# (writeInvalidTx) so trash CSVs join/compare cleanly against reference data.
+REASON_SIGNATURE_ERROR = "signature-error"  # common/consts.go:17
 REASON_CHAINID_NOT_SET = "chainId not set"
 REASON_NEGATIVE_VALUE = "negative value"
-REASON_GASFEE_TOO_BIG = "gasFeeCap exceeds uint256"
-REASON_GASTIP_TOO_BIG = "gasTipCap exceeds uint256"
+REASON_GASFEE_TOO_BIG = "extremely large gasFeeCap"
+REASON_GASTIP_TOO_BIG = "extremely large gasTipCap"
 REASON_FEECAP_LT_TIPCAP = "gasFeeCap lower than gasTipCap"
-REASON_BLOB_NO_SIDECAR = "blob tx without sidecar"
+REASON_BLOB_NO_SIDECAR = "invalid blob transaction"
 REASON_DECODE_ERROR = "rlp-decode-error"
 
 
@@ -255,20 +263,29 @@ def _finish(
     raw_canonical: bytes,
     has_sidecar: bool,
 ) -> ParsedTx:
-    sender = ""
+    # Sender recovery with geth's signature rules (crypto.ValidateSignatureValues,
+    # homestead=true): r,s ∈ [1,N), s ≤ N/2 (EIP-2 — malleated high-s signatures
+    # are rejected, not recovered), v ∈ {0,1}. On failure the sender is geth's
+    # zero-value Address (reference common/txsfile.go:165-169).
+    sender = ZERO_ADDRESS
+    sig_ok = (
+        1 <= r < _SECP_N and 1 <= s <= _SECP_N_HALF and 0 <= rec_id <= 1
+    )
+    if sig_ok:
+        try:
+            pubkey = recover_pubkey(sig_hash, r, s, rec_id)
+            sender = "0x" + keccak256(pubkey)[12:].hex()
+        except ValueError:
+            sig_ok = False
+
+    # Validation cascade (F4) in the reference's order: chainId FIRST, then
+    # signature, then txpool sanity checks (collector/tx_processor.go:355-416)
     valid = True
     reason = ""
-    try:
-        pubkey = recover_pubkey(sig_hash, r, s, rec_id)
-        sender = "0x" + keccak256(pubkey)[12:].hex()
-    except ValueError:
-        valid = False
-        reason = REASON_SIGNATURE_ERROR
-
-    # Validation cascade (F4) in the reference's order
-    # (collector/tx_processor.go:355-416)
     if valid and chain_id <= 0:
         valid, reason = False, REASON_CHAINID_NOT_SET
+    if valid and not sig_ok:
+        valid, reason = False, REASON_SIGNATURE_ERROR
     if valid and value < 0:
         valid, reason = False, REASON_NEGATIVE_VALUE
     if valid and gas_fee_cap > _UINT256_MAX:
@@ -298,6 +315,44 @@ def _finish(
         valid=valid,
         reason=reason,
     )
+
+
+def tx_hash_only(raw: str | bytes) -> str:
+    """Just the canonical tx hash — RLP decode + canonicalize + keccak, NO
+    ECDSA recovery (~10× cheaper than parse_tx). Used by the streaming
+    collector's sourcelog branch and as the pre-dedup key, so the expensive
+    sender recovery runs once per unique tx, not once per receipt — the
+    reference's economy (collector/tx_processor.go:229-247: sourcelog writes
+    and the knownTxs dedup happen before validation)."""
+    data = _hex_to_bytes(raw)
+    if len(data) == 0:
+        raise TxDecodeError("empty payload")
+    if 0x80 <= data[0] < 0xC0:
+        try:
+            inner = rlp.decode(data)
+        except rlp.RLPError as e:
+            raise TxDecodeError(str(e)) from e
+        if not isinstance(inner, bytes) or len(inner) == 0:
+            raise TxDecodeError("wrapped payload is not a string")
+        data = inner
+    try:
+        if data[0] >= 0xC0:
+            fields = rlp.decode(data)
+            if not isinstance(fields, list) or len(fields) != 9:
+                raise TxDecodeError("legacy tx must be a 9-item list")
+            canonical = rlp.encode(fields)
+        elif data[0] in (0x01, 0x02, 0x03):
+            payload = rlp.decode(data[1:])
+            if not isinstance(payload, list):
+                raise TxDecodeError("typed tx payload must be a list")
+            if data[0] == 0x03 and len(payload) == 4 and isinstance(payload[0], list):
+                payload = payload[0]  # strip the EIP-4844 network wrapper
+            canonical = bytes([data[0]]) + rlp.encode(payload)
+        else:
+            raise TxDecodeError(f"unknown tx type byte {data[0]:#x}")
+    except rlp.RLPError as e:
+        raise TxDecodeError(str(e)) from e
+    return "0x" + keccak256(canonical).hex()
 
 
 def tx_to_hex(tx: ParsedTx) -> str:

@@ -53,6 +53,10 @@ def _decode_at(data: bytes, pos: int) -> tuple[RLPItem, int]:
     if prefix < 0xC0:  # long string
         len_len = prefix - 0xB7
         length = _read_length(data, pos + 1, len_len)
+        if length < 56:
+            # geth rejects a long-form prefix encoding a short length as
+            # "non-canonical size" — such payloads must use the short form
+            raise RLPError("non-canonical size (long form for length < 56)")
         end = pos + 1 + len_len + length
         _check(data, end)
         return data[pos + 1 + len_len : end], end
@@ -62,6 +66,8 @@ def _decode_at(data: bytes, pos: int) -> tuple[RLPItem, int]:
     # long list
     len_len = prefix - 0xF7
     length = _read_length(data, pos + 1, len_len)
+    if length < 56:
+        raise RLPError("non-canonical size (long form for length < 56)")
     return _decode_list(data, pos + 1 + len_len, length)
 
 

@@ -107,6 +107,24 @@ def _err_row(msg: str) -> dict:
     }
 
 
+@F.pandas_udf(T.StringType())
+def tx_hash_udf(raw_hex: pd.Series) -> pd.Series:
+    """Canonical tx hash only (no ECDSA) — the cheap projection for sourcelog
+    rows and streaming dedup keys; null for undecodable payloads."""
+    from mempool_dumpster_spark.functions.ethtx import TxDecodeError, tx_hash_only
+
+    out = []
+    for raw in raw_hex:
+        if raw is None:
+            out.append(None)
+            continue
+        try:
+            out.append(tx_hash_only(raw))
+        except (TxDecodeError, ValueError):
+            out.append(None)
+    return pd.Series(out, dtype="object")
+
+
 def with_parsed_tx(df: DataFrame, raw_col: str = "raw_tx") -> DataFrame:
     """Attach the parsed struct and explode it to top-level columns.
 

@@ -57,6 +57,30 @@ def _jadd(p: _JPoint, q: _JPoint) -> _JPoint:
     return x3, y3, z3
 
 
+def _jadd_affine(p: _JPoint, q: tuple[int, int]) -> _JPoint:
+    """Mixed Jacobian + affine addition (q.z == 1) — ~30% cheaper than the
+    general add; used for the precomputed-table points."""
+    if p[2] == 0:
+        return (q[0], q[1], 1)
+    x1, y1, z1 = p
+    x2, y2 = q
+    z1z1 = z1 * z1 % P
+    u2 = x2 * z1z1 % P
+    s2 = y2 * z1 * z1z1 % P
+    if x1 == u2:
+        if y1 != s2:
+            return _INF
+        return _jdouble(p)
+    h = (u2 - x1) % P
+    r = (s2 - y1) % P
+    h2 = h * h % P
+    h3 = h * h2 % P
+    x3 = (r * r - h3 - 2 * x1 * h2) % P
+    y3 = (r * (x1 * h2 - x3) - y1 * h3) % P
+    z3 = h * z1 % P
+    return x3, y3, z3
+
+
 def _jmul(p: _JPoint, k: int) -> _JPoint:
     result = _INF
     addend = p
@@ -66,6 +90,94 @@ def _jmul(p: _JPoint, k: int) -> _JPoint:
         addend = _jdouble(addend)
         k >>= 1
     return result
+
+
+def _jmul_wnaf(p: _JPoint, k: int, width: int = 4) -> _JPoint:
+    """Width-4 wNAF scalar multiplication for a variable point: 8 precomputed
+    odd multiples, then one add per ~(width+1) doubles — ~2.4× fewer adds
+    than plain double-and-add."""
+    if k == 0 or p[2] == 0:
+        return _INF
+    # odd multiples P, 3P, ..., 15P
+    two_p = _jdouble(p)
+    pre = [p]
+    for _ in range((1 << (width - 1)) - 1):
+        pre.append(_jadd(pre[-1], two_p))
+    # wNAF digits, little-endian
+    digits = []
+    mod_mask = (1 << (width + 1)) - 1
+    half = 1 << width
+    while k:
+        if k & 1:
+            d = k & mod_mask
+            if d > half:
+                d -= mod_mask + 1
+            digits.append(d)
+            k -= d
+        else:
+            digits.append(0)
+        k >>= 1
+    acc = _INF
+    for d in reversed(digits):
+        acc = _jdouble(acc)
+        if d:
+            q = pre[(d if d > 0 else -d) >> 1]
+            acc = _jadd(acc, q if d > 0 else (q[0], P - q[1], q[2]))
+    return acc
+
+
+def _batch_to_affine(points: list[_JPoint]) -> list[tuple[int, int]]:
+    """Montgomery batch inversion: all z⁻¹ for ONE modular inversion."""
+    zs = [pt[2] for pt in points]
+    prefix = [1] * (len(zs) + 1)
+    for i, z in enumerate(zs):
+        prefix[i + 1] = prefix[i] * z % P
+    inv_all = pow(prefix[-1], -1, P)
+    out: list[tuple[int, int]] = [None] * len(points)  # type: ignore[list-item]
+    for i in range(len(zs) - 1, -1, -1):
+        zinv = inv_all * prefix[i] % P
+        inv_all = inv_all * zs[i] % P
+        x, y, _ = points[i]
+        zinv2 = zinv * zinv % P
+        out[i] = (x * zinv2 % P, y * zinv2 * zinv % P)
+    return out
+
+
+_G_TABLE: list[list[tuple[int, int]]] | None = None
+
+
+def _g_table() -> list[list[tuple[int, int]]]:
+    """Fixed-base comb for G: affine (j+1)·16ʷ·G for w ∈ [0,64), j ∈ [0,15).
+    Built once per process (one batch inversion); turns u1·G into ≤64 mixed
+    additions with zero doublings."""
+    global _G_TABLE
+    if _G_TABLE is None:
+        jrows: list[_JPoint] = []
+        base: _JPoint = (GX, GY, 1)
+        for _ in range(64):
+            cur = base
+            for _ in range(15):
+                jrows.append(cur)
+                cur = _jadd(cur, base)
+            for _ in range(4):  # base ← 16·base
+                base = _jdouble(base)
+        flat = _batch_to_affine(jrows)
+        _G_TABLE = [flat[w * 15 : w * 15 + 15] for w in range(64)]
+    return _G_TABLE
+
+
+def _mul_g(k: int) -> _JPoint:
+    """k·G via the fixed-base table (k already reduced mod N)."""
+    table = _g_table()
+    acc = _INF
+    w = 0
+    while k:
+        d = k & 15
+        if d:
+            acc = _jadd_affine(acc, table[w][d - 1])
+        k >>= 4
+        w += 1
+    return acc
 
 
 def _to_affine(p: _JPoint) -> tuple[int, int]:
@@ -99,7 +211,9 @@ def recover_pubkey_pure(msg_hash: bytes, r: int, s: int, recovery_id: int) -> by
     r_inv = pow(r, -1, N)
     u1 = (-z * r_inv) % N
     u2 = (s * r_inv) % N
-    q = _jadd(_jmul((GX, GY, 1), u1), _jmul((x, y, 1), u2))
+    # u1·G via the fixed-base comb (no doublings), u2·R via width-4 wNAF —
+    # together ~2.5× fewer curve ops than two plain double-and-add ladders.
+    q = _jadd(_mul_g(u1), _jmul_wnaf((x, y, 1), u2))
     qx, qy = _to_affine(q)
     return qx.to_bytes(32, "big") + qy.to_bytes(32, "big")
 

@@ -70,14 +70,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = 4, rows_per_band: int = 4, min_shared_bands: int = 1
+    sig: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    min_shared_bands: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: concat `rows_per_band` signature slots into a band key,
     self-join per band. Returns (doc_a, doc_b, n_shared_bands).
 
     Tuning: P(candidate) = 1-(1-j^r)^b for Jaccard j; r=4,b=4 targets
-    j ≳ 0.7. The join groups by band key, so a degenerate corpus (all docs
-    identical) is the worst case — cap band-bucket size upstream if needed.
+    j ≳ 0.7.
+
+    `max_bucket_size` guards the degenerate corpus (many identical docs): a
+    band bucket with n docs emits n(n-1)/2 pairs, so one hot bucket at 100 TB
+    is a cartesian bomb. Buckets larger than the cap are dropped from
+    candidate generation entirely (a window count per (band, key), computed
+    in the same shuffle as the join key). Docs in a dropped bucket are near-
+    certain exact dups of each other — route them through `exact_dedup`
+    instead of pairwise verify. None = unbounded.
     """
     band_cols = []
     for b in range(bands):
@@ -88,11 +99,15 @@ def lsh_candidate_pairs(
     # cache: the self-join would otherwise evaluate the signature lineage
     # twice (aliased sides don't share exchanges); band rows are tiny
     # (docs × bands), so this is always worth it.
-    bands_df = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
-        .select("doc_id", "bk.band", "bk.key")
-        .cache()
-    )
+    bands_df = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        bucket_n = F.count("*").over(Window.partitionBy("band", "key"))
+        bands_df = bands_df.withColumn("__bn", bucket_n).filter(
+            F.col("__bn") <= max_bucket_size
+        ).drop("__bn")
+    bands_df = bands_df.cache()
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(
@@ -114,10 +129,38 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over shingle sets → (doc_a, doc_b, jaccard ≥ threshold).
 
-    With `candidates` (doc_a, doc_b), intersections are computed ONLY for
-    those pairs (semi-join pushdown) — the verify stage after LSH. Without,
-    the all-pairs shingle self-join (quadratic in per-shingle doc frequency).
+    With `candidates` (doc_a, doc_b), NO all-pairs join ever runs: shingle
+    sets are collected to per-doc arrays once, candidates equi-join the two
+    arrays in, and the intersection is `size(array_intersect(...))` per
+    candidate row. Shuffle is ∝ |candidates| + |docs| — this is the verify
+    stage after LSH, safe at any scale.
+
+    Without `candidates`, the all-pairs shingle self-join runs (quadratic in
+    per-shingle document frequency) — the small-data / oracle path only.
     """
+    if candidates is not None:
+        arrs = sh.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("shs"), F.count("*").alias("n_sh")
+        )
+        a = arrs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shs").alias("sa"),
+            F.col("n_sh").alias("na"),
+        )
+        b = arrs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shs").alias("sb"),
+            F.col("n_sh").alias("nb"),
+        )
+        n_inter = F.size(F.array_intersect("sa", "sb"))
+        jac = n_inter.cast("double") / (F.col("na") + F.col("nb") - n_inter)
+        return (
+            candidates.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(b, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -129,10 +172,6 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(
-            candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
-        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("n_inter").cast("double") / (
@@ -153,12 +192,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Generated as `bits` integer aggregates — wide but fully codegen'd.
     """
     assert bits <= 64 and bits % 4 == 0
-    w = df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word"))
     digest = F.md5("word")
+    # md5 + conv run once per (word, nibble) in this projection — NOT once
+    # per bit inside the aggregate (4× fewer string ops in the hot loop).
+    w = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(digest, c + 1, 1), 16, 10).cast("int").alias(f"__n{c}")
+            for c in range(bits // 4)
+        ],
+    )
     total = F.lit(0).cast("long")
     for j in range(bits):
-        nib = F.conv(F.substring(digest, j // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"__n{j // 4}"), 3 - (j % 4)).bitwiseAND(F.lit(1))
         vote = F.sum(F.when(bit == 1, 1).otherwise(-1))
         # shiftleft so bit 63 lands in the sign bit instead of overflowing
         total = total + F.shiftleft((vote > 0).cast("long"), j)
@@ -210,18 +258,29 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, chunks: int = 4) ->
 
 def duplicate_components(pairs: DataFrame, iterations: int = 10) -> DataFrame:
     """Connected components over duplicate pairs → (doc_id, component_id),
-    component_id = min doc id reachable. Iterative label propagation (small-
-    star style): each round joins labels across edges and takes the min;
-    O(log n) rounds for typical near-dup clusters (chains are rare).
+    component_id = min doc id reachable. Iterative label propagation: each
+    round joins labels across edges and takes the min; O(diameter) rounds,
+    and near-dup clusters are shallow (chains are rare).
+
+    Every round persists its labels and materializes the convergence check
+    as a count on the already-cached frame, so lineage depth stays O(1) per
+    round instead of re-executing the whole accumulated plan — the iterative-
+    algorithm pattern that survives 100× scale (see also GraphFrames'
+    connected components, which alternates the same join with checkpoints).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
+        .persist()
     )
-    labels = edges.select(F.col("u").alias("doc_id")).distinct().withColumn(
-        "component_id", F.col("doc_id")
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .persist()
     )
+    labels.count()  # materialize before the loop re-reads it per round
     for _ in range(iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -235,16 +294,17 @@ def duplicate_components(pairs: DataFrame, iterations: int = 10) -> DataFrame:
                 F.least(
                     "component_id", F.coalesce("nbr_min", "component_id")
                 ).alias("component_id"),
+                (F.coalesce("nbr_min", "component_id") < F.col("component_id"))
+                .cast("int")
+                .alias("__changed"),
             )
+            .persist()
         )
-        if (
-            new_labels.join(
-                labels.withColumnRenamed("component_id", "old"), "doc_id"
-            )
-            .filter(F.col("component_id") != F.col("old"))
-            .isEmpty()
-        ):
-            labels = new_labels
+        n_changed = new_labels.filter(F.col("__changed") == 1).count()
+        old = labels
+        labels = new_labels.drop("__changed")
+        old.unpersist()
+        if n_changed == 0:
             break
-        labels = new_labels
+    edges.unpersist()
     return labels

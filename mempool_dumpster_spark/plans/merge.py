@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mempool_dumpster_spark.functions.ethtx import REASON_CHAINID_NOT_SET
 from mempool_dumpster_spark.functions.rlp_udf import with_parsed_tx
 from mempool_dumpster_spark.operators.dedup import dedup_keep_earliest
 from mempool_dumpster_spark.operators.joins import (
@@ -80,7 +81,18 @@ def merge_transactions(
     deduped = dedup_keep_earliest(raw, key="csv_hash", ts_col="timestamp_ms")
 
     parsed = with_parsed_tx(deduped, raw_col="raw_tx")
-    txs = parsed.filter(F.col("parse_ok")).select(
+    if collect_stats:
+        # Persist before the multiple counting actions below — otherwise each
+        # count re-executes the RLP/ECDSA UDF over the whole input.
+        parsed = parsed.persist()
+
+    # The reference merge keeps rows whose sender recovery failed (From is the
+    # zero address, common/txsfile.go:165-169) but DROPS chainId-not-set rows
+    # entirely (ParseTx returns ErrChainIDNotSet and readTxFile skips the row,
+    # common/txsfile.go:160-162, 131-136).
+    txs = parsed.filter(
+        F.col("parse_ok") & (F.col("reason") != REASON_CHAINID_NOT_SET)
+    ).select(
         F.col("timestamp_ms").alias("timestamp"),
         "hash",
         "chainId",
@@ -127,8 +139,13 @@ def merge_transactions(
         stats = {
             "tx_rows_rejected": tx_read.rejects.count(),
             "parse_failures": parsed.filter(~F.col("parse_ok")).count(),
+            "chainid_not_set": parsed.filter(
+                F.col("parse_ok") & (F.col("reason") == REASON_CHAINID_NOT_SET)
+            ).count(),
             "output_rows": final.count(),
         }
+        # parsed stays persisted: the caller's sink writes re-read `final`,
+        # whose lineage runs through the UDF — the cache backs those too.
     return MergeResult(transactions=final, sourcelog=sourcelog, stats=stats)
 
 

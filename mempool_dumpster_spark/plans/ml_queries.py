@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mempool_dumpster_spark.ml.dedup import exact_dedup
+from mempool_dumpster_spark.ml.dedup import duplicate_components, exact_dedup
 from mempool_dumpster_spark.ml.similarity import lsh_bucketed_topk
 from mempool_dumpster_spark.ml.text import (
     DEFAULT_LANG_PROFILES,
@@ -105,6 +105,51 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return exact_dedup(docs).groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+def _dup_components_oracle() -> str:
+    from mempool_dumpster_spark.plans.text_queries import DUCK_SHINGLES, _duck_minhash
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, m{i} AS key FROM sig" for i in range(8)
+    )
+    return f"""
+    WITH RECURSIVE sh AS ({DUCK_SHINGLES}),
+    sig AS ({_duck_minhash(8)}),
+    bands AS ({bands}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.doc_id
+    )
+    SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id
+    """
+
+
+@register(
+    "docs_dup_components",
+    oracle=_dup_components_oracle(),
+    doc="Duplicate clustering: connected components over MinHash-LSH near-dup "
+    "pairs (ml.dedup.duplicate_components) — component_id = min reachable "
+    "doc_id. Iterative min-label propagation with per-round persist + "
+    "materialized convergence counts (bounded lineage); the oracle is the "
+    "transitive-closure fixpoint as a recursive CTE.",
+)
+def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.plans.text_queries import docs_minhash_lsh_pairs
+
+    pairs = docs_minhash_lsh_pairs(spark, sf_dir)
+    return duplicate_components(pairs).select("doc_id", "component_id")
 
 
 @register(

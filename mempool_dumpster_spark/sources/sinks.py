@@ -58,7 +58,8 @@ def write_metadata_csv(df: DataFrame, path: str) -> None:
 
 
 def write_raw_csv(df: DataFrame, path: str) -> None:
-    """S15: `timestamp_ms,hash,raw_tx` with canonical 0x-hex payload."""
+    """S15: `timestamp_ms,hash,raw_tx` with canonical 0x-hex payload and the
+    header line the reference writes (cmd/merge/transactions.go:208)."""
     (
         df.select(
             F.col("timestamp").alias("timestamp_ms"),
@@ -66,6 +67,7 @@ def write_raw_csv(df: DataFrame, path: str) -> None:
             F.concat(F.lit("0x"), F.lower(F.hex("rawTx"))).alias("raw_tx"),
         )
         .write.mode("overwrite")
+        .option("header", True)
         .csv(path)
     )
 

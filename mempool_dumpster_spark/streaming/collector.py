@@ -1,25 +1,43 @@
 """Structured Streaming collector equivalent (SURVEY.md §2.10, §3.3;
 reference collector/collector.go:54-117, collector/tx_processor.go).
 
-Topology — the stream MUST fork BEFORE dedup, because the reference's
-sourcelog records *every* receipt while transactions keep only the first
-(tx_processor.go:229 vs 240-247):
+Topology — the stream forks BEFORE dedup, because the reference's sourcelog
+records *every* receipt while transactions keep only the first
+(tx_processor.go:229 vs 240-247). Two queries, mirroring the reference's
+cost model (hash everything, validate once per unique tx):
 
-    sources (union) ──┬─▶ sourcelog branch (every receipt) ─▶ bucketed sink
-                      └─▶ watermark 30 min ─▶ dropDuplicatesWithinWatermark(hash)
-                           └─▶ P1 parse/validate ──┬─▶ valid ─▶ tx bucketed sink
-                                                   └─▶ invalid ─▶ trash sink
+    sources (union) ──▶ [query A] hash-only UDF (no ECDSA) ─▶ sourcelog sink
+    sources (union) ──▶ [query B] hash-only UDF ─▶ watermark 30 min
+        ─▶ dropDuplicatesWithinWatermark(hash) ─▶ P1 full parse (first
+        arrivals ONLY) ─▶ foreachBatch: persist batch, write transactions
+        AND trash from the one materialized micro-batch
+
+Why two queries and not three (what changed from round 1): Spark binds one
+stateful-dedup plan + one sink per query, and sourcelog must see pre-dedup
+rows — so the pre/post-dedup branches cannot share a single query. But the
+expensive work is ECDSA recovery (~85% of parse cost), and that now runs
+exactly ONCE per unique tx (after dedup) instead of twice per receipt; the
+pre-dedup branches need only the canonical hash (RLP+keccak, ~10× cheaper,
+`tx_hash_udf`). The valid/trash split shares one persisted micro-batch via
+foreachBatch instead of two independent queries each re-parsing and each
+keeping its own copy of the dedup state.
 
 Reference parity mapping:
 - ST1 dedup-with-TTL: `withWatermark('received_at', '30 minutes')` +
-  `dropDuplicatesWithinWatermark(['hash'])` ≡ the knownTxs map with
+  `dropDuplicatesWithinWatermark` ≡ the knownTxs map with
   txCacheTime=30min (collector/consts.go:11). State is bounded by the
-  watermark exactly like the reference's TTL eviction.
+  watermark exactly like the reference's TTL eviction. The dedup key is
+  the canonical hash, falling back to the raw payload for undecodable rows
+  (each distinct garbage payload trashes once, like the reference's
+  per-payload parse failure).
 - ST2 hourly file buckets: derived date/hour columns + `partitionBy` on the
   file sink ≡ the bucketMinutes=60 rotation (collector/consts.go:20).
 - ST3 per-minute source metrics: 1-minute tumbling window aggregate.
 - ST4 first-source-wins: the post-dedup stream IS the first-arrival stream.
 - ST6 graceful flush: checkpoint/commit semantics replace manual flushing.
+  foreachBatch is at-least-once (a batch retried after a crash between sink
+  writes can duplicate rows); the downstream merge dedups by hash, same as
+  the reference's daily merge over hourly CSVs.
 
 At scale this runs continuously on a small always-on cluster; the state
 store holds ~30 min of tx hashes (2M/day → ~45k keys, trivial). Multiple

@@ -144,7 +144,9 @@ def test_sinks_roundtrip(spark, merged, tmp_path):
     assert meta.columns[0] == "timestamp_ms"
     srow = meta.filter(F.col("sources").contains(" ")).collect()
     assert len(srow) == 1  # a's two sources are space-joined
-    rawcsv = spark.read.csv(str(out / "transactions_raw.csv"))
+    rawcsv = spark.read.option("header", True).csv(str(out / "transactions_raw.csv"))
+    # header line matches the reference (cmd/merge/transactions.go:208)
+    assert rawcsv.columns == ["timestamp_ms", "hash", "raw_tx"]
     assert rawcsv.count() == 3
     raw_hex = rawcsv.collect()[0][2]
     assert raw_hex.startswith("0x")

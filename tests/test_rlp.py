@@ -125,3 +125,65 @@ def test_decode_errors_raise():
         parse_tx("0xdeadbeef")
     with pytest.raises(TxDecodeError):
         parse_tx("0x05ffff")  # unknown type byte
+
+
+def test_high_s_rejected_eip2():
+    """Geth ValidateSignatureValues(homestead=true) rejects s > N/2: a
+    malleated high-s signature must come back signature-error with the zero
+    address, not a recovered sender."""
+    from mempool_dumpster_spark.functions.ethtx import ZERO_ADDRESS
+    from mempool_dumpster_spark.functions.secp256k1 import N
+
+    raw = bytes.fromhex(make_tx(tx_type=2)[2:])
+    fields = rlp.decode(raw[1:])
+    s = rlp.to_int(fields[-1])
+    y = rlp.to_int(fields[-2])
+    fields[-1] = rlp.from_int(N - s)  # malleate: (r, N-s) verifies w/ flipped parity
+    fields[-2] = rlp.from_int(y ^ 1)
+    t = parse_tx(bytes([2]) + rlp.encode(fields))
+    assert not t.valid
+    assert t.reason == REASON_SIGNATURE_ERROR
+    assert t.sender == ZERO_ADDRESS
+
+
+def test_chainid_not_set_priority_and_zero_from():
+    """chainId<=0 outranks signature validity (reference validateTx order);
+    failed recovery emits the zero address like TxSummaryEntry.From."""
+    from mempool_dumpster_spark.functions.ethtx import (
+        REASON_CHAINID_NOT_SET,
+        ZERO_ADDRESS,
+    )
+
+    t = parse_tx(make_tx(tx_type=2, chain_id=0))
+    assert not t.valid
+    assert t.reason == REASON_CHAINID_NOT_SET
+
+    # valid chainId + corrupt signature → signature-error + zero address
+    raw = bytes.fromhex(make_tx(tx_type=2)[2:])
+    fields = rlp.decode(raw[1:])
+    fields[-2] = rlp.from_int(rlp.to_int(fields[-2]) ^ 1)  # flip yParity
+    t2 = parse_tx(bytes([2]) + rlp.encode(fields))
+    assert t2.reason == REASON_SIGNATURE_ERROR or t2.sender != ZERO_ADDRESS
+
+
+def test_reference_reason_strings():
+    """Trash reasons are byte-identical to writeInvalidTx
+    (reference collector/tx_processor.go:327-353)."""
+    from mempool_dumpster_spark.functions import ethtx
+
+    assert ethtx.REASON_GASFEE_TOO_BIG == "extremely large gasFeeCap"
+    assert ethtx.REASON_GASTIP_TOO_BIG == "extremely large gasTipCap"
+    assert ethtx.REASON_BLOB_NO_SIDECAR == "invalid blob transaction"
+    assert ethtx.REASON_CHAINID_NOT_SET == "chainId not set"
+    assert ethtx.REASON_SIGNATURE_ERROR == "signature-error"
+
+
+def test_rlp_non_canonical_long_form_rejected():
+    """A 0xB8/0xF8 prefix encoding a length < 56 is 'non-canonical size' in
+    geth's strict decoder and must be rejected."""
+    with pytest.raises(rlp.RLPError):
+        rlp.decode(bytes([0xB8, 3]) + b"abc")  # short string in long form
+    with pytest.raises(rlp.RLPError):
+        rlp.decode(bytes([0xF8, 3, 0x01, 0x02, 0x03]))  # short list in long form
+    # genuine long forms still decode
+    assert rlp.decode(bytes([0xB8, 56]) + b"a" * 56) == b"a" * 56
