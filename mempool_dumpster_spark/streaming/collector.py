@@ -53,11 +53,14 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mempool_dumpster_spark.functions.rlp_udf import parse_raw_tx_udf
+from mempool_dumpster_spark.functions.rlp_udf import parse_raw_tx_udf, tx_hash_udf
 from mempool_dumpster_spark.schemas import (
     STREAM_DEDUP_TTL_MINUTES,
     TX_IN,
 )
+
+#: reference common/consts.go:16
+REASON_ALREADY_ONCHAIN = "tx-already-onchain"
 
 
 def file_stream_source(
@@ -87,14 +90,21 @@ def with_parsed(stream: DataFrame) -> DataFrame:
     return stream.withColumn("parsed", parse_raw_tx_udf(F.col("raw_tx")))
 
 
-def dedup_first_arrival(parsed: DataFrame) -> DataFrame:
-    """ST1+ST4: watermarked streaming dedup on tx hash; the surviving row per
-    hash is the FIRST arrival, which is exactly the reference's
-    first-source-wins semantics."""
+def dedup_first_arrival(stream: DataFrame) -> DataFrame:
+    """ST1+ST4: watermarked streaming dedup on the canonical tx hash
+    (cheap hash-only UDF, no ECDSA); the surviving row per hash is the FIRST
+    arrival, which is exactly the reference's first-source-wins semantics.
+    Undecodable payloads fall back to the raw payload as dedup key so each
+    distinct garbage payload still trashes exactly once."""
     return (
-        parsed.withColumn("hash", F.col("parsed.hash"))
+        stream.withColumn("hash", tx_hash_udf(F.col("raw_tx")))
+        .withColumn(
+            "dedup_key",
+            F.coalesce(F.col("hash"), F.concat(F.lit("raw:"), F.col("raw_tx"))),
+        )
         .withWatermark("received_at", f"{STREAM_DEDUP_TTL_MINUTES} minutes")
-        .dropDuplicatesWithinWatermark(["hash"])
+        .dropDuplicatesWithinWatermark(["dedup_key"])
+        .drop("dedup_key")
     )
 
 
@@ -110,15 +120,14 @@ def _bucketed(df: DataFrame) -> DataFrame:
 @dataclass
 class CollectorQueries:
     sourcelog: object
-    transactions: object
-    trash: object
+    transactions: object  # one query writing BOTH transactions and trash
 
     def await_all(self) -> None:
-        for q in (self.sourcelog, self.transactions, self.trash):
+        for q in (self.sourcelog, self.transactions):
             q.awaitTermination()
 
     def stop_all(self) -> None:
-        for q in (self.sourcelog, self.transactions, self.trash):
+        for q in (self.sourcelog, self.transactions):
             q.stop()
 
 
@@ -127,70 +136,155 @@ def start_collector(
     out_dir: str,
     checkpoint_dir: str,
     trigger_available_now: bool = False,
+    rpc_client_factory=None,
 ) -> CollectorQueries:
-    """Wire the full topology and start the three sink queries.
+    """Wire the full topology and start the two queries (see module
+    docstring for why two): the pre-dedup sourcelog sink, and the
+    dedup→parse→foreachBatch query that writes transactions + trash from one
+    persisted micro-batch.
+
+    `rpc_client_factory` (optional, picklable zero-arg factory — see
+    operators/inclusion_rpc) enables ST5/F5: valid first arrivals already
+    on-chain route to trash with reason 'tx-already-onchain' and the block
+    number in notes (reference collector/tx_processor.go:259-276).
+
+    The foreachBatch also appends per-(minute, source) counter increments to
+    `{out_dir}/metrics` — families `first`, `tx-trash`, `tx-onchain`
+    (A15/ST3, reference collector/sourcemetrics.go:10-16; `all`/`unique`
+    come from the pre-dedup `source_metrics` aggregate). Increments from
+    different micro-batches sum per window, like the reference's
+    reset-every-minute counters accumulate within a minute.
 
     `trigger_available_now=True` drains the currently-available input and
     stops — the batch-testing mode; continuous mode otherwise.
     """
+    from mempool_dumpster_spark.operators.inclusion_rpc import rpc_inclusion_enrich
 
-    def start(df: DataFrame, name: str, fmt: str = "csv"):
-        writer = (
-            df.writeStream.format(fmt)
-            .option("path", f"{out_dir}/{name}")
-            .option("checkpointLocation", f"{checkpoint_dir}/{name}")
-            .partitionBy("date", "hour")
-            .outputMode("append")
-        )
-        if trigger_available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+    def _trigger(writer):
+        return writer.trigger(availableNow=True) if trigger_available_now else writer
 
-    parsed = with_parsed(stream)
-
-    # Branch 1 — sourcelog: every receipt, pre-dedup (tx_processor.go:229).
+    # Query A — sourcelog: every receipt, pre-dedup (tx_processor.go:229);
+    # hash-only UDF, no sender recovery.
     sourcelog = _bucketed(
-        parsed.select(
-            (F.unix_millis("received_at")).alias("timestamp_ms"),
-            F.col("parsed.hash").alias("hash"),
+        stream.select(
+            F.unix_millis("received_at").alias("timestamp_ms"),
+            tx_hash_udf(F.col("raw_tx")).alias("hash"),
             "source",
             "received_at",
         ).filter(F.col("hash").isNotNull())
     ).drop("received_at")
+    q_sourcelog = _trigger(
+        sourcelog.writeStream.format("csv")
+        .option("path", f"{out_dir}/sourcelog")
+        .option("checkpointLocation", f"{checkpoint_dir}/sourcelog")
+        .partitionBy("date", "hour")
+        .outputMode("append")
+    ).start()
 
-    # Branch 2 — first arrivals, split valid/trash (tx_processor.go:240-313).
-    first = dedup_first_arrival(parsed)
-    valid = _bucketed(
-        first.filter(F.col("parsed.is_valid")).select(
-            F.unix_millis("received_at").alias("timestamp_ms"),
-            "hash",
-            F.concat(F.lit("0x"), F.lower(F.hex("parsed.rawTx"))).alias("raw_tx"),
-            "source",
-            "received_at",
-        )
-    ).drop("received_at")
-    trash = _bucketed(
-        first.filter(~F.col("parsed.is_valid")).select(
-            F.unix_millis("received_at").alias("timestamp_ms"),
-            F.coalesce("hash", F.lit("")).alias("hash"),
-            "source",
-            F.col("parsed.reason").alias("reason"),
-            F.coalesce(F.col("parsed.decode_error"), F.lit("")).alias("notes"),
-            "received_at",
-        )
-    ).drop("received_at")
+    # Query B — first arrivals only reach the expensive parse UDF; one
+    # foreachBatch writes valid + trash from a single persisted batch, so the
+    # ECDSA recovery runs exactly once per unique tx per micro-batch.
+    first = with_parsed(dedup_first_arrival(stream))
 
-    return CollectorQueries(
-        sourcelog=start(sourcelog, "sourcelog"),
-        transactions=start(valid, "transactions"),
-        trash=start(trash, "trash"),
-    )
+    def _write_first_arrivals(batch: DataFrame, _batch_id: int) -> None:
+        # ST5/F5: flag valid rows already on-chain (0 height = mempool tx)
+        if rpc_client_factory is not None:
+            batch = rpc_inclusion_enrich(
+                batch, rpc_client_factory, hash_col="hash", ts_col="received_at"
+            ).withColumn("onchain", F.col("includedAtBlockHeight") > 0)
+        else:
+            batch = batch.withColumn("onchain", F.lit(False)).withColumn(
+                "includedAtBlockHeight", F.lit(0).cast("long")
+            )
+        batch = batch.persist()
+        try:
+            is_first = F.col("parsed.is_valid") & ~F.col("onchain")
+            # 3-column reference format (collector/tx_processor.go:302):
+            # timestamp_ms,hash,raw_tx — source is in the sourcelog.
+            valid = _bucketed(
+                batch.filter(is_first).select(
+                    F.unix_millis("received_at").alias("timestamp_ms"),
+                    "hash",
+                    F.concat(
+                        F.lit("0x"), F.lower(F.hex("parsed.rawTx"))
+                    ).alias("raw_tx"),
+                    "received_at",
+                )
+            ).drop("received_at")
+            valid.write.mode("append").partitionBy("date", "hour").csv(
+                f"{out_dir}/transactions"
+            )
+            trash = _bucketed(
+                batch.filter(~is_first).select(
+                    F.unix_millis("received_at").alias("timestamp_ms"),
+                    F.coalesce("hash", F.lit("")).alias("hash"),
+                    "source",
+                    F.when(F.col("onchain"), F.lit(REASON_ALREADY_ONCHAIN))
+                    .otherwise(F.col("parsed.reason"))
+                    .alias("reason"),
+                    F.when(
+                        F.col("onchain"),
+                        F.col("includedAtBlockHeight").cast("string"),
+                    )
+                    .otherwise(F.coalesce(F.col("parsed.decode_error"), F.lit("")))
+                    .alias("notes"),
+                    "received_at",
+                )
+            ).drop("received_at")
+            trash.write.mode("append").partitionBy("date", "hour").csv(
+                f"{out_dir}/trash"
+            )
+            # A15 counter increments (reference tx_processor.go:252,269-270,290)
+            fam = lambda cond, name: F.sum(cond.cast("long")).alias(name)
+            metrics = (
+                batch.groupBy(
+                    F.date_trunc("minute", "received_at").alias("minute"), "source"
+                )
+                .agg(
+                    fam(is_first, "first"),
+                    fam(~is_first, "tx-trash"),
+                    fam(F.col("onchain"), "tx-onchain"),
+                )
+                .select(
+                    "minute",
+                    "source",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(n).alias("family"),
+                                    F.col(f"`{n}`").alias("n"),
+                                )
+                                for n in ("first", "tx-trash", "tx-onchain")
+                            ]
+                        )
+                    ).alias("fn"),
+                )
+                .select("minute", "source", "fn.family", "fn.n")
+                .filter(F.col("n") > 0)
+            )
+            metrics.write.mode("append").csv(f"{out_dir}/metrics")
+        finally:
+            batch.unpersist()
+
+    q_first = _trigger(
+        first.writeStream.foreachBatch(_write_first_arrivals)
+        .option("checkpointLocation", f"{checkpoint_dir}/first_arrivals")
+        .outputMode("append")
+    ).start()
+
+    return CollectorQueries(sourcelog=q_sourcelog, transactions=q_first)
 
 
 def source_metrics(stream: DataFrame) -> DataFrame:
-    """ST3/A15: per-minute operational stats per source — receipt count and
-    distinct-hash estimate, tumbling 1-minute windows (reference
-    collector/sourcemetrics.go:29-55, reset-every-minute loop).
+    """ST3/A15, pre-dedup families: per-minute `all` (receipt count) and
+    `unique` (distinct-hash estimate) per source, tumbling 1-minute windows
+    (reference collector/sourcemetrics.go:10-16,29-55, reset-every-minute
+    loop). The post-dedup families — `first`, `tx-trash`, `tx-onchain` —
+    are emitted by start_collector's foreachBatch to `{out_dir}/metrics`,
+    because they require the dedup/validate/onchain pipeline state and the
+    reference likewise increments them inside the processor
+    (tx_processor.go:252,269-270,290).
 
     Run with outputMode('update') to a console/memory/metrics sink.
     """

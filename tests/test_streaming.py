@@ -74,13 +74,34 @@ def test_sourcelog_gets_every_receipt(spark, drained):
 
 
 def test_transactions_first_arrival_only(spark, drained):
+    # 3-column reference collector format (tx_processor.go:302) — no source
     txs = spark.read.schema(
-        "timestamp_ms long, hash string, raw_tx string, source string"
+        "timestamp_ms long, hash string, raw_tx string"
     ).csv(f"{drained['out']}/transactions")
     rows = {r["hash"]: r for r in txs.collect()}
     assert set(rows) == {drained["h_a"], drained["h_c"]}
-    # first arrival wins: a was first seen by alchemy at T0
-    assert rows[drained["h_a"]]["source"] == "alchemy"
+    # first arrival wins: a was first received at T0 (alchemy), not T1/T2
+    import datetime as dt
+
+    t0_ms = int(
+        dt.datetime.fromisoformat(T0).replace(tzinfo=dt.timezone.utc).timestamp()
+        * 1000
+    )
+    assert rows[drained["h_a"]]["timestamp_ms"] == t0_ms
+
+
+def test_first_arrival_metrics(spark, drained):
+    """A15: per-minute counter increments for first/tx-trash families
+    (reference sourcemetrics.go:10-16, tx_processor.go:252,290)."""
+    m = spark.read.schema(
+        "minute timestamp, source string, family string, n long"
+    ).csv(f"{drained['out']}/metrics")
+    per_family = {}
+    for r in m.collect():
+        per_family[r["family"]] = per_family.get(r["family"], 0) + r["n"]
+    assert per_family["first"] == 2  # a + c
+    assert per_family["tx-trash"] == 1  # the fee-inverted tx
+    assert "tx-onchain" not in per_family  # no RPC wired in this fixture
 
 
 def test_trash_routing(spark, drained):
