@@ -35,6 +35,97 @@ HEADLINE = [
 ]
 
 
+def _bench_merge(spark) -> dict:
+    """Time the engine's signature operator — the full merge pipeline over a
+    synthetic day of collector CSVs (dedup → blacklist → RLP/ECDSA parse UDF →
+    sourcelog join → sort). Generation is deterministic, cached under /tmp,
+    and excluded from the timing."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from txgen import make_tx
+
+    from mempool_dumpster_spark.plans.merge import merge_transactions
+
+    n = int(os.environ.get("SPARK_GRAFT_MERGE_TXS", "1500"))
+    base = f"/tmp/spark_graft_bench_merge_{n}"
+    marker = os.path.join(base, "_DONE")
+    sources = ["alchemy", "infura", "bloxroute"]
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        t0_ms = 1_693_785_600_000
+        tx_lines: list[str] = []
+        sl_lines: list[str] = []
+        for i in range(n):
+            raw = make_tx(priv=0x1000 + i, nonce=i, tx_type=i % 3)
+            from txgen import tx_hash_of
+
+            h = tx_hash_of(raw)
+            ts = t0_ms + i * 37
+            # 1-3 receipts per tx across sources; merge dedups to the earliest
+            for j in range(1 + (i % 3)):
+                tx_lines.append(f"{ts + 211 * j},{h},{raw}")
+                sl_lines.append(f"{ts + 211 * j},{h},{sources[(i + j) % 3]}")
+        for part in range(4):
+            with open(os.path.join(base, f"txs_{part}.csv"), "w") as f:
+                f.write("\n".join(tx_lines[part::4]) + "\n")
+            with open(os.path.join(base, f"sourcelog_{part}.csv"), "w") as f:
+                f.write("\n".join(sl_lines[part::4]) + "\n")
+        with open(marker, "w") as f:
+            f.write(str(len(tx_lines)))
+    with open(marker) as f:
+        n_receipts = int(f.read())
+
+    # Warm the Python workers (module imports + keccak codegen + G table are
+    # per-process one-time costs) so the timed run measures throughput.
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.functions.rlp_udf import parse_raw_tx_udf
+
+    warm = (
+        spark.read.schema("timestamp_ms string, hash string, raw_tx string")
+        .csv(os.path.join(base, "txs_0.csv"))
+        .limit(64)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    )
+    warm.select(parse_raw_tx_udf(F.col("raw_tx"))["hash"]).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    t0 = time.time()
+    result = merge_transactions(
+        spark,
+        tx_paths=[os.path.join(base, f"txs_{p}.csv") for p in range(4)],
+        sourcelog_paths=[os.path.join(base, f"sourcelog_{p}.csv") for p in range(4)],
+    )
+    result.transactions.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 3),
+        "n_receipts": n_receipts,
+        "unique_txs": n,
+        "tx_per_sec": round(n_receipts / dt, 1),
+    }
+
+
+def _bench_ann_recall(spark) -> float | None:
+    """recall@3 of the LSH ANN path vs the exact path at sf0.01 — the
+    approximate query's accuracy is part of its benchmark."""
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        return None
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn_lsh"](spark, sf_dir).collect()
+    }
+    return round(len(exact & approx) / len(exact), 3) if exact else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -66,6 +157,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    merge_stats = _bench_merge(spark)
+    ann_recall = _bench_ann_recall(spark)
     print(
         json.dumps(
             {
@@ -73,6 +166,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "merge_pipeline": merge_stats,
+                "ann_recall_at3": ann_recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

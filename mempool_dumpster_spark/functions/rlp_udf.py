@@ -84,6 +84,15 @@ def parse_raw_tx_udf(raw_hex: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in PARSED_TX_SCHEMA.fields])
 
 
+# asNondeterministic is a plan barrier, not a semantic statement: parsing IS
+# deterministic, but Catalyst pushes filters on UDF outputs below exchanges
+# and re-evaluates the UDF once per pushed predicate — .explain showed TWO
+# ArrowEvalPython nodes for one parse (one of them on AQE-coalesced 1-task
+# partitioning). Marking it non-deterministic pins exactly one evaluation at
+# the partitioning the plan placed it on.
+parse_raw_tx_udf = parse_raw_tx_udf.asNondeterministic()
+
+
 def _err_row(msg: str) -> dict:
     return {
         "hash": None,
@@ -123,6 +132,9 @@ def tx_hash_udf(raw_hex: pd.Series) -> pd.Series:
         except (TxDecodeError, ValueError):
             out.append(None)
     return pd.Series(out, dtype="object")
+
+
+tx_hash_udf = tx_hash_udf.asNondeterministic()  # same barrier as above
 
 
 def with_parsed_tx(df: DataFrame, raw_col: str = "raw_tx") -> DataFrame:

@@ -47,6 +47,39 @@ def alias_source(col: Column | str, aliases: dict[str, str] | None = None) -> Co
     return expr.otherwise(c) if expr is not None else c
 
 
+def auth_token_and_url(auth: str) -> tuple[str, str]:
+    """P13: split 'token' or 'token@url' into (token, url)
+    (reference common/utils.go:191-198 GetAuthTokenAndURL)."""
+    parts = auth.split("@")
+    if len(parts) < 2:
+        return auth, ""
+    return parts[0], parts[1]
+
+
+def title_source(col: Column | str) -> Column:
+    """P14: English title-casing of source names for report labels
+    (reference common/utils.go:30-31,183-189 — x/text cases.Title ≈ initcap)."""
+    return F.initcap(F.col(col) if isinstance(col, str) else col)
+
+
+def source_aliases_from_env() -> dict[str, str]:
+    """P7 env hookup: parse SRC_ALIASES='alias=url,alias=url' into the
+    {url_fragment: alias} map `alias_source` consumes (reference
+    common/utils.go:124-138 SourceAliasesFromEnv — note the reference keys
+    by the URL side, parts[1] → parts[0], reproduced here)."""
+    import os
+
+    aliases: dict[str, str] = {}
+    raw = os.environ.get("SRC_ALIASES", "")
+    if raw:
+        for entry in raw.split(","):
+            parts = entry.split("=")
+            if len(parts) != 2:
+                continue
+            aliases[parts[1]] = parts[0]
+    return aliases
+
+
 def ts_ms_to_timestamp(col: Column | str) -> Column:
     """P8: Unix-ms long → TimestampType (reference common/utils.go:161-176)."""
     return F.timestamp_millis(F.col(col) if isinstance(col, str) else col)

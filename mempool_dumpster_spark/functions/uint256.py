@@ -65,12 +65,40 @@ def uint256_to_double(col: Column | str) -> Column:
     return c.cast("double")
 
 
+def uint256_sum_exact_df(
+    df: DataFrame, col: str, group_by: list[str] | None = None
+) -> DataFrame:
+    """Exact sum of a uint256 string column as a DataFrame — the scale-safe
+    form for ANY group cardinality (nothing is collected; carry propagation
+    across the chunk sums happens JVM-side and the result is a normalized
+    decimal string column `sum`).
+
+    Each chunk sum is ≤ rows × 10^13, far inside Decimal(38,0) even at
+    10^12 rows, so the carries are exact."""
+    aggs = [F.sum(uint256_chunk(col, i)).alias(f"c{i}") for i in range(N_CHUNKS)]
+    agged = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+    base = F.lit(10 ** CHUNK_DIGITS).cast("decimal(38,0)")
+    digits, carry = [], F.lit(0).cast("decimal(38,0)")
+    for i in range(N_CHUNKS - 1, -1, -1):  # least significant first
+        t = F.coalesce(F.col(f"c{i}"), F.lit(0).cast("decimal(38,0)")) + carry
+        rem = t % base
+        digits.append(F.lpad(rem.cast("string"), CHUNK_DIGITS, "0"))
+        # (t - rem) is an exact multiple of 10^13 ≤ 10^33, so the division
+        # is exact inside decimal(38,6) before the cast back to scale 0
+        carry = ((t - rem) / base).cast("decimal(38,0)")
+    joined = F.concat(carry.cast("string"), *reversed(digits))
+    normalized = F.regexp_replace(joined, "^0+(?=.)", "").alias("sum")
+    return agged.select(*(group_by or []), normalized)
+
+
 def uint256_sum_exact(df: DataFrame, col: str, group_by: list[str] | None = None):
-    """Exact sum of a uint256 string column.
+    """Exact sum of a uint256 string column, materialized to Python ints.
 
     Without grouping returns a Python int. With `group_by` returns a list of
-    Rows (group cols + 'sum' int) — driver-side recombination is O(groups),
-    all heavy lifting stays distributed.
+    Rows (group cols + 'sum' int) — NOTE this collects one row per group to
+    the driver, so it is only for LOW-cardinality groupings (per-source,
+    per-type reports). For arbitrary cardinality use `uint256_sum_exact_df`,
+    which stays fully distributed.
     """
     aggs = [
         F.sum(uint256_chunk(col, i)).alias(f"c{i}") for i in range(N_CHUNKS)

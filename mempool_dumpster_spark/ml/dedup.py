@@ -51,10 +51,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(id, shingle) distinct — the set representation used by minhash and
-    exact Jaccard."""
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(text_col, k)).alias("shingle")
-    ).distinct()
+    exact Jaccard. Splits once per doc and spreads the CPU-bound k-gram
+    projection over cores (see plans.text_queries.doc_shingles)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    w = df.repartition(par).select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("__w")
+    )
+    wc = F.col("__w")
+    n = F.size(wc)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    mk = lambda i: F.concat_ws(
+        " ", *[F.element_at(wc, (i + off).cast("int")) for off in range(k)]
+    )
+    sh = F.when(n >= k, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return w.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(

@@ -26,7 +26,10 @@ def q1_count_rows(txs: DataFrame) -> DataFrame:
 
 
 def q2_count_by_txtype(txs: DataFrame) -> DataFrame:
-    """README.md:107 — count by transaction type"""
+    """README.md:107 — count by transaction type. Deliberately
+    `COUNT(txType)` (null-skipping), byte-faithful to the reference's
+    documented query — equivalent to COUNT(*) here since txType is a
+    required column."""
     return txs.groupBy("txType").agg(F.count("txType").alias("n")).orderBy("txType")
 
 
@@ -120,7 +123,9 @@ ALL_QUERIES = {
     "q1_count_rows": q1_count_rows,
     "q2_count_by_txtype": q2_count_by_txtype,
     "q3_first_raw": q3_first_raw,
+    "q4_details_of_hash": q4_details_of_hash,
     "q5_seen_by_source": q5_seen_by_source,
+    "q6_seen_by_all_sources": q6_seen_by_all_sources,
     "q7_exclusive_from": q7_exclusive_from,
     "q8_exclusive_landed_by_source": q8_exclusive_landed_by_source,
     "q9_to_address": q9_to_address,

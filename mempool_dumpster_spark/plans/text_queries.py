@@ -44,12 +44,25 @@ def shingles_expr(words: Column, k: int = 3) -> Column:
     )
 
 
-def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct — the shingle *set* per document."""
-    return (
-        docs.select("doc_id", F.explode(shingles_expr(words_col())).alias("shingle"))
-        .distinct()
+def doc_shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) — the shingle bag (distinct=False) or set per doc.
+
+    Plan choices for the CPU-bound shingling projection:
+    - spread the input over cores first (a byte-small scan is 1 split, and
+      shingling cost scales with words, not bytes);
+    - materialize `split(text)` ONCE per doc before the k-gram lambda —
+      Catalyst does not CSE a non-deterministic-width expression inside
+      higher-order-function lambdas, so inlining the split would re-split
+      the text for every element_at;
+    - callers whose downstream aggregate is idempotent under duplicates
+      (min for MinHash, collect_set) pass distinct=False and skip a whole
+      shuffle of the exploded shingle rows."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = docs.repartition(par).select("doc_id", words_col().alias("__w"))
+    out = w.select(
+        "doc_id", F.explode(shingles_expr(F.col("__w"), k)).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 #: DuckDB rendering of the same shingle set (1-based list indexing).
@@ -120,13 +133,22 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sh = doc_shingles(docs)
     # One aggregate produces the exact shingle set AND its size; the MinHash
     # signature is a projection over the cached arrays, so shingling runs
-    # exactly once end-to-end.
-    arrs = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shs"), F.count("*").alias("n_sh")
-    ).cache()
+    # exactly once end-to-end. The shingle bag skips the distinct shuffle
+    # (collect_set dedups), and the explicit hash repartition both serves as
+    # the groupBy clustering and pins CORE-count partitions for the
+    # CPU-bound md5 signature projection over the cache (AQE would coalesce
+    # a byte-small shuffle to 1 task otherwise).
+    par = spark.sparkContext.defaultParallelism
+    sh = doc_shingles(docs, distinct=False)
+    arrs = (
+        sh.repartition(par, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+        .select("doc_id", "shs", F.size("shs").cast("bigint").alias("n_sh"))
+        .cache()
+    )
     sig = arrs.select(
         "doc_id",
         *[
@@ -228,8 +250,17 @@ def _duck_minhash(n_hashes: int = 8) -> str:
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     # cache: both self-join sides would otherwise re-run the whole
-    # shingle→md5→agg pipeline (no exchange reuse across join aliases)
-    sig = doc_shingles(docs).groupBy("doc_id").agg(*_minhash_cols(8)).cache()
+    # shingle→md5→agg pipeline (no exchange reuse across join aliases).
+    # min() is duplicate-idempotent, so the shingle bag (distinct=False)
+    # feeds the aggregate directly: the 8×md5-per-shingle work happens in
+    # the map-side partial aggregate on the parallel explode partitions, and
+    # the only shuffle moves 8 hashes per doc.
+    sig = (
+        doc_shingles(docs, distinct=False)
+        .groupBy("doc_id")
+        .agg(*_minhash_cols(8))
+        .cache()
+    )
     # One explode instead of an 8-way union: the union re-evaluates the
     # signature aggregation once per branch; the explode computes it once.
     bands = sig.select(
@@ -304,6 +335,8 @@ def _simhash_sql_duck() -> str:
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     digest = F.md5("word")
+    # CPU-bound md5-per-word projection: spread over cores, not scan splits
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     w = docs.select("doc_id", F.explode(words_col()).alias("word")).select(
         "doc_id",
         *[

@@ -165,3 +165,56 @@ def test_sender_recovery_in_pipeline(merged, fixture_day):
     rows = {r["hash"]: r for r in merged.transactions.collect()}
     assert rows[fixture_day["h"]["a"]]["from"] == priv_to_address(0xA11CE)
     assert rows[fixture_day["h"]["b"]]["from"] == priv_to_address(0xB0B)
+
+
+def test_sprint_summary_reference_format(merged):
+    """Golden-string check of the byte-compatible summary renderer
+    (reference Analyzer2.Sprint, common/analyzer.go:156-213): exact header,
+    trailing-space-before-newline quirk, %10d widths with thousands
+    separators, floor-rounded %5s percentages, tablewriter-style table."""
+    from mempool_dumpster_spark.operators.analyzer import sprint_summary
+
+    res = analyze(merged.transactions)
+    out = sprint_summary(res)
+    lines = out.split("\n")
+    assert lines[0] == "[Mempool Dumpster](https://mempool-dumpster.flashbots.net)"
+    assert lines[1] == "=========================================================="
+    assert lines[2] == ""
+    assert lines[3].startswith("Date: ") and lines[3].endswith(" ")
+    assert any(l.startswith("- From: ") and l.endswith(" UTC ") for l in lines)
+    assert any(l.startswith("- To:   ") and l.endswith(" UTC ") for l in lines)
+    # %10d width + %5s floor percent, trailing space
+    assert "Unique transactions:          3 \n" in out
+    assert "- Included on-chain:          1 (33.3%) \n" in out
+    assert "- Not included:               2 (66.6%) \n" in out  # floor(66.66)
+    assert "-----------------\nTransaction Stats\n-----------------\n" in out
+    # tablewriter markdown: uppercased centered headers, |-bordered rows
+    assert "| TX TYPE |" in out
+    table_lines = [l for l in lines if l.startswith("|")]
+    assert table_lines[1].replace("-", "").replace("|", "") == ""
+    assert len({len(l) for l in table_lines}) == 1  # aligned widths
+
+
+def test_scalar_helpers_p13_p14_aliases(monkeypatch):
+    from mempool_dumpster_spark.functions.scalars import (
+        auth_token_and_url,
+        source_aliases_from_env,
+    )
+
+    assert auth_token_and_url("tok123") == ("tok123", "")
+    assert auth_token_and_url("tok@wss://x.y/feed") == ("tok", "wss://x.y/feed")
+    monkeypatch.setenv("SRC_ALIASES", "blx=bloxroute.com,eden=edennetwork.io,bad")
+    assert source_aliases_from_env() == {
+        "bloxroute.com": "blx",
+        "edennetwork.io": "eden",
+    }
+    monkeypatch.delenv("SRC_ALIASES")
+    assert source_aliases_from_env() == {}
+
+
+def test_title_source(spark):
+    from mempool_dumpster_spark.functions.scalars import title_source
+
+    df = spark.createDataFrame([("bloxroute",), ("eden network",)], ["s"])
+    got = [r[0] for r in df.select(title_source("s")).collect()]
+    assert got == ["Bloxroute", "Eden Network"]

@@ -95,3 +95,20 @@ def test_receiver_sink_foreachbatch(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert got and [r["hash"] for r in got[0]] == ["h1"]  # eden filtered out
+
+
+def test_uint256_sum_exact_df_distributed(spark):
+    """The DataFrame-returning exact sum: no driver collect, carry
+    propagation JVM-side, correct past 2^256 totals."""
+    from mempool_dumpster_spark.functions.uint256 import uint256_sum_exact_df
+
+    big = 2**256 - 1
+    vals = [big, big, 12345678901234567890, 7]
+    df = spark.createDataFrame([(str(v), "g1") for v in vals], "value string, g string")
+    row = uint256_sum_exact_df(df, "value").collect()[0]
+    assert row["sum"] == str(sum(vals))
+    grouped = uint256_sum_exact_df(df, "value", group_by=["g"]).collect()
+    assert grouped[0]["sum"] == str(sum(vals))
+    # zero case normalizes to "0"
+    z = spark.createDataFrame([("0",), ("0",)], "value string")
+    assert uint256_sum_exact_df(z, "value").collect()[0]["sum"] == "0"

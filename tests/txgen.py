@@ -9,11 +9,11 @@ from __future__ import annotations
 
 from mempool_dumpster_spark.functions import rlp_codec as rlp
 from mempool_dumpster_spark.functions.keccak import keccak256
-from mempool_dumpster_spark.functions.secp256k1 import GX, GY, N, _jmul, _to_affine
+from mempool_dumpster_spark.functions.secp256k1 import N, _mul_g, _to_affine
 
 
 def _priv_to_pub(priv: int) -> bytes:
-    x, y = _to_affine(_jmul((GX, GY, 1), priv))
+    x, y = _to_affine(_mul_g(priv))
     return x.to_bytes(32, "big") + y.to_bytes(32, "big")
 
 
@@ -26,7 +26,7 @@ def _sign(sig_hash: bytes, priv: int) -> tuple[int, int, int]:
     z = int.from_bytes(sig_hash, "big") % N
     k = int.from_bytes(keccak256(priv.to_bytes(32, "big") + sig_hash), "big") % N
     assert k != 0
-    rx, ry = _to_affine(_jmul((GX, GY, 1), k))
+    rx, ry = _to_affine(_mul_g(k))
     r = rx % N
     assert r != 0 and rx < N  # deterministic fixtures never hit the rare cases
     s = pow(k, -1, N) * (z + r * priv) % N
