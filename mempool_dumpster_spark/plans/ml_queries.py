@@ -107,7 +107,9 @@ def docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).groupBy("source").agg(F.count("*").alias("n_kept"))
 
 
-def _dup_components_oracle() -> str:
+def _dup_components_cte() -> str:
+    """WITH RECURSIVE prefix shared by the clustering oracles: LSH pairs →
+    bidirectional edges → min-label transitive closure (`reach`)."""
     from mempool_dumpster_spark.plans.text_queries import DUCK_SHINGLES, _duck_minhash
 
     bands = " UNION ALL ".join(
@@ -131,9 +133,14 @@ def _dup_components_oracle() -> str:
       SELECT u, u FROM edges
       UNION
       SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.doc_id
+    )"""
+
+
+def _dup_components_oracle() -> str:
+    return (
+        _dup_components_cte()
+        + "\n    SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id"
     )
-    SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id
-    """
 
 
 @register(
@@ -150,6 +157,42 @@ def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = docs_minhash_lsh_pairs(spark, sf_dir)
     return duplicate_components(pairs).select("doc_id", "component_id")
+
+
+def _dedup_keeplist_oracle() -> str:
+    return (
+        _dup_components_cte()
+        + """,
+    comp AS (
+      SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id
+    )
+    SELECT doc_id FROM comp WHERE doc_id = component_id
+    UNION ALL
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    """
+    )
+
+
+@register(
+    "docs_dedup_keeplist",
+    oracle=_dedup_keeplist_oracle(),
+    doc="The full near-dup pipeline as one keep-list: MinHash-LSH candidate "
+    "pairs → connected components → keep the min doc per cluster plus every "
+    "untouched singleton. This is the composition a 100 TB corpus dedup "
+    "actually runs (shingle → band join → cluster → anti-join), end-to-end "
+    "oracle-checked.",
+)
+def docs_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    from mempool_dumpster_spark.plans.text_queries import docs_minhash_lsh_pairs
+
+    comp = duplicate_components(docs_minhash_lsh_pairs(spark, sf_dir))
+    keep_cluster_heads = comp.filter(
+        F.col("doc_id") == F.col("component_id")
+    ).select("doc_id")
+    singletons = docs.join(comp, "doc_id", "left_anti").select("doc_id")
+    return keep_cluster_heads.unionByName(singletons)
 
 
 @register(

@@ -348,6 +348,72 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_simhash_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST({_simhash_sql_duck()} AS BIGINT) AS simhash16
+      FROM w GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash16, c.c AS chunk,
+             (simhash16 >> (c.c * 4)) & 15 AS key
+      FROM s, (SELECT unnest([0, 1, 2, 3]) AS c) c
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash16 AS sa, b.simhash16 AS sb
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    doc="SimHash near-pair mining (pigeonhole banding): split the 16-bit "
+    "fingerprint into four 4-bit chunks — any pair within Hamming distance 3 "
+    "shares at least one exact chunk, so candidates come from chunk "
+    "equi-joins (shuffle ∝ docs × chunks, never docs²), then exact Hamming "
+    "verify via bit_count(xor). Same topology as ml.dedup.simhash_near_pairs "
+    "at 64 bits.",
+)
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = docs_simhash(spark, sf_dir).withColumnRenamed("simhash16", "sh").cache()
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned("sh", c * 4).bitwiseAND(F.lit(15)).alias("key"),
+        )
+        for c in range(4)
+    ]
+    parts = sig.select(
+        "doc_id", "sh", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("doc_id", "sh", "ck.chunk", "ck.key")
+    a, b = parts.alias("a"), parts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
+
+
+@register(
     "docs_fingerprint",
     oracle=f"""
     WITH sh AS ({DUCK_SHINGLES})
