@@ -126,6 +126,90 @@ def _jmul_wnaf(p: _JPoint, k: int, width: int = 4) -> _JPoint:
     return acc
 
 
+# GLV endomorphism (Gallant-Lambert-Vanstone; secp256k1 has the efficiently
+# computable endomorphism φ(x,y) = (βx, y) = λ·(x,y) because a=0). Constants
+# are the standard public values (see SEC 2 curve parameters and the GLV
+# paper); the lattice basis satisfies a_i + b_i·λ ≡ 0 (mod N), which makes
+# the decomposition correct for ANY rounding — rounding quality only bounds
+# |k1|,|k2| ≈ √N, halving the doubling count of a variable-point multiply.
+_LAMBDA = 0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72
+_BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+_G1A = 0x3086D221A7D46BCDE86C90E49284EB15  # a1
+_G1B = -0xE4437ED6010E88286F547FA90ABFE4C3  # b1 (negative)
+_G2A = 0x114CA50F7A8E2F3F657C1108D9D44CFD8  # a2
+_G2B = _G1A  # b2 == a1
+
+# sanity: both basis identities must hold or GLV silently degrades — assert
+# once at import (microseconds) instead of trusting transcribed constants.
+assert (_G1A + _G1B * _LAMBDA) % N == 0
+assert (_G2A + _G2B * _LAMBDA) % N == 0
+assert pow(_LAMBDA, 3, N) == 1 and pow(_BETA, 3, P) == 1
+
+
+def _glv_decompose(k: int) -> tuple[int, int]:
+    """k ≡ k1 + k2·λ (mod N) with |k1|,|k2| ≈ 2^128."""
+    c1 = (2 * _G2B * k + N) // (2 * N)  # round(b2·k / N)
+    c2 = (2 * (-_G1B) * k + N) // (2 * N)  # round(-b1·k / N)
+    k1 = k - c1 * _G1A - c2 * _G2A
+    k2 = -c1 * _G1B - c2 * _G2B
+    return k1, k2
+
+
+def _wnaf_digits(k: int, width: int = 4) -> list[int]:
+    digits = []
+    mod_mask = (1 << (width + 1)) - 1
+    half = 1 << width
+    while k:
+        if k & 1:
+            d = k & mod_mask
+            if d > half:
+                d -= mod_mask + 1
+            digits.append(d)
+            k -= d
+        else:
+            digits.append(0)
+        k >>= 1
+    return digits
+
+
+def _odd_multiples(p: _JPoint, width: int = 4) -> list[_JPoint]:
+    two_p = _jdouble(p)
+    pre = [p]
+    for _ in range((1 << (width - 1)) - 1):
+        pre.append(_jadd(pre[-1], two_p))
+    return pre
+
+
+def _jmul_glv(p: _JPoint, k: int) -> _JPoint:
+    """Variable-point multiply via GLV split + interleaved width-4 wNAF:
+    ~128 doublings + ~2×26 additions, vs 256 doublings for a single 256-bit
+    ladder — the dominant cost of ECDSA recovery after the fixed-base comb."""
+    k %= N
+    if k == 0 or p[2] == 0:
+        return _INF
+    k1, k2 = _glv_decompose(k)
+    p1 = p
+    p2 = (p[0] * _BETA % P, p[1], p[2])
+    if k1 < 0:
+        k1, p1 = -k1, (p1[0], P - p1[1], p1[2])
+    if k2 < 0:
+        k2, p2 = -k2, (p2[0], P - p2[1], p2[2])
+    d1 = _wnaf_digits(k1)
+    d2 = _wnaf_digits(k2)
+    pre1 = _odd_multiples(p1)
+    pre2 = _odd_multiples(p2)
+    acc = _INF
+    for i in range(max(len(d1), len(d2)) - 1, -1, -1):
+        acc = _jdouble(acc)
+        if i < len(d1) and d1[i]:
+            q = pre1[abs(d1[i]) >> 1]
+            acc = _jadd(acc, q if d1[i] > 0 else (q[0], P - q[1], q[2]))
+        if i < len(d2) and d2[i]:
+            q = pre2[abs(d2[i]) >> 1]
+            acc = _jadd(acc, q if d2[i] > 0 else (q[0], P - q[1], q[2]))
+    return acc
+
+
 def _batch_to_affine(points: list[_JPoint]) -> list[tuple[int, int]]:
     """Montgomery batch inversion: all z⁻¹ for ONE modular inversion."""
     zs = [pt[2] for pt in points]
@@ -211,9 +295,10 @@ def recover_pubkey_pure(msg_hash: bytes, r: int, s: int, recovery_id: int) -> by
     r_inv = pow(r, -1, N)
     u1 = (-z * r_inv) % N
     u2 = (s * r_inv) % N
-    # u1·G via the fixed-base comb (no doublings), u2·R via width-4 wNAF —
-    # together ~2.5× fewer curve ops than two plain double-and-add ladders.
-    q = _jadd(_mul_g(u1), _jmul_wnaf((x, y, 1), u2))
+    # u1·G via the fixed-base comb (no doublings), u2·R via GLV-split
+    # interleaved wNAF (~128 doublings) — together ~4× fewer curve ops than
+    # two plain double-and-add ladders.
+    q = _jadd(_mul_g(u1), _jmul_glv((x, y, 1), u2))
     qx, qy = _to_affine(q)
     return qx.to_bytes(32, "big") + qy.to_bytes(32, "big")
 
