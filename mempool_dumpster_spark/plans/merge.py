@@ -67,13 +67,19 @@ def merge_transactions(
     blacklist_paths: list[str] | None = None,
     blocks: DataFrame | None = None,
     collect_stats: bool = False,
+    rpc_client_factory=None,
 ) -> MergeResult:
     """Load a day of collector outputs and produce the merged TxSummary table.
 
-    `blocks` is the (hash → block number/timestamp) enrichment table (J3) —
-    the DataFrame equivalent of the reference's RPC inclusion check with its
-    BlockCache (cmd/merge/inclusioncheck.go). Omit it and every tx is
-    marked not-included, like running the reference without check-nodes.
+    Inclusion enrichment (J3) has two interchangeable paths, mirroring the
+    reference's check-nodes option:
+    - `blocks`: a (hash → block number/timestamp) DataFrame join — right when
+      a block table already exists (e.g. an exported chain dataset);
+    - `rpc_client_factory`: the live path — per-partition RPC clients with an
+      LRU block cache via mapInPandas (operators/inclusion_rpc, reference
+      cmd/merge/inclusioncheck.go TxUpdateWorker pool).
+    Omit both and every tx is marked not-included, like running the
+    reference without check-nodes.
     """
     tx_read = read_tx_csv(spark, expand_zip_inputs(tx_paths))
     raw = tx_read.valid.withColumnRenamed("hash", "csv_hash")
@@ -135,10 +141,19 @@ def merge_transactions(
         )
         txs = txs.withColumn("sources", F.array().cast("array<string>"))
 
-    blocks_df = blocks if blocks is not None else spark.createDataFrame(
-        [], "hash string, block_number long, block_timestamp_ms long"
-    )
-    enriched = inclusion_enrich(txs, blocks_df, ts_col="timestamp")
+    if rpc_client_factory is not None:
+        from mempool_dumpster_spark.operators.inclusion_rpc import (
+            rpc_inclusion_enrich,
+        )
+
+        enriched = rpc_inclusion_enrich(
+            txs, rpc_client_factory, hash_col="hash", ts_col="timestamp"
+        )
+    else:
+        blocks_df = blocks if blocks is not None else spark.createDataFrame(
+            [], "hash string, block_number long, block_timestamp_ms long"
+        )
+        enriched = inclusion_enrich(txs, blocks_df, ts_col="timestamp")
 
     # F3: drop txs included on-chain ≥12 s before first receipt
     filtered = enriched.filter(

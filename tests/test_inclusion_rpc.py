@@ -120,3 +120,36 @@ def test_collector_onchain_trash_routing(spark, tmp_path):
     assert fam[("first", "alchemy")] == 1
     assert fam[("tx-onchain", "infura")] == 1
     assert fam[("tx-trash", "infura")] == 1
+
+
+def test_merge_with_rpc_inclusion_path(spark, tmp_path):
+    """J3-live in the batch merge: rpc_client_factory replaces the blocks
+    join; F3 (included ≥12s before receipt → drop) still applies."""
+    from mempool_dumpster_spark.plans.merge import merge_transactions
+    from txgen import make_tx, tx_hash_of
+
+    ts = 1_693_785_600_000
+    tx_kept = make_tx(priv=0xE1, tx_type=2, nonce=1)  # included 12s after
+    tx_old = make_tx(priv=0xE2, tx_type=2, nonce=2)  # included 100s BEFORE
+    tx_mem = make_tx(priv=0xE3, tx_type=0, nonce=3)  # never included
+    h_kept, h_old, h_mem = map(tx_hash_of, (tx_kept, tx_old, tx_mem))
+
+    f = tmp_path / "txs.csv"
+    f.write_text(
+        f"{ts},{h_kept},{tx_kept}\n{ts},{h_old},{tx_old}\n{ts},{h_mem},{tx_mem}\n"
+    )
+    blocks = [
+        {"number": 100, "timestamp_ms": ts + 12_000, "tx_hashes": [h_kept]},
+        {"number": 90, "timestamp_ms": ts - 100_000, "tx_hashes": [h_old]},
+    ]
+
+    def factory(blocks=blocks):
+        return StrictMockRPC(blocks, strict=False)
+
+    result = merge_transactions(spark, [str(f)], rpc_client_factory=factory)
+    rows = {r["hash"]: r for r in result.transactions.collect()}
+    result.unpersist()
+    assert set(rows) == {h_kept, h_mem}  # h_old dropped by F3
+    assert rows[h_kept]["includedAtBlockHeight"] == 100
+    assert rows[h_kept]["inclusionDelayMs"] == 12_000
+    assert rows[h_mem]["includedAtBlockHeight"] == 0
