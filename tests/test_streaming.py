@@ -140,3 +140,42 @@ def test_union_and_metrics(spark, stream_day):
     # both unioned copies contribute: alchemy saw 2 receipts in minute 00:00 ×2
     assert got[("00:00", "alchemy")] == 4
     assert got[("01:30", "bloxroute")] == 4
+
+
+def test_collector_checkpoint_restart(spark, tmp_path):
+    """ST6: a drained collector restarted on the same checkpoint processes
+    ONLY newly-arrived files — no reprocessing (duplicate outputs), no loss.
+    This is the crash/redeploy story the reference handles with file-offset
+    bookkeeping; Spark's checkpoint + file-source commit log replaces it."""
+    from txgen import make_tx, tx_hash_of
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    tx1 = make_tx(priv=0x71, nonce=1)
+    tx2 = make_tx(priv=0x72, nonce=2)
+    (indir / "f1.csv").write_text(f"{T0},{tx1},alchemy\n")
+
+    def drain():
+        qs = start_collector(
+            file_stream_source(spark, str(indir)),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_available_now=True,
+        )
+        qs.await_all()
+
+    drain()
+    (indir / "f2.csv").write_text(f"{T1},{tx2},infura\n")
+    drain()
+
+    sl = spark.read.schema("timestamp_ms long, hash string, source string").csv(
+        str(tmp_path / "out/sourcelog")
+    )
+    rows = sorted((r["hash"], r["source"]) for r in sl.collect())
+    assert rows == sorted(
+        [(tx_hash_of(tx1), "alchemy"), (tx_hash_of(tx2), "infura")]
+    )
+    txs = spark.read.schema("timestamp_ms long, hash string, raw_tx string").csv(
+        str(tmp_path / "out/transactions")
+    )
+    assert txs.count() == 2  # each tx exactly once across the two drains
