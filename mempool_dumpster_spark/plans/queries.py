@@ -525,3 +525,35 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@register(
+    "events_type_topk",
+    oracle="""
+    SELECT event_type, event_id, value, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+      FROM events
+    ) WHERE rank <= 5
+    """,
+    doc="Hot-key-safe top-k per key (operators.skew.salted_topk): two-phase "
+    "ranking — partial top-k within (key, crc32-salt), final top-k over the "
+    "≤ k×n_salt survivors. A plain window funnels every row of a hot key "
+    "through one reducer; this is the form that survives a key holding 1% "
+    "of a 100 TB table. Result is identical to the single-window oracle.",
+)
+def events_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.operators.skew import salted_topk
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return salted_topk(
+        events.select("event_type", "event_id", "value"),
+        key_cols=["event_type"],
+        order_col="value",
+        k=5,
+        tiebreak="event_id",
+    ).select(
+        "event_type", "event_id", "value", F.col("rank").cast("bigint").alias("rank")
+    )

@@ -132,3 +132,27 @@ def test_analyzer_aggregates(spark):
         (r["source"], r["included"]): r["n"] for r in exclusive_orderflow(txs).collect()
     }
     assert excl == {("a", True): 1, ("b", True): 1}
+
+
+def test_salted_topk_hot_key(spark):
+    """A key holding 99% of rows produces the same top-k as a global window;
+    the salted plan never ranks the hot key in a single partition."""
+    from pyspark.sql import Window
+
+    from mempool_dumpster_spark.operators.skew import salted_topk
+
+    hot = [("hot", i, float(i % 997)) for i in range(20_000)]
+    cold = [("cold", i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(hot + cold, "k string, id long, v double")
+    got = {
+        (r["k"], r["rank"]): r["id"]
+        for r in salted_topk(df, ["k"], "v", k=3, tiebreak="id").collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), "id")
+    want = {
+        (r["k"], r["rn"]): r["id"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .collect()
+    }
+    assert got == want
