@@ -598,6 +598,52 @@ def emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_near_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS sim_r
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs — the fifth dedup modality "
+    "(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine). "
+    "Registered as the exact all-pairs form for the oracle (|C|² dot "
+    "products, fine at verify scale); the 100 TB path buckets both sides "
+    "with the random-hyperplane LSH of ml.similarity.lsh_bucketed_topk and "
+    "verifies only bucket-collision pairs — identical output when neighbor "
+    "similarity clears the bucketing threshold. Rounded to 4 decimals "
+    "before the threshold for cross-engine determinism.",
+)
+def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    dot = lambda u, v: F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = e.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb")))).cache()
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    sim = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim_r"))
+        .filter(F.col("sim_r") >= 0.4)
+    )
+
+
+@register(
     "emb_centroids",
     oracle="""
     SELECT label,
