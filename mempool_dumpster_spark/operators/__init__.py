@@ -3,11 +3,17 @@ from mempool_dumpster_spark.operators.dedup import (
     dedup_keep_earliest_row,
     dedup_min_timestamp,
 )
+from mempool_dumpster_spark.operators.inclusion_rpc import (
+    MockRPCClient,
+    PartitionBlockCache,
+    rpc_inclusion_enrich,
+)
 from mempool_dumpster_spark.operators.joins import (
     anti_join_blacklist,
     attach_sources,
     inclusion_enrich,
 )
+from mempool_dumpster_spark.operators.skew import salted_topk
 
 __all__ = [
     "dedup_keep_earliest",
@@ -16,4 +22,8 @@ __all__ = [
     "anti_join_blacklist",
     "attach_sources",
     "inclusion_enrich",
+    "rpc_inclusion_enrich",
+    "MockRPCClient",
+    "PartitionBlockCache",
+    "salted_topk",
 ]

@@ -26,7 +26,12 @@ Reference parity mapping:
 - ST1 dedup-with-TTL: `withWatermark('received_at', '30 minutes')` +
   `dropDuplicatesWithinWatermark` ≡ the knownTxs map with
   txCacheTime=30min (collector/consts.go:11). State is bounded by the
-  watermark exactly like the reference's TTL eviction. The dedup key is
+  watermark like the reference's TTL eviction, with one deliberate edge
+  difference: the reference expires on WALL-CLOCK time, Spark on EVENT-TIME
+  watermark — when event time advances slowly, Spark holds dedup state
+  longer and may suppress a re-arrival the reference would re-admit. That
+  direction (fewer duplicate emissions) is safe for every downstream
+  consumer, and the daily merge re-dedups regardless. The dedup key is
   the canonical hash, falling back to the raw payload for undecodable rows
   (each distinct garbage payload trashes once, like the reference's
   per-payload parse failure).
