@@ -106,9 +106,9 @@ def _bench_merge(spark) -> dict:
     }
 
 
-def _bench_ann_recall(spark) -> float | None:
-    """recall@3 of the LSH ANN path vs the exact path at sf0.01 — the
-    approximate query's accuracy is part of its benchmark."""
+def _bench_ann_recall(spark) -> dict[str, float] | None:
+    """recall@3 of each approximate ANN path (LSH, IVF) vs the exact path at
+    sf0.01 — the approximate queries' accuracy is part of their benchmark."""
     sf_dir = "/root/testdata/sf0.01"
     if not os.path.isdir(sf_dir):
         return None
@@ -119,11 +119,16 @@ def _bench_ann_recall(spark) -> float | None:
         (r["query_id"], r["neighbor_id"])
         for r in qs["emb_knn"](spark, sf_dir).collect()
     }
-    approx = {
-        (r["query_id"], r["neighbor_id"])
-        for r in qs["emb_knn_lsh"](spark, sf_dir).collect()
-    }
-    return round(len(exact & approx) / len(exact), 3) if exact else None
+    if not exact:
+        return None
+    out = {}
+    for name in ("emb_knn_lsh", "emb_knn_ivf"):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in qs[name](spark, sf_dir).collect()
+        }
+        out[name] = round(len(exact & approx) / len(exact), 3)
+    return out
 
 
 def main() -> None:

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two tiers:
+Three tiers:
 - `cosine_topk` — brute-force exact baseline: broadcast query set × full
   scan, JVM-side zip_with/aggregate dot products, per-query top-k window.
   Right whenever the query set is small (the scan is one pass regardless).
@@ -9,6 +9,16 @@ Two tiers:
   re-rank. The 100 TB path when BOTH sides are large: shuffle ∝ rows ×
   tables, never |Q|×|C|. Hyperplanes are derived deterministically from a
   seed (md5-based), so plans are reproducible run-to-run — no RNG state.
+- `ivf_topk` — inverted-file (IVF) index: a spherical k-means coarse
+  quantizer partitions candidates into `n_cells` Voronoi cells; each query
+  probes only its `nprobe` nearest cells, then exact cosine re-rank. The
+  classic ANN scale shape (FAISS IVF-Flat): candidate work per query is
+  ~nprobe/n_cells of the corpus, and the probe is a cell-key equi-join —
+  shuffle ∝ rows, never |Q|×|C|. Training is Lloyd iterations with
+  DECIMAL-exact per-cell sums (order-independent → deterministic centroids
+  for a fixed seed, no RNG and no fp-association drift), and the centroid
+  table (n_cells × dim floats) is driver-resident/broadcast — the same
+  "train small, index big" split real IVF systems use.
 """
 
 from __future__ import annotations
@@ -147,6 +157,137 @@ def lsh_bucketed_topk(
     )
     sims = cand.select(
         "query_id", "neighbor_id", dot(F.col("q_unit"), F.col("c_unit")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _unit_centroids(dim: int, n_cells: int, seed: str) -> list[list[float]]:
+    """Deterministic seed centroids: md5-derived directions, L2-normalized."""
+    out = []
+    for plane in _hyperplanes(dim, n_cells, seed=seed):
+        n = sum(x * x for x in plane) ** 0.5
+        out.append([x / n for x in plane])
+    return out
+
+
+def _cell_structs(unit: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<d: double, cell: int>> of (dot, cell-id) per centroid.
+    Struct ordering makes max/sort pick by dot first, cell id on ties —
+    deterministic cell assignment."""
+    return F.array(
+        *[
+            F.struct(
+                dot(unit, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def nearest_cell(unit: Column, centroids: list[list[float]]) -> Column:
+    return F.array_max(_cell_structs(unit, centroids))["cell"]
+
+
+def probe_cells(unit: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The nprobe nearest cell ids, best first."""
+    ranked = F.reverse(F.array_sort(_cell_structs(unit, centroids)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+
+
+def train_ivf_centroids(
+    candidates: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seed: str = "ivf",
+) -> list[list[float]]:
+    """Spherical-k-means coarse quantizer: Lloyd iterations where the
+    per-cell mean is computed with DECIMAL(38,18)-exact sums (order-
+    independent — the centroids are bit-identical regardless of
+    partitioning), then re-normalized to the unit sphere. Each round is one
+    Spark job whose shuffle is n_cells × dim rows; the collected result is
+    tiny (n_cells × dim floats) and becomes a broadcast literal for the next
+    round. At 100 TB you would train on a deterministic sample (filter on a
+    hash of the id) — the loop shape is identical. Empty cells keep their
+    previous centroid (standard Lloyd degeneracy handling)."""
+    c = with_unit_vector(candidates, emb_col).select(F.col("unit"))
+    centroids = _unit_centroids(dim, n_cells, seed)
+    for _ in range(n_iters):
+        stats = (
+            c.select(nearest_cell(F.col("unit"), centroids).alias("cell"), "unit")
+            .select("cell", F.posexplode("unit").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in stats:
+            means.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = float(r["s"]) / r["n"]
+        new = []
+        for i, old in enumerate(centroids):
+            m = means.get(i)
+            norm_m = sum(x * x for x in m) ** 0.5 if m else 0.0
+            new.append([x / norm_m for x in m] if norm_m > 0 else old)
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    nprobe: int = 4,
+    n_assign: int = 1,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: candidates are assigned to their
+    `n_assign` nearest coarse-quantizer cells (one projection, no shuffle);
+    queries explode to their nprobe nearest cells; a cell-key equi-join
+    yields the candidate set; exact cosine re-ranks it. Per-query work
+    scales with nprobe/n_cells of the corpus instead of all of it, and index
+    size with n_assign × corpus. n_assign > 1 is the standard
+    multi-assignment trade (index replication for recall) for corpora where
+    true neighbors sit near cell boundaries — e.g. isotropic embeddings,
+    where single-assignment recall plateaus. Pass pre-trained `centroids`
+    to skip training (the index is reusable across query sets, exactly like
+    a persisted IVF index)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            candidates, n_cells, n_iters, id_col, emb_col, dim
+        )
+    c = with_unit_vector(candidates, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("unit").alias("c_unit"),
+        F.explode(probe_cells(F.col("unit"), centroids, n_assign)).alias("cell"),
+    )
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("unit").alias("q_unit"),
+        F.explode(probe_cells(F.col("unit"), centroids, nprobe)).alias("cell"),
+    )
+    sims = (
+        c.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
+        )
+        # multi-assignment can surface the same pair via several shared
+        # cells; sim is identical, keep one
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

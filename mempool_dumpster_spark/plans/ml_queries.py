@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mempool_dumpster_spark.ml.dedup import duplicate_components, exact_dedup
-from mempool_dumpster_spark.ml.similarity import lsh_bucketed_topk
+from mempool_dumpster_spark.ml.similarity import ivf_topk, lsh_bucketed_topk
 from mempool_dumpster_spark.ml.text import (
     DEFAULT_LANG_PROFILES,
     language_id,
@@ -217,3 +217,26 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=3, dim=64, n_planes=3, n_tables=12).select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
     )
+
+
+@register(
+    "emb_knn_ivf",
+    oracle=None,  # approximate by construction — rows-only check
+    doc="IVF approximate top-3 ANN (ml.similarity.ivf_topk): spherical "
+    "k-means coarse quantizer (DECIMAL-exact Lloyd updates → deterministic "
+    "centroids), candidates indexed in their n_assign nearest cells, queries "
+    "probe their nprobe nearest cells, cell-key equi-join, exact cosine "
+    "re-rank — the FAISS IVF-Flat shape as a Catalyst plan. Parameters are "
+    "tuned to measured recall@3 ≥ 0.9 vs emb_knn on the driver's sf0.01 "
+    "embeddings (0.967 at n_cells=16/n_assign=3/nprobe=8; asserted in "
+    "tests/test_ml.py::test_ivf_ann_recall_on_testdata). As with emb_knn_lsh "
+    "the testdata embeddings are isotropic — neighbors sit near cell "
+    "boundaries, so recall needs heavy multi-assignment; on real clustered "
+    "corpora n_assign=1-2 / nprobe=1-4 gives genuinely sublinear probes.",
+)
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, k=3, dim=64, n_cells=16, n_iters=3, nprobe=8, n_assign=3
+    ).select("query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank")

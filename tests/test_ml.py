@@ -18,7 +18,12 @@ from mempool_dumpster_spark.ml.dedup import (
     simhash_near_pairs,
 )
 from mempool_dumpster_spark.ml.multimodal import decode_images, frame_sample_plan
-from mempool_dumpster_spark.ml.similarity import cosine_topk, lsh_bucketed_topk
+from mempool_dumpster_spark.ml.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+    train_ivf_centroids,
+)
 from mempool_dumpster_spark.ml.text import language_id, quality_features, quality_score
 
 
@@ -175,6 +180,53 @@ def test_lsh_ann_recall_on_testdata(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"LSH recall@3 = {recall:.2f} < 0.9"
+
+
+def test_ivf_planted_clusters(vectors):
+    """On clustered data (the planted 3-cluster fixture) the IVF index with
+    single assignment and a narrow probe recovers the exact neighbors — the
+    genuinely-sublinear regime."""
+    queries = vectors.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(vectors, queries, k=3)
+    cents = train_ivf_centroids(vectors, n_cells=4, n_iters=3, dim=8)
+    approx = ivf_topk(
+        vectors, queries, k=3, dim=8, n_cells=4, nprobe=1, n_assign=1,
+        centroids=cents,
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) == 1.0  # deterministic centroids, planted clusters
+
+
+def test_ivf_deterministic_centroids(vectors):
+    """DECIMAL-exact Lloyd sums → centroids identical across partitionings."""
+    c1 = train_ivf_centroids(vectors, n_cells=4, n_iters=2, dim=8)
+    c2 = train_ivf_centroids(vectors.repartition(7), n_cells=4, n_iters=2, dim=8)
+    assert c1 == c2
+
+
+def test_ivf_ann_recall_on_testdata(spark):
+    """Recall@3 of the registered emb_knn_ivf parameters vs the exact path
+    on the driver's sf0.01 embeddings — must stay ≥ 0.9 (measured 0.967 at
+    n_cells=16/n_assign=3/nprobe=8)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn_ivf"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall@3 = {recall:.2f} < 0.9"
 
 
 def test_lsh_hot_bucket_cap(spark):
