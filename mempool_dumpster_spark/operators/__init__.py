@@ -1,3 +1,4 @@
+from mempool_dumpster_spark.operators.asof import asof_join
 from mempool_dumpster_spark.operators.dedup import (
     dedup_keep_earliest,
     dedup_keep_earliest_row,
@@ -16,6 +17,7 @@ from mempool_dumpster_spark.operators.joins import (
 from mempool_dumpster_spark.operators.skew import salted_topk
 
 __all__ = [
+    "asof_join",
     "dedup_keep_earliest",
     "dedup_keep_earliest_row",
     "dedup_min_timestamp",

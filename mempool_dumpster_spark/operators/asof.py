@@ -1,0 +1,98 @@
+"""As-of (nearest-earlier) join — the time-series enrichment primitive.
+
+The reference's inclusion enrichment (cmd/merge/inclusioncheck.go:88-191:
+"which block included this tx, given receipt time ≤ inclusion time") is a
+special case of the general as-of join every time-series/training pipeline
+needs: for each left row, attach the latest right row with the same key and
+`right_ts <= left_ts`.
+
+Spark has no ASOF JOIN operator, and the naive formulation — a range
+θ-join + per-pair max — explodes into |L|×|R| per key. The scale-safe
+distributed form used here is UNION + WINDOW:
+
+    tag right rows side=0, left rows side=1
+    union both sides into one frame
+    window PARTITION BY key ORDER BY (ts, side, tiebreak)
+        last(right_payload, ignorenulls=true) over rows unbounded→current
+    keep side=1 rows
+
+One shuffle on the join key, one sort within partitions, zero row
+amplification — the same work profile as a single window aggregate, at any
+scale. Ties at equal ts resolve build-before-probe (side ordering), i.e.
+`right_ts <= left_ts` inclusive, matching DuckDB/pandas `merge_asof`
+backward semantics. Hot keys behave like any skewed window (salt the key or
+pre-aggregate the right side if one key dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance: Column | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with equal `on` keys
+    and right_ts <= left_ts (backward as-of; left rows with no earlier match
+    keep nulls, like a LEFT ASOF JOIN).
+
+    right_cols: right-side payload columns to attach (default: everything
+    except the keys and timestamp), each renamed with `suffix`. The matched
+    right timestamp itself is attached as `asof_ts{suffix}`.
+    tolerance: optional max age as an interval Column (e.g.
+    `F.expr("INTERVAL 1 HOUR")`) — older matches are nulled out, matching
+    pandas merge_asof(tolerance=...).
+    right_tiebreak: right-side column ordering rows that share (key, ts) —
+    the greatest wins. Without it, equal-ts right rows resolve
+    nondeterministically (fine when (key, ts) is unique on the right).
+    """
+    rc = right_cols or [c for c in right.columns if c not in [*on, right_ts]]
+    out_cols = [c + suffix for c in rc]
+
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__match_ts"),
+        *(
+            [F.col(right_tiebreak).alias("__tie")]
+            if right_tiebreak
+            else []
+        ),
+        *[F.col(c).alias(a) for c, a in zip(rc, out_cols)],
+    )
+    l2 = left.withColumn("__ats", F.col(left_ts)).withColumn(
+        "__side", F.lit(1)
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    order = [F.col("__ats").asc(), F.col("__side").asc()]
+    if right_tiebreak:
+        order.append(F.col("__tie").asc_nulls_last())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attached = u.select(
+        *[c for c in u.columns if not c.startswith("__") and c not in out_cols],
+        F.col("__side").alias("__side"),
+        F.last("__match_ts", ignorenulls=True).over(w).alias(f"asof_ts{suffix}"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+    )
+    out = attached.filter(F.col("__side") == 1).drop("__side")
+
+    if tolerance is not None:
+        fresh = F.col(f"asof_ts{suffix}") >= F.col(left_ts) - tolerance
+        for c in [f"asof_ts{suffix}", *out_cols]:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+    return out

@@ -557,3 +557,45 @@ def events_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "event_id", "value", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+@register(
+    "events_asof_click",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           c.ts AS click_ts,
+           c.event_id AS click_event_id,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="As-of join (operators.asof.asof_join): for every error event, the "
+    "latest click by the same user at or before it — the nearest-earlier "
+    "enrichment the reference's inclusion check is a special case of "
+    "(cmd/merge/inclusioncheck.go:88-191). Spark has no ASOF JOIN; the "
+    "union+window form used here is one shuffle on the key with zero row "
+    "amplification (vs the |L|x|R|-per-key range-join naive plan). The "
+    "oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        right_cols=["event_id", "value"],
+        suffix="_click",
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts_click").alias("click_ts"),
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("value_click").alias("click_value"),
+    )

@@ -156,3 +156,56 @@ def test_salted_topk_hot_key(spark):
         .collect()
     }
     assert got == want
+
+
+def test_asof_join_backward(spark):
+    """Backward as-of: latest right row with right_ts <= left_ts per key;
+    equal timestamps match (inclusive); keys with no earlier right row get
+    nulls (LEFT semantics)."""
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3"), (3, 10, "p4")],
+        "user_id long, ts long, probe string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 300, "c"), (2, 60, "d")],
+        "user_id long, ts long, tag string",
+    )
+    out = {
+        (r["user_id"], r["ts"]): r
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out[(1, 100)]["tag_right"] == "a"  # inclusive: equal ts matches
+    assert out[(1, 205)]["tag_right"] == "b"  # latest earlier, not "c"
+    assert out[(2, 50)]["tag_right"] is None  # right row is later only
+    assert out[(3, 10)]["tag_right"] is None  # key absent on the right
+    assert out[(1, 205)]["asof_ts_right"] == 200
+
+
+def test_asof_join_tiebreak_and_tolerance(spark):
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "p")],
+        "user_id long, ts string, probe string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 7, "early"),
+            (1, "2024-01-01 09:00:00", 9, "winner"),  # same ts: max tiebreak
+        ],
+        "user_id long, ts string, seq long, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = asof_join(
+        left, right, on=["user_id"], right_tiebreak="seq",
+        right_cols=["tag"],
+    ).collect()[0]
+    assert row["tag_right"] == "winner"
+
+    # tolerance: a match older than the window is nulled out
+    row = asof_join(
+        left, right, on=["user_id"], right_tiebreak="seq", right_cols=["tag"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    ).collect()[0]
+    assert row["tag_right"] is None and row["asof_ts_right"] is None
