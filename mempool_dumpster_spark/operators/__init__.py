@@ -14,6 +14,7 @@ from mempool_dumpster_spark.operators.joins import (
     attach_sources,
     inclusion_enrich,
 )
+from mempool_dumpster_spark.operators.sessions import session_stats, sessionize
 from mempool_dumpster_spark.operators.skew import salted_topk
 
 __all__ = [
@@ -28,4 +29,6 @@ __all__ = [
     "MockRPCClient",
     "PartitionBlockCache",
     "salted_topk",
+    "session_stats",
+    "sessionize",
 ]

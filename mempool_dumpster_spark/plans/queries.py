@@ -599,3 +599,51 @@ def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_click").alias("click_event_id"),
         F.col("value_click").alias("click_value"),
     )
+
+
+@register(
+    "events_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (operators.sessions.session_stats): a new "
+    "session per user after 30 minutes of silence; one row per session with "
+    "count/start/end/duration. lag-flag + running-sum over a single "
+    "key-shuffle — the batch form of Structured Streaming's "
+    "session_window(), and the data-dependent sibling of the reference's "
+    "fixed hourly buckets (collector/output.go date=/hour= partitions). "
+    "Integer-microsecond gap and duration math is bit-exact across engines.",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.operators.sessions import session_stats
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return session_stats(
+        ev, key_cols=["user_id"], ts_col="ts", gap_seconds=1800,
+        tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration_s",
+    )

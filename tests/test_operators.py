@@ -209,3 +209,37 @@ def test_asof_join_tiebreak_and_tolerance(spark):
         tolerance=F.expr("INTERVAL 30 MINUTES"),
     ).collect()[0]
     assert row["tag_right"] is None and row["asof_ts_right"] is None
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Hand-computed sessions: gaps > 30 min split; boundaries are inclusive
+    of the exact-gap case (gap == threshold stays in-session)."""
+    from mempool_dumpster_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:29:00"),   # 29 min -> same session
+        (1, "2024-01-01 10:59:00"),   # exactly 30 min -> same session
+        (1, "2024-01-01 12:00:00"),   # 61 min -> new session
+        (2, "2024-01-01 10:00:00"),   # other key: its own numbering
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    s = {
+        (r["user_id"], str(r["ts"])): r["session_seq"]
+        for r in sessionize(ev, ["user_id"], gap_seconds=1800).collect()
+    }
+    assert s[(1, "2024-01-01 10:00:00")] == 1
+    assert s[(1, "2024-01-01 10:59:00")] == 1
+    assert s[(1, "2024-01-01 12:00:00")] == 2
+    assert s[(2, "2024-01-01 10:00:00")] == 1
+
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_stats(ev, ["user_id"], gap_seconds=1800).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 3
+    assert stats[(1, 1)]["duration_s"] == 3540.0
+    assert stats[(1, 2)]["n_events"] == 1
+    assert stats[(1, 2)]["duration_s"] == 0.0
