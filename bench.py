@@ -74,21 +74,28 @@ def _bench_merge(spark) -> dict:
     with open(marker) as f:
         n_receipts = int(f.read())
 
-    # Warm the Python workers (module imports + keccak codegen + G table are
-    # per-process one-time costs) so the timed run measures throughput.
+    # Warm the Python workers (module imports + keccak codegen + G comb
+    # table are per-process one-time costs) so the timed run measures
+    # throughput. Drop headline-query caches first — their old-gen footprint
+    # otherwise taxes the merge run's GC. The warm-up runs twice over
+    # cpus × 16 rows: round-robin repartition from a single limit() split
+    # can leave workers cold on a single pass.
+    spark.catalog.clearCache()
     from pyspark.sql import functions as F
 
     from mempool_dumpster_spark.functions.rlp_udf import parse_raw_tx_udf
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     warm = (
         spark.read.schema("timestamp_ms string, hash string, raw_tx string")
         .csv(os.path.join(base, "txs_0.csv"))
-        .limit(64)
-        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .limit(cpus * 16)
+        .repartition(cpus)
     )
-    warm.select(parse_raw_tx_udf(F.col("raw_tx"))["hash"]).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    for _ in range(2):
+        warm.select(parse_raw_tx_udf(F.col("raw_tx"))["hash"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     t0 = time.time()
     result = merge_transactions(
