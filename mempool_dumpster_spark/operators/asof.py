@@ -13,7 +13,8 @@ distributed form used here is UNION + WINDOW:
     tag right rows side=0, left rows side=1
     union both sides into one frame
     window PARTITION BY key ORDER BY (ts, side, tiebreak)
-        last(right_payload, ignorenulls=true) over rows unbounded→current
+        last(struct(right_ts, *right_payload), ignorenulls=true)
+            over rows unbounded→current   -- one struct: the matched row is atomic
     keep side=1 rows
 
 One shuffle on the join key, one sort within partitions, zero row
@@ -58,17 +59,24 @@ def asof_join(
     rc = right_cols or [c for c in right.columns if c not in [*on, right_ts]]
     out_cols = [c + suffix for c in rc]
 
+    # The whole matched right row travels as ONE struct, and last(struct,
+    # ignorenulls) picks it atomically — taking last() per payload column
+    # would stitch values from different right rows whenever a payload
+    # column is NULL in the latest row (diverging from merge_asof/DuckDB
+    # ASOF semantics, which attach the matched row as a unit).
     r2 = right.select(
         *on,
         F.col(right_ts).alias("__ats"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias("__match_ts"),
         *(
             [F.col(right_tiebreak).alias("__tie")]
             if right_tiebreak
             else []
         ),
-        *[F.col(c).alias(a) for c, a in zip(rc, out_cols)],
+        F.struct(
+            F.col(right_ts).alias("__match_ts"),
+            *[F.col(c).alias(a) for c, a in zip(rc, out_cols)],
+        ).alias("__pkt"),
     )
     l2 = left.withColumn("__ats", F.col(left_ts)).withColumn(
         "__side", F.lit(1)
@@ -84,12 +92,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     attached = u.select(
-        *[c for c in u.columns if not c.startswith("__") and c not in out_cols],
+        *[c for c in u.columns if not c.startswith("__")],
         F.col("__side").alias("__side"),
-        F.last("__match_ts", ignorenulls=True).over(w).alias(f"asof_ts{suffix}"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+        F.last("__pkt", ignorenulls=True).over(w).alias("__hit"),
     )
-    out = attached.filter(F.col("__side") == 1).drop("__side")
+    out = (
+        attached.filter(F.col("__side") == 1)
+        .select(
+            *[c for c in attached.columns if c not in ("__side", "__hit")],
+            F.col("__hit.__match_ts").alias(f"asof_ts{suffix}"),
+            *[F.col(f"__hit.{c}").alias(c) for c in out_cols],
+        )
+    )
 
     if tolerance is not None:
         fresh = F.col(f"asof_ts{suffix}") >= F.col(left_ts) - tolerance

@@ -211,6 +211,28 @@ def test_asof_join_tiebreak_and_tolerance(spark):
     assert row["tag_right"] is None and row["asof_ts_right"] is None
 
 
+def test_asof_join_null_payload_atomic(spark):
+    """The matched right ROW is attached atomically: a NULL payload column in
+    the latest matching row must come through as NULL, not be back-filled from
+    an older row (per-column last(ignorenulls) would stitch rows together)."""
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 300, "p")], "user_id long, ts long, probe string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, "old_a", "old_b"),
+            (1, 200, None, "new_b"),  # the match: col `a` is genuinely NULL
+        ],
+        "user_id long, ts long, a string, b string",
+    )
+    row = asof_join(left, right, on=["user_id"]).collect()[0]
+    assert row["asof_ts_right"] == 200
+    assert row["b_right"] == "new_b"
+    assert row["a_right"] is None  # NOT "old_a" stitched from the older row
+
+
 def test_sessionize_gap_boundaries(spark):
     """Hand-computed sessions: gaps > 30 min split; boundaries are inclusive
     of the exact-gap case (gap == threshold stays in-session)."""
