@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mempool_dumpster_spark.ml.similarity import cosine_near_pairs
 from mempool_dumpster_spark.plans.registry import register
 from mempool_dumpster_spark.plans.tables import load_tables
 
@@ -613,14 +614,28 @@ def emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Embedding-cosine near-duplicate pairs — the fifth dedup modality "
     "(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine). "
-    "Registered as the exact all-pairs form for the oracle (|C|² dot "
-    "products, fine at verify scale); the 100 TB path buckets both sides "
-    "with the random-hyperplane LSH of ml.similarity.lsh_bucketed_topk and "
-    "verifies only bucket-collision pairs — identical output when neighbor "
-    "similarity clears the bucketing threshold. Rounded to 4 decimals "
-    "before the threshold for cross-engine determinism.",
+    "Registered as the BUCKETED plan (ml.similarity.cosine_near_pairs): "
+    "20 independent 3-bit sign signatures from one scan, (table, bucket) "
+    "equi-join candidates, exact cosine verify before the pair-dedup "
+    "shuffle — no cross join in the plan, shuffle ∝ rows × tables. The "
+    "oracle stays the exact all-pairs definition: the sim formula is "
+    "bit-identical and the banding is verified exhaustive on this corpus "
+    "(parity pytest vs the exact plan; per-pair miss ≈ 0.3% at sim 0.4 for "
+    "adversarial fresh data — raise n_tables if the corpus may carry "
+    "threshold-tail pairs). Rounded to 4 decimals before the threshold for "
+    "cross-engine determinism.",
 )
 def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return cosine_near_pairs(
+        emb, threshold=0.4, dim=64, n_planes=3, n_tables=20
+    ).withColumnRenamed("sim", "sim_r")
+
+
+def emb_near_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact all-pairs form — |C|²/2 dot products. NOT registered (the
+    bucketed plan above is); kept as the ground-truth side of the parity
+    test proving the bucketed plan loses no pair on this corpus."""
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     e = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")

@@ -249,3 +249,36 @@ def test_lsh_hot_bucket_cap(spark):
     # uncapped the degenerate corpus would explode quadratically
     uncapped = lsh_candidate_pairs(sig, bands=4, rows_per_band=4).count()
     assert uncapped >= 199 * 200 / 2
+
+
+def test_emb_near_pairs_bucketed_parity(spark):
+    """The registered bucketed emb_near_pairs plan must (a) contain no
+    cartesian/nested-loop join and (b) emit EXACTLY the pairs the exact
+    all-pairs definition emits on the driver's testdata — proving the
+    3-plane × 20-table banding is exhaustive for this corpus even though
+    its true pairs sit at the 0.40-0.51 threshold tail (the worst LSH
+    regime). Run on both sf dirs so a testdata regeneration is caught."""
+    import os
+
+    from mempool_dumpster_spark.plans.text_queries import (
+        emb_near_pairs,
+        emb_near_pairs_exact,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf_dir):
+            pytest.skip("driver testdata not present")
+        bucketed = emb_near_pairs(spark, sf_dir)
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+        got = {
+            (r["id_a"], r["id_b"], r["sim_r"]) for r in bucketed.collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"], r["sim_r"])
+            for r in emb_near_pairs_exact(spark, sf_dir).collect()
+        }
+        assert got == want, (
+            f"{sf_dir}: bucketed plan missed {len(want - got)} pairs / "
+            f"invented {len(got - want)}"
+        )
