@@ -348,6 +348,39 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("doc_id").agg(_simhash_bit_exprs_spark().alias("simhash16"))
 
 
+def _simhash64_sql_duck() -> str:
+    """64-bit SimHash vote sum for DuckDB. Bit 63's weight is BIGINT
+    min-long (the same two's-complement value Spark's shiftleft(1L, 63)
+    yields — DuckDB refuses the 1<<63 overflow); it is the LAST addend so
+    every partial sum stays in BIGINT range under DuckDB's checked
+    arithmetic (bits 0-62 sum to at most 2^63 - 1)."""
+    terms = []
+    for j in range(64):
+        c = j // 4 + 1
+        shift = 3 - (j % 4)
+        nib = f"(strpos('0123456789abcdef', substr(md5(word), {c}, 1)) - 1)"
+        bit = f"(({nib} >> {shift}) & 1)"
+        vote = f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        w = "CAST(-9223372036854775808 AS BIGINT)" if j == 63 else str(2**j)
+        terms.append(f"CASE WHEN {vote} > 0 THEN {w} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def _simhash64_spark() -> Column:
+    """64-bit SimHash vote aggregate over nibble columns nib0..nib15 —
+    same vote math as _simhash_bit_exprs_spark widened to 64 bits; bit 63
+    lands in the sign bit (weight = min-long, matching the DuckDB oracle
+    and ml.dedup.simhash's shiftleft form)."""
+    total = F.lit(0).cast("long")
+    for j in range(64):
+        nib = F.col(f"nib{j // 4}")
+        bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
+        vote = F.sum(F.when(bit == 1, 1).otherwise(-1))
+        weight = F.lit(-9223372036854775808) if j == 63 else F.lit(2**j)
+        total = total + F.when(vote > 0, weight).otherwise(F.lit(0)).cast("long")
+    return total
+
+
 @register(
     "docs_simhash_pairs",
     oracle=f"""
@@ -355,17 +388,17 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
     ),
     s AS (
-      SELECT doc_id, CAST({_simhash_sql_duck()} AS BIGINT) AS simhash16
+      SELECT doc_id, CAST({_simhash64_sql_duck()} AS BIGINT) AS simhash64
       FROM w GROUP BY doc_id
     ),
     chunks AS (
-      SELECT doc_id, simhash16, c.c AS chunk,
-             (simhash16 >> (c.c * 4)) & 15 AS key
+      SELECT doc_id, simhash64, c.c AS chunk,
+             (simhash64 >> (c.c * 16)) & 65535 AS key
       FROM s, (SELECT unnest([0, 1, 2, 3]) AS c) c
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash16 AS sa, b.simhash16 AS sb
+             a.simhash64 AS sa, b.simhash64 AS sb
       FROM chunks a JOIN chunks b
         ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
     )
@@ -373,19 +406,39 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
-    doc="SimHash near-pair mining (pigeonhole banding): split the 16-bit "
-    "fingerprint into four 4-bit chunks — any pair within Hamming distance 3 "
-    "shares at least one exact chunk, so candidates come from chunk "
-    "equi-joins (shuffle ∝ docs × chunks, never docs²), then exact Hamming "
-    "verify via bit_count(xor). Same topology as ml.dedup.simhash_near_pairs "
-    "at 64 bits.",
+    doc="SimHash near-pair mining (pigeonhole banding) on the PRODUCTION "
+    "64-bit fingerprint: four 16-bit chunks — any pair within Hamming "
+    "distance 3 shares at least one exact chunk, so candidates come from "
+    "chunk equi-joins, then exact Hamming verify via bit_count(xor). With "
+    "65,536 distinct values per chunk key, expected random collisions are "
+    "docs²/2^17 per chunk — candidates scale ∝ docs on any non-degenerate "
+    "corpus (the r2-registered 16-bit demo banded on 4-bit keys, whose 16 "
+    "values made buckets hold n/16 of the corpus — a cartesian bomb; see "
+    "tests/test_ml.py::test_simhash64_candidate_selectivity). Same topology "
+    "as ml.dedup.simhash_near_pairs.",
 )
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = docs_simhash(spark, sf_dir).withColumnRenamed("simhash16", "sh").cache()
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    digest = F.md5("word")
+    # CPU-bound md5-per-word projection: spread over cores, not scan splits
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    w = docs.select("doc_id", F.explode(words_col()).alias("word")).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(digest, c + 1, 1), 16, 10).cast("int").alias(f"nib{c}")
+            for c in range(16)
+        ],
+    )
+    # cache: both band-join sides would otherwise recompute the md5 aggregate
+    sig = (
+        w.groupBy("doc_id").agg(_simhash64_spark().alias("sh")).cache()
+    )
     chunk_cols = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned("sh", c * 4).bitwiseAND(F.lit(15)).alias("key"),
+            F.shiftrightunsigned("sh", c * 16)
+            .bitwiseAND(F.lit(65535))
+            .alias("key"),
         )
         for c in range(4)
     ]

@@ -282,3 +282,57 @@ def test_emb_near_pairs_bucketed_parity(spark):
             f"{sf_dir}: bucketed plan missed {len(want - got)} pairs / "
             f"invented {len(got - want)}"
         )
+
+
+def test_simhash64_candidate_selectivity(spark):
+    """On a 1k-doc corpus of distinct random texts, the 64-bit/16-bit-chunk
+    banding yields candidates ∝ docs (expected n²/2^17 per chunk ≈ 4), while
+    the r2 4-bit-chunk demo scheme yields ∝ n²/16 (≈ 62k) — the registered
+    query must use the selective topology."""
+    import random
+
+    from mempool_dumpster_spark.ml.dedup import simhash
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(1000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash(docs).cache()
+
+    def n_candidates(chunks: int) -> int:
+        width = 64 // chunks
+        parts = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftrightunsigned("simhash", c * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("key"),
+                        )
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("ck"),
+        ).select("doc_id", "ck.chunk", "ck.key")
+        a, b = parts.alias("a"), parts.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id"), F.col("b.doc_id"))
+            .distinct()
+            .count()
+        )
+
+    selective = n_candidates(4)   # 16-bit keys — the registered topology
+    degenerate = n_candidates(16)  # 4-bit keys — the r2 demo scheme
+    assert selective < 1000, f"64/16 banding not ∝ docs: {selective} candidates"
+    assert degenerate > 50_000, f"sanity: 4-bit keys should degenerate, got {degenerate}"
