@@ -78,6 +78,59 @@ def sourcelog_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trash_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN value < 1 THEN 'signature-error'
+                  WHEN value > 90 THEN 'extremely large gasFeeCap'
+                  ELSE 'chainId not set' END AS reason,
+             props AS notes
+      FROM events
+    )
+    SELECT user_id, event_type, ts AS first_ts, reason, notes
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+      ) AS rn FROM t
+    ) WHERE rn = 1
+    """,
+    doc="A3+F4: trash-pipeline dedup — keep the EARLIEST whole row per "
+    "(hash, source) including its validation-reason and notes columns "
+    "(ref common/trashfile.go:90-99; reason strings from "
+    "collector/tx_processor.go:327-353). The events analog routes rows to "
+    "the reference's exact reason strings, then applies the window-variant "
+    "dedup (the whole-row form A1's agg variant can't express when payload "
+    "columns are not functionally dependent on the key).",
+)
+def trash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.functions.ethtx import (
+        REASON_CHAINID_NOT_SET,
+        REASON_GASFEE_TOO_BIG,
+        REASON_SIGNATURE_ERROR,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    trash = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 1, REASON_SIGNATURE_ERROR)
+        .when(F.col("value") > 90, REASON_GASFEE_TOO_BIG)
+        .otherwise(REASON_CHAINID_NOT_SET)
+        .alias("reason"),
+        F.col("props").alias("notes"),
+    )
+    first = dedup_keep_earliest_row(
+        trash, key=["user_id", "event_type"], order=["ts", "event_id"]
+    )
+    return first.select(
+        "user_id", "event_type", F.col("ts").alias("first_ts"), "reason", "notes"
+    )
+
+
+@register(
     "sources_attach",
     oracle="""
     WITH fs AS (
@@ -345,6 +398,34 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).alias("p90"),
         pick(0.99).alias("p99"),
         F.count("*").alias("n"),
+    )
+
+
+@register(
+    "value_quantiles_approx",
+    oracle=None,  # sketch output has no SQL ground truth; tolerance-checked
+    # against the exact nearest-rank entry in
+    # tests/test_operators.py::test_value_quantiles_approx_tolerance
+    doc="A16 at scale: the same per-group quantiles via percentile_approx — "
+    "a one-pass mergeable sketch (Greenwald-Khanna style): map-side partial "
+    "sketches merge in the shuffle, so NO per-group global sort and no "
+    "5-reducer funnel (value_quantiles' two exact windows partition all "
+    "rows by a ~5-value key — right for oracle parity, wrong at 100 TB). "
+    "accuracy=10000 bounds rank error at n/10000 per group.",
+)
+def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return (
+        events.groupBy(F.col("event_type").alias("source"))
+        .agg(q.alias("qs"), F.count("*").alias("n"))
+        .select(
+            "source",
+            F.col("qs")[0].alias("p50"),
+            F.col("qs")[1].alias("p90"),
+            F.col("qs")[2].alias("p99"),
+            "n",
+        )
     )
 
 

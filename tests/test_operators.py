@@ -4,6 +4,7 @@ analyzer aggregates, property-style idempotence."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mempool_dumpster_spark.operators.aggregates import (
@@ -265,3 +266,71 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[(1, 1)]["duration_s"] == 3540.0
     assert stats[(1, 2)]["n_events"] == 1
     assert stats[(1, 2)]["duration_s"] == 0.0
+
+
+def test_value_quantiles_approx_tolerance(spark):
+    """The sketch-based quantile entry must agree with the exact nearest-rank
+    entry within the sketch's rank-error bound on the driver's testdata —
+    percentile_approx at accuracy=10000 is rank-exact up to n/10000 per
+    group, so each approx quantile must land within 1% relative of exact."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {r["source"]: r for r in qs["value_quantiles"](spark, sf_dir).collect()}
+    approx = {
+        r["source"]: r for r in qs["value_quantiles_approx"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for src, e in exact.items():
+        a = approx[src]
+        assert a["n"] == e["n"]
+        for p in ("p50", "p90", "p99"):
+            assert a[p] == pytest.approx(e[p], rel=0.01), (src, p, a[p], e[p])
+
+
+def test_trash_dedup_whole_row(spark):
+    """trash_dedup keeps the EARLIEST whole row per (key, source): the reason
+    and notes columns must come from the same row as the winning timestamp."""
+    df = spark.createDataFrame(
+        [
+            # (user, type, ts_micro, event_id, value, props)
+            (1, "click", 100, 7, 0.5, "n7"),   # winner: reason signature-error
+            (1, "click", 200, 8, 95.0, "n8"),  # later: different reason+notes
+            (1, "view", 50, 9, 50.0, "n9"),
+        ],
+        "user_id long, event_type string, ts long, event_id long, value double, props string",
+    )
+    import pyspark.sql.functions as F
+
+    from mempool_dumpster_spark.functions.ethtx import (
+        REASON_CHAINID_NOT_SET,
+        REASON_GASFEE_TOO_BIG,
+        REASON_SIGNATURE_ERROR,
+    )
+    from mempool_dumpster_spark.operators.dedup import dedup_keep_earliest_row
+
+    trash = df.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 1, REASON_SIGNATURE_ERROR)
+        .when(F.col("value") > 90, REASON_GASFEE_TOO_BIG)
+        .otherwise(REASON_CHAINID_NOT_SET)
+        .alias("reason"),
+        F.col("props").alias("notes"),
+    )
+    out = {
+        (r["user_id"], r["event_type"]): r
+        for r in dedup_keep_earliest_row(
+            trash, key=["user_id", "event_type"], order=["ts", "event_id"]
+        ).collect()
+    }
+    assert out[(1, "click")]["reason"] == REASON_SIGNATURE_ERROR
+    assert out[(1, "click")]["notes"] == "n7"
+    assert out[(1, "view")]["reason"] == REASON_CHAINID_NOT_SET
