@@ -268,7 +268,7 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, chunks: int = 4) ->
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def duplicate_components(pairs: DataFrame, iterations: int = 10) -> DataFrame:
+def duplicate_components(pairs: DataFrame, iterations: int = 50) -> DataFrame:
     """Connected components over duplicate pairs → (doc_id, component_id),
     component_id = min doc id reachable. Iterative label propagation: each
     round joins labels across edges and takes the min; O(diameter) rounds,
@@ -318,5 +318,19 @@ def duplicate_components(pairs: DataFrame, iterations: int = 10) -> DataFrame:
         old.unpersist()
         if n_changed == 0:
             break
+    else:
+        # `iterations` is a hard cap on rounds, not the convergence
+        # criterion: a component with diameter > iterations would silently
+        # return unconverged (wrong) labels — and the registered oracle is
+        # the full transitive-closure fixpoint. Surface it loudly.
+        import warnings
+
+        warnings.warn(
+            f"duplicate_components hit the {iterations}-round cap with "
+            f"{n_changed} labels still changing — labels are NOT converged; "
+            "raise `iterations` (rounds needed = max component diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels

@@ -39,10 +39,18 @@ def salted_topk(
     ordering = [order.desc() if descending else order.asc()]
     if tiebreak:
         ordering.append(F.col(tiebreak).asc())
-    salt_src = F.col(tiebreak) if tiebreak else order
-    salted = df.withColumn(
-        "__salt", F.pmod(F.crc32(salt_src.cast("string")), F.lit(n_salt))
-    )
+    if tiebreak:
+        salt_src = F.crc32(F.col(tiebreak).cast("string"))
+    else:
+        # No tiebreak: salting on the order value alone would collapse a hot
+        # key whose rows share one order value (e.g. a constant) into a
+        # single salt bucket, silently disabling the skew protection. Spread
+        # by hashing ALL input columns instead — deterministic per row
+        # content, so retries/speculative tasks still agree.
+        salt_src = F.crc32(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+        )
+    salted = df.withColumn("__salt", F.pmod(salt_src, F.lit(n_salt)))
     w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*ordering)
     survivors = (
         salted.withColumn("__rn", F.row_number().over(w1))

@@ -129,8 +129,11 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs join — candidate pairs come from an 8-band LSH equi-join "
     "(shuffle ∝ docs × bands) and the exact intersection is "
     "size(array_intersect) per candidate row. LSH at r=1/b=8/≥2 bands has "
-    "miss probability < 1e-5 for jaccard ≥ 0.9 (all true pairs in the "
-    "testdata are ≥ 0.9; recall verified exhaustively at sf0.01).",
+    "miss probability < 2e-6 for jaccard ≥ 0.89 (measured min true-pair "
+    "jaccard: 0.889 at sf0.001, 0.9 at sf0.01 — guarded by "
+    "tests/test_ml.py::test_ngram_jaccard_band_assumption, which fails if a "
+    "regenerated corpus carries moderate-similarity pairs where the "
+    "prefilter's miss rate would matter).",
 )
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]

@@ -159,7 +159,11 @@ def csv_landing_sink(landing_dir: str, rotate_every: int = 1000):
             state["file"] = open(path, "a")  # noqa: SIM115 — rotating handle
             state["seq"] += 1
             state["n"] = 0
-        ts = received_at.strftime("%Y-%m-%d %H:%M:%S")
+        # millisecond precision: the reference records ms receive timestamps
+        # (UnixMilli throughout collector/*); whole-second truncation would
+        # degrade first-source-wins ordering and inclusionDelayMs to 1 s
+        # granularity. Spark's CSV timestamp parser accepts fractional secs.
+        ts = received_at.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
         state["file"].write(f"{ts},{raw_tx},{source}\n")
         state["file"].flush()
         state["n"] += 1

@@ -336,3 +336,36 @@ def test_simhash64_candidate_selectivity(spark):
     degenerate = n_candidates(16)  # 4-bit keys — the r2 demo scheme
     assert selective < 1000, f"64/16 banding not ∝ docs: {selective} candidates"
     assert degenerate > 50_000, f"sanity: 4-bit keys should degenerate, got {degenerate}"
+
+
+def test_ngram_jaccard_band_assumption(spark):
+    """docs_ngram_jaccard's Spark plan prefilters with >=2-of-8 MinHash
+    bands; a true pair at jaccard j is missed w.p. P[Bin(8, j) < 2] — ~3.5%
+    at j = 0.5, ~3e-4 at 0.75, < 2e-6 at 0.89. The oracle is the exact
+    all-pairs >= 0.5 definition, so oracle equality rests on the corpus
+    having NO moderate-similarity true pairs. Guard that assumption: every
+    true pair in the driver's testdata must sit at jaccard >= 0.75 (if this
+    ever fails, lower the band threshold to >=1 or raise the band count).
+    Measured: min true-pair j = 0.889 at sf0.001, 0.9 at sf0.01."""
+    import os
+
+    import duckdb
+
+    from mempool_dumpster_spark.plans.registry import all_oracles
+
+    oracle = all_oracles()["docs_ngram_jaccard"]
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf_dir):
+            pytest.skip("driver testdata not present")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        rows = con.execute(oracle).fetchall()
+        assert rows, f"{sf_dir}: no true pairs — corpus regenerated?"
+        min_j = min(r[2] for r in rows)
+        assert min_j >= 0.75, (
+            f"{sf_dir}: true pair at jaccard {min_j:.3f} < 0.75 — the 2-of-8 "
+            "band prefilter's miss probability is no longer negligible"
+        )
