@@ -120,3 +120,132 @@ def test_landing_sink_feeds_file_stream(spark, tmp_path):
     rows = sl.collect()
     assert len(rows) == 1
     assert rows[0]["source"] == "eden"
+
+
+def test_websocket_transport_import_guard():
+    """Without the optional websocket-client package, the live transport
+    raises a clear ImportError naming the package — the feed gap in this
+    container is purely environmental, not missing code."""
+    import pytest
+
+    import importlib.util
+
+    from mempool_dumpster_spark.sources.transports import websocket_transport
+
+    if importlib.util.find_spec("websocket") is not None:
+        pytest.skip("websocket-client installed — guard path not reachable")
+    with pytest.raises(ImportError, match="websocket-client"):
+        websocket_transport("wss://example.invalid/ws")
+
+
+def test_websocket_transport_scripted_frames(monkeypatch):
+    """Drive the REAL websocket adapter end-to-end against a scripted fake
+    `websocket` module: subscribe frame sent on the live socket, frames
+    delivered to the sink, orderly close ends the iterator, socket closed,
+    and a reconnect re-dials + re-subscribes on the NEW socket."""
+    import sys
+    import types
+    from datetime import datetime, timezone
+
+    from mempool_dumpster_spark.sources.feeds import BLOXROUTE, run_feed
+
+    raw = "0x02f870018203e8"
+    frame = json.dumps({"params": {"result": {"rawTx": raw}}})
+
+    class FakeWS:
+        def __init__(self, script):
+            self.script = list(script)
+            self.sent: list[str] = []
+            self.closed = False
+
+        def recv(self):
+            return self.script.pop(0) if self.script else ""  # "" = close
+
+        def send(self, text):
+            self.sent.append(text)
+
+        def close(self):
+            self.closed = True
+
+    sockets: list[FakeWS] = []
+
+    def create_connection(url, header=None, timeout=None):
+        assert url == "wss://api.blxrbdn.com/ws"
+        assert header == ["Authorization: k3y"]
+        ws = FakeWS([frame, frame] if not sockets else [frame])
+        sockets.append(ws)
+        return ws
+
+    fake_mod = types.ModuleType("websocket")
+    fake_mod.create_connection = create_connection
+    monkeypatch.setitem(sys.modules, "websocket", fake_mod)
+
+    from mempool_dumpster_spark.sources.transports import bloxroute_transport
+
+    connect, send = bloxroute_transport("wss://api.blxrbdn.com/ws", "k3y")
+    got: list[tuple] = []
+    run_feed(
+        BLOXROUTE,
+        connect,
+        sink=lambda ts, tx, src: got.append((tx, src)),
+        send=send,
+        sleep=lambda s: None,
+        max_connects=2,
+        clock=lambda: datetime(2023, 9, 4, tzinfo=timezone.utc),
+    )
+    assert got == [(raw, "bloxroute")] * 3  # 2 frames conn 1 + 1 frame conn 2
+    assert len(sockets) == 2  # reconnected
+    assert all(ws.sent == [BLOXROUTE.sub_request] for ws in sockets)
+    assert all(ws.closed for ws in sockets)  # finally-close ran per socket
+
+
+def test_eden_transport_token_url_split(monkeypatch):
+    """token@url auth splits into an Authorization header + bare URL; a bare
+    URL dials unauthenticated (reference common/utils.go:191-198)."""
+    import sys
+    import types
+
+    seen: list[tuple] = []
+
+    def create_connection(url, header=None, timeout=None):
+        seen.append((url, header))
+        raise OSError("dial stopped by test")
+
+    fake_mod = types.ModuleType("websocket")
+    fake_mod.create_connection = create_connection
+    monkeypatch.setitem(sys.modules, "websocket", fake_mod)
+
+    from mempool_dumpster_spark.sources.transports import eden_transport
+
+    connect, _ = eden_transport("sekrit@wss://eden.example/ws")
+    try:
+        connect()
+    except OSError:
+        pass
+    connect2, _ = eden_transport("wss://eden.example/ws")
+    try:
+        connect2()
+    except OSError:
+        pass
+    assert seen == [
+        ("wss://eden.example/ws", ["Authorization: sekrit"]),
+        ("wss://eden.example/ws", []),
+    ]
+
+
+def test_fiber_grpc_transport_requires_stub():
+    """The Fiber adapter needs grpcio AND the generated stub: in this
+    container the grpcio import guard fires first; with grpcio present but
+    no stub_factory it must raise ValueError."""
+    import importlib.util
+
+    import pytest
+
+    from mempool_dumpster_spark.sources.transports import fiber_grpc_transport
+
+    if importlib.util.find_spec("grpc") is None:
+        with pytest.raises(ImportError, match="grpcio"):
+            fiber_grpc_transport("fiber.example:8080", "key", stub_factory=object)
+    else:
+        with pytest.raises(ValueError, match="stub_factory"):
+            fiber_grpc_transport("fiber.example:8080", "key")
