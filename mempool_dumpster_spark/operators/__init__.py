@@ -14,7 +14,11 @@ from mempool_dumpster_spark.operators.joins import (
     attach_sources,
     inclusion_enrich,
 )
-from mempool_dumpster_spark.operators.sessions import session_stats, sessionize
+from mempool_dumpster_spark.operators.sessions import (
+    session_stats,
+    session_stats_window,
+    sessionize,
+)
 from mempool_dumpster_spark.operators.skew import salted_topk
 
 __all__ = [
@@ -30,5 +34,6 @@ __all__ = [
     "PartitionBlockCache",
     "salted_topk",
     "session_stats",
+    "session_stats_window",
     "sessionize",
 ]

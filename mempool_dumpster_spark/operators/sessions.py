@@ -69,3 +69,46 @@ def session_stats(
             / F.lit(1_000_000.0)
         ).alias("duration_s"),
     )
+
+
+def session_stats_window(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """The `session_window()` form of `session_stats` — the one that also
+    runs as a Structured Streaming aggregation (the reference's collector is
+    a long-lived stream; this is how its session analytics would run live).
+    Works identically on a batch frame.
+
+    Boundary parity with `sessionize`: the lag form starts a new session
+    when `ts - prev > gap_seconds` — an event landing EXACTLY at the gap
+    still merges. `session_window` sessions span [ts, ts + gap] and merge
+    when they touch, i.e. ALSO inclusively (`ts - prev <= gapDuration`;
+    verified empirically — an event at gap + 1 µs splits, one at exactly
+    gap merges), so the same `gap_seconds` value yields identical sessions
+    and `test_session_window_parity` asserts batch ≡ window ≡ streaming on
+    a fixture that includes both boundary cases.
+
+    Streaming use: append/update mode needs a watermark on `ts_col`
+    upstream; complete mode (used by the parity test's memory sink) needs
+    none. State per open session is O(keys), merged by Spark's session-state
+    store — no per-event state growth.
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        df.groupBy(sw, *key_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (
+                (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+                / F.lit(1_000_000.0)
+            ).alias("duration_s"),
+        )
+        .select(
+            *key_cols, "n_events", "session_start", "session_end", "duration_s"
+        )
+    )

@@ -268,6 +268,60 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[(1, 2)]["duration_s"] == 0.0
 
 
+def test_session_window_parity(spark, tmp_path):
+    """Batch sessionize ≡ session_window() form ≡ the same form executed as
+    a Structured Streaming aggregation, on a fixture that includes an
+    exact-gap event (the boundary where the two predicates could diverge —
+    session_stats_window's +1 µs duration makes them identical)."""
+    from mempool_dumpster_spark.operators.sessions import (
+        session_stats,
+        session_stats_window,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:29:00"),
+        (1, "2024-01-01 10:59:00"),  # exactly 30 min after prev -> merges
+        (1, "2024-01-01 12:00:00"),  # 61 min -> new session
+        (2, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:30:00.000001"),  # gap + 1 µs -> new session
+        (3, "2024-01-01 23:59:59"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r["user_id"],
+                r["n_events"],
+                str(r["session_start"]),
+                str(r["session_end"]),
+                r["duration_s"],
+            )
+            for r in df.collect()
+        )
+
+    batch = canon(session_stats(ev, ["user_id"], gap_seconds=1800).drop("session_seq"))
+    assert canon(session_stats_window(ev, ["user_id"], gap_seconds=1800)) == batch
+    assert [b[:2] for b in batch if b[0] == 2] == [(2, 1), (2, 1)]  # split key
+
+    src = str(tmp_path / "sess_events")
+    ev.write.parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        session_stats_window(sdf, ["user_id"], gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_parity_tbl")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert canon(spark.sql("select * from sess_parity_tbl")) == batch
+
+
 def test_value_quantiles_approx_tolerance(spark):
     """The sketch-based quantile entry must agree with the exact nearest-rank
     entry within the sketch's rank-error bound on the driver's testdata —
