@@ -413,3 +413,33 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def centroids_to_json(centroids: list[list[float]]) -> str:
+    """Serialize a trained IVF coarse quantizer to its persisted form — the
+    "write the index to disk" half of the FAISS-style train-once/serve-many
+    lifecycle. JSON round-trips Python floats exactly (shortest-repr), so
+    `centroids_from_json(centroids_to_json(c)) == c` bit-for-bit and an
+    index trained on one cluster serves identical cell assignments on
+    another. The payload is tiny (n_cells × dim floats) — store it as a
+    literal, a one-row table, or a file next to the corpus."""
+    import json
+
+    return json.dumps(
+        {
+            "format": "ivf-centroids-v1",
+            "dim": len(centroids[0]),
+            "n_cells": len(centroids),
+            "centroids": centroids,
+        }
+    )
+
+
+def centroids_from_json(payload: str) -> list[list[float]]:
+    """Inverse of `centroids_to_json` (validates the format marker)."""
+    import json
+
+    obj = json.loads(payload)
+    if obj.get("format") != "ivf-centroids-v1":
+        raise ValueError(f"not an IVF centroid payload: {obj.get('format')!r}")
+    return [[float(x) for x in c] for c in obj["centroids"]]

@@ -11,9 +11,13 @@ batches with retries (collector/clickhouse.go:92-242). Spark equivalents:
 - sink: `foreachBatch` + JDBC batch writes; Spark task retries replace the
   reference's manual 5×-linear-backoff loop.
 
-No ClickHouse server or JDBC driver exists in this container, so execution
-paths raise a clear error if invoked without one; query/option construction
-is pure and unit-tested.
+No ClickHouse server or JDBC driver exists in this container, but the
+execution paths themselves are NOT dead code: every function takes a
+`driver` override, and tests/test_uint256_and_connectors.py executes the
+identical read-pushdown and foreachBatch-append paths against embedded
+Derby (whose JDBC driver ships inside Spark's own jars). A live ClickHouse
+round-trip runs when `SPARK_GRAFT_CH_JAR` + `SPARK_GRAFT_CH_URL` point at
+a driver jar and server; it skips otherwise.
 """
 
 from __future__ import annotations
@@ -45,11 +49,20 @@ def dedup_pushdown_query(
     )
 
 
-def jdbc_options(url: str, query: str, user: str = "", password: str = "") -> dict:
+CLICKHOUSE_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
+
+
+def jdbc_options(
+    url: str,
+    query: str,
+    user: str = "",
+    password: str = "",
+    driver: str = CLICKHOUSE_DRIVER,
+) -> dict:
     return {
         "url": url,
         "query": query,
-        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "driver": driver,
         "user": user,
         "password": password,
         # one day ≈ 1-2M rows; fetch in streaming blocks
@@ -57,34 +70,52 @@ def jdbc_options(url: str, query: str, user: str = "", password: str = "") -> di
     }
 
 
+def read_pushdown(spark: SparkSession, url: str, query: str, **opts) -> DataFrame:
+    """The S8 execution path: a JDBC scan whose `query` option ships the
+    whole statement to the database — the server does the GROUP BY, Spark
+    receives only unique rows."""
+    return spark.read.format("jdbc").options(**jdbc_options(url, query, **opts)).load()
+
+
 def read_deduped_day(
-    spark: SparkSession, url: str, table: str, date_from: str, date_to: str, **auth
+    spark: SparkSession, url: str, table: str, date_from: str, date_to: str, **opts
 ) -> DataFrame:
-    """S8: JDBC scan with the dedup pushed down. Requires the ClickHouse
-    JDBC driver on the classpath."""
-    opts = jdbc_options(url, dedup_pushdown_query(table, date_from, date_to), **auth)
-    return spark.read.format("jdbc").options(**opts).load()
+    """S8: JDBC scan with the ClickHouse-dialect dedup pushed down. Requires
+    the ClickHouse JDBC driver on the classpath."""
+    return read_pushdown(
+        spark, url, dedup_pushdown_query(table, date_from, date_to), **opts
+    )
 
 
-def clickhouse_stream_sink(df: DataFrame, url: str, table: str, checkpoint: str, **auth):
+def clickhouse_stream_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint: str,
+    driver: str = CLICKHOUSE_DRIVER,
+    available_now: bool = False,
+    **auth,
+):
     """S20: streaming insert via foreachBatch + JDBC. Batch size maps to the
     reference's CLICKHOUSE_BATCH_SIZE=1000 via jdbc batchsize; retries are
-    Spark task retries + checkpointed exactly-once batch replay."""
+    Spark task retries + checkpointed exactly-once batch replay.
+    `available_now=True` drains the source and stops (tests/backfills)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.write.format("jdbc")
             .option("url", url)
             .option("dbtable", table)
-            .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
+            .option("driver", driver)
             .option("batchsize", "1000")
             .options(**auth)
             .mode("append")
             .save()
         )
 
-    return (
-        df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint)
-        .start()
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -369,3 +369,44 @@ def test_ngram_jaccard_band_assumption(spark):
             f"{sf_dir}: true pair at jaccard {min_j:.3f} < 0.75 — the 2-of-8 "
             "band prefilter's miss probability is no longer negligible"
         )
+
+
+def test_ivf_pretrained_index_reuse(spark):
+    """The persisted-index lifecycle: centroids trained on a half-sample,
+    round-tripped through the JSON index format EXACTLY (bit-for-bit
+    floats), then reused to serve the full corpus — recall@3 vs brute force
+    must hold without re-training."""
+    import os
+
+    from mempool_dumpster_spark.ml.similarity import (
+        centroids_from_json,
+        centroids_to_json,
+        train_ivf_centroids,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    sample = emb.filter(F.crc32(F.col("vec_id").cast("string")) % 2 == 0)
+    cents = train_ivf_centroids(sample, n_cells=16, n_iters=3, dim=64)
+    assert centroids_from_json(centroids_to_json(cents)) == cents  # exact
+
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn_ivf_pretrained"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"pretrained-IVF recall@3 = {recall:.2f} < 0.9"
+
+    with pytest.raises(ValueError, match="not an IVF centroid payload"):
+        centroids_from_json('{"format": "bogus"}')
