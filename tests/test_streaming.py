@@ -179,3 +179,102 @@ def test_collector_checkpoint_restart(spark, tmp_path):
         str(tmp_path / "out/transactions")
     )
     assert txs.count() == 2  # each tx exactly once across the two drains
+
+
+def test_sources_attach_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState arrival-order accumulation: three micro-batches
+    (maxFilesPerTrigger=1) deliver the same hash from different sources; the
+    emitted array must GROW across batches in arrival order, keep the
+    earliest first_seen_ms, and dedupe repeat sources. Batch parity: the
+    final array per key equals J1 attach_sources' first-seen ordering on the
+    union of all receipts."""
+    import os as _os
+
+    from mempool_dumpster_spark.streaming.stateful import sources_attach_stream
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [
+        "2023-09-04 00:00:01,0xaa,alchemy\n2023-09-04 00:00:02,0xbb,eden\n",
+        "2023-09-04 00:00:03,0xaa,bloxroute\n2023-09-04 00:00:04,0xaa,alchemy\n",
+        "2023-09-04 00:00:05,0xaa,local\n",
+    ]
+    for i, content in enumerate(batches):
+        p = indir / f"b{i}.csv"
+        p.write_text(content)
+        t = 1_700_000_000 + i  # strictly increasing mtimes → batch order
+        _os.utime(p, (t, t))
+
+    stream = spark.readStream.schema(
+        "received_at timestamp, hash string, source string"
+    ).option("maxFilesPerTrigger", 1).csv(str(indir))
+    q = (
+        sources_attach_stream(stream, key_col="hash")
+        .writeStream.format("memory")
+        .queryName("attach_state_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql("select * from attach_state_tbl").collect()
+    aa = [r for r in rows if r["key"] == "0xaa"]
+    # one emission per batch containing 0xaa, array growing in arrival order
+    assert [r["sources"] for r in aa] == [
+        ["alchemy"],
+        ["alchemy", "bloxroute"],
+        ["alchemy", "bloxroute", "local"],
+    ]
+    assert all(r["first_seen_ms"] == 1693785601000 for r in aa)
+    assert aa[-1]["n_sources"] == 3
+    bb = [r for r in rows if r["key"] == "0xbb"]
+    assert [r["sources"] for r in bb] == [["eden"]]
+
+
+def test_sources_attach_stream_ttl_eviction(spark, tmp_path):
+    """Event-time TTL: once the watermark passes a key's last receipt + TTL,
+    its state is silently removed (no emission — the reference's knownTxs
+    eviction), so a later re-arrival starts a FRESH array instead of
+    extending the dead one."""
+    import os as _os
+
+    from mempool_dumpster_spark.streaming.stateful import sources_attach_stream
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [
+        "2023-09-04 00:00:00,0xaa,alchemy\n",
+        "2023-09-04 01:01:00,0xbb,eden\n",    # watermark -> 00:31 > 00:30 TTL
+        "2023-09-04 01:02:00,0xcc,local\n",   # this batch fires 0xaa's timeout
+        "2023-09-04 01:03:00,0xaa,bloxroute\n",  # re-arrival after eviction
+    ]
+    for i, content in enumerate(batches):
+        p = indir / f"b{i}.csv"
+        p.write_text(content)
+        t = 1_700_000_000 + i
+        _os.utime(p, (t, t))
+
+    stream = spark.readStream.schema(
+        "received_at timestamp, hash string, source string"
+    ).option("maxFilesPerTrigger", 1).csv(str(indir))
+    q = (
+        sources_attach_stream(stream, key_col="hash", ttl_minutes=30)
+        .writeStream.format("memory")
+        .queryName("attach_evict_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    aa = [
+        r
+        for r in spark.sql("select * from attach_evict_tbl").collect()
+        if r["key"] == "0xaa"
+    ]
+    # exactly two emissions: the original, and the post-eviction fresh start
+    # (no emission for the eviction itself); the fresh one does NOT contain
+    # alchemy and carries the NEW first_seen
+    assert [r["sources"] for r in aa] == [["alchemy"], ["bloxroute"]]
+    assert aa[1]["first_seen_ms"] == 1693789380000  # 01:03:00 UTC
