@@ -388,3 +388,55 @@ def test_trash_dedup_whole_row(spark):
     assert out[(1, "click")]["reason"] == REASON_SIGNATURE_ERROR
     assert out[(1, "click")]["notes"] == "n7"
     assert out[(1, "view")]["reason"] == REASON_CHAINID_NOT_SET
+
+
+def test_site_index_builder(spark, tmp_path):
+    """cmd/website equivalent: root page links the months; month pages list
+    files sorted, day-banded even/odd with change anchors, sizes via
+    human_bytes — the DummyHTMLData fixture from website/htmldata.go."""
+    from mempool_dumpster_spark.plans.site_index import build_site, page_model
+
+    arch = tmp_path / "archive"
+    for month, files in {
+        "2023-08": [
+            ("2023-08-29.csv.zip", 97210118),
+            ("2023-08-29.parquet", 90896124),
+            ("2023-08-30.parquet", 90896124),
+        ],
+        "2023-09": [("2023-09-01.parquet", 1024)],
+    }.items():
+        d = arch / month
+        d.mkdir(parents=True)
+        for fn, size in files:
+            (d / fn).write_bytes(b"\0" * min(size, 4096))
+            import os as _os
+
+            _os.truncate(d / fn, size)
+        (d / "index.html").write_text("old")  # must be excluded from listing
+
+    out = tmp_path / "site"
+    written = build_site(spark, str(arch), str(out))
+    assert (out / "index.html").exists()
+    root_html = (out / "index.html").read_text()
+    assert 'href="ethereum/mainnet/2023-08/index.html"' in root_html
+    assert "2023-09" in root_html
+
+    aug = (out / "ethereum" / "mainnet" / "2023-08" / "index.html").read_text()
+    assert "../" in aug  # parent link row
+    assert "index.html</a>" not in aug.replace("/index.html>", "")  # no self-listing
+    assert "92.7 MB" in aug  # 97210118 B
+    assert 'class="f-even"' in aug and 'class="f-odd"' in aug  # day banding
+    assert aug.index("2023-08-29.csv.zip") < aug.index("2023-08-30.parquet")
+    assert len(written) == 3
+
+    from mempool_dumpster_spark.plans.site_index import archive_listing
+
+    model = {
+        (r["filename"]): r
+        for r in page_model(archive_listing(spark, str(arch))).collect()
+    }
+    assert model["2023-08-29.csv.zip"]["band"] == "even"
+    assert model["2023-08-29.parquet"]["band"] == "even"  # same day, same band
+    assert model["2023-08-30.parquet"]["band"] == "odd"  # next day flips
+    assert model["2023-08-29.csv.zip"]["day_change"]
+    assert not model["2023-08-29.parquet"]["day_change"]
