@@ -1,0 +1,99 @@
+"""Physical-plan guards (SURVEY.md §2 scale notes; VERDICT r2 'plan audit').
+
+Correctness tests prove the small-SF answer; these prove the PLAN — the
+thing that decides whether the same query survives 100× data. Every
+registered query with join structure must compile without a cartesian
+product or an unbounded nested-loop join, the TPC-H dimension joins must
+broadcast, and selective scans must push their predicates into the parquet
+reader. A regression here is a scale bug even when every value still
+matches at sf0.01.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: registered queries whose plans must stay free of CartesianProduct and
+#: BroadcastNestedLoopJoin — the two shapes that are O(n·m) at any cluster
+#: size. emb_knn is deliberately absent: its brute-force baseline broadcasts
+#: the |Q|-bounded query side into a nested-loop by design (the scale paths
+#: are emb_knn_lsh / emb_knn_ivf, which ARE guarded).
+GUARDED = [
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "docs_minhash_lsh_pairs",
+    "docs_ngram_jaccard",
+    "docs_simhash_pairs",
+    "emb_near_pairs",
+    "emb_knn_lsh",
+    "emb_knn_ivf",
+    "docs_dedup_keeplist",
+    "events_asof_click",
+    "events_type_topk",
+    "sources_attach",
+    "blacklist_anti",
+    "dedup_earliest",
+]
+
+
+def _plan_of(spark, name: str) -> str:
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    df = all_queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_testdata():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+
+
+@pytest.mark.parametrize("name", GUARDED)
+def test_no_quadratic_join_shapes(spark, name):
+    plan = _plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} compiles to a cartesian product"
+    assert (
+        "BroadcastNestedLoopJoin" not in plan
+    ), f"{name} compiles to a nested-loop join"
+
+
+def test_tpch_dimension_joins_broadcast(spark):
+    """q3/q5: every dimension join must be a broadcast hash join — the fact
+    table shuffles at most once, dims never do."""
+    for name in ("q3_shipping_priority", "q5_regional_revenue"):
+        plan = _plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast joins"
+        # the only sort-merge allowed in q5 is the lineitem↔orders fact join
+        assert plan.count("SortMergeJoin") <= 1, f"{name} shuffles a dimension"
+
+
+def test_point_lookup_pushes_filters(spark):
+    """F7 point lookup: the hash predicate must reach the parquet scan
+    (PushedFilters), not run as a post-scan filter over the full table."""
+    plan = _plan_of(spark, "point_lookup")
+    assert "PushedFilters: [" in plan
+    start = plan.index("PushedFilters: [")
+    assert plan[start : start + 200].count("Isnotnull") + plan[
+        start : start + 200
+    ].count("IsNotNull") >= 1
+
+
+def test_projection_prunes_columns(spark):
+    """Column pruning: included_split groups on a predicate over
+    events.value only, so the parquet scan's ReadSchema must be exactly that
+    one column — none of the table's other columns (ts, user_id, props json,
+    ...) may reach the reader. (The plan's global window is over the
+    ~2-row post-aggregation frame — benign at any scale.)"""
+    plan = _plan_of(spark, "included_split")
+    read = plan[plan.index("ReadSchema") :].split("\n", 1)[0]
+    assert "ReadSchema: struct<value:double>" in read, read
