@@ -120,3 +120,48 @@ def fingerprint_mink(
             ).alias("fingerprint")
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.8,
+    max_mean_word_len: float = 5.0,
+    max_top_word_ratio: float = 0.12,
+) -> DataFrame:
+    """Gopher-style corpus filter rules (Rae et al. 2021 §A1.1; the same
+    family as C4's heuristics): word-count bounds, mean-word-length band,
+    and a repetition gate on the most-frequent word's share of the document
+    — the cheap structural filters every LLM pre-training pipeline runs
+    before dedup. `keep` is the conjunction.
+
+    Plan: explode to words → (doc, word) counts → per-doc fold. Both
+    aggregations partial-aggregate map-side, so the shuffle carries distinct
+    (doc, word) pairs, not tokens; no UDF anywhere. Ratios are computed as
+    double-division of exact BIGINTs — bit-identical cross-engine, so the
+    thresholds compare deterministically in the DuckDB oracle too.
+    """
+    w = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    wc = w.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    per_doc = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_count"),
+        F.sum(F.col("c") * F.length("w")).alias("total_chars"),
+    )
+    mean_len = F.col("total_chars").cast("double") / F.col("n_words")
+    top_ratio = F.col("top_word_count").cast("double") / F.col("n_words")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_words"),
+        mean_len.alias("mean_word_len"),
+        top_ratio.alias("top_word_ratio"),
+        (
+            F.col("n_words").between(min_words, max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (top_ratio <= max_top_word_ratio)
+        ).alias("keep"),
+    )

@@ -272,3 +272,39 @@ def emb_knn_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=3, dim=64, nprobe=8, n_assign=3,
         centroids=centroids_from_json(stored),
     ).select("query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank")
+
+
+@register(
+    "docs_gopher_rules",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(max(c) AS BIGINT) AS top_word_count,
+             CAST(sum(c * length(w)) AS BIGINT) AS total_chars
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           CAST(total_chars AS DOUBLE) / n_words AS mean_word_len,
+           CAST(top_word_count AS DOUBLE) / n_words AS top_word_ratio,
+           (n_words BETWEEN 30 AND 100000)
+             AND (CAST(total_chars AS DOUBLE) / n_words >= 3.8)
+             AND (CAST(total_chars AS DOUBLE) / n_words <= 5.0)
+             AND (CAST(top_word_count AS DOUBLE) / n_words <= 0.12) AS keep
+    FROM per_doc
+    """,
+    doc="Gopher-style structural corpus filters (ml.text.gopher_rules): "
+    "word-count bounds, mean-word-length band, top-word repetition gate, "
+    "conjunction as `keep`. Map-side-combined (doc,word) aggregation — the "
+    "shuffle carries distinct pairs, not tokens; ratios are BIGINT÷BIGINT "
+    "doubles so the oracle compares bit-identically.",
+)
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import gopher_rules
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return gopher_rules(docs)

@@ -410,3 +410,51 @@ def test_ivf_pretrained_index_reuse(spark):
 
     with pytest.raises(ValueError, match="not an IVF centroid payload"):
         centroids_from_json('{"format": "bogus"}')
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Each rule trips independently: too short, too-long mean word,
+    repetition-heavy, and a clean doc that passes all gates."""
+    from mempool_dumpster_spark.ml.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc"),  # n_words=2 < 4 -> short
+            (2, "longwordshere everywhere absolutely enormous tokens"),  # mean len
+            (3, "spam spam spam spam ham eggs ham eggs"),  # top ratio 0.5
+            (4, "the quick brown fox jumps over lazy dogs"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            docs,
+            min_words=4,
+            max_words=100,
+            min_mean_word_len=3.0,
+            max_mean_word_len=6.0,
+            max_top_word_ratio=0.3,
+        ).collect()
+    }
+    assert not out[1]["keep"]
+    assert out[2]["mean_word_len"] > 6.0 and not out[2]["keep"]
+    assert out[3]["top_word_ratio"] == 0.5 and not out[3]["keep"]
+    assert out[4]["keep"]
+    assert out[4]["n_words"] == 8
+    assert out[4]["mean_word_len"] == pytest.approx(33 / 8)
+
+
+def test_gopher_rules_split_on_testdata(spark):
+    """The registered thresholds must produce a genuine keep/drop split on
+    the driver's corpus (a constant flag would make the gate vacuous)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    rows = all_queries()["docs_gopher_rules"](spark, sf_dir).collect()
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows)
