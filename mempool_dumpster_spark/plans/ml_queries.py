@@ -308,3 +308,36 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return gopher_rules(docs)
+
+
+@register(
+    "docs_tfidf_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.c * n.n_docs AS DOUBLE) / df.dfreq AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Per-doc top-3 salient terms by tf×N/df (ml.text.tfidf_top_terms) — "
+    "keyword extraction with an ln-free score so the oracle hashes "
+    "bit-identically; term tiebreak makes top-k deterministic. The tf⋈df "
+    "join keys on term (∝ vocab), the corpus size joins as a broadcast "
+    "1-row frame.",
+)
+def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import tfidf_top_terms
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return tfidf_top_terms(docs, k=3)

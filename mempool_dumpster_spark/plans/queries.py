@@ -728,3 +728,43 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         "duration_s",
     )
+
+
+@register(
+    "events_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact per-type distinct-user cardinality (A14-family): "
+    "count(DISTINCT) expands to a two-phase partial-distinct aggregate — "
+    "the shuffle carries distinct (type, user) pairs, not events. The "
+    "sketch twin below is the 100 TB path when exactness isn't required.",
+)
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_distinct_users_approx",
+    oracle=None,  # HLL++ estimate — no SQL ground truth; tolerance-gated:
+    # tests/test_operators.py::test_distinct_users_approx_tolerance
+    doc="HyperLogLog++ sketch of per-type distinct users "
+    "(approx_count_distinct, rsd=0.02): constant state per group instead "
+    "of a distinct-pair shuffle — at 100 TB the exact form shuffles "
+    "|distinct pairs| rows while this ships one ~kB sketch per partition "
+    "per group and merges. Estimates asserted within 3×rsd of the exact "
+    "twin on the driver corpus.",
+)
+def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )

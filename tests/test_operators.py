@@ -440,3 +440,27 @@ def test_site_index_builder(spark, tmp_path):
     assert model["2023-08-30.parquet"]["band"] == "odd"  # next day flips
     assert model["2023-08-29.csv.zip"]["day_change"]
     assert not model["2023-08-29.parquet"]["day_change"]
+
+
+def test_distinct_users_approx_tolerance(spark):
+    """The HLL++ sketch entry must land within 3×rsd (6%) of the exact
+    distinct count per group on the driver's testdata."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in qs["events_distinct_users"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in qs["events_distinct_users_approx"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.06 * n), (et, n, approx[et])
