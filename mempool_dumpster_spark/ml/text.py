@@ -176,35 +176,28 @@ def tfidf_top_terms(
     """Per-document top-k salient terms by a TF-IDF-style score — the
     keyword-extraction primitive of corpus exploration/labeling pipelines.
 
-    Score = tf × N / df (the raw inverse-frequency ratio, NOT log-damped:
-    ln() is libm-dependent and would break bit-exact cross-engine oracles,
-    while BIGINT·BIGINT products divided as doubles are IEEE-deterministic;
-    the ranking is monotone-equivalent for fixed tf). Ties break on the
-    term itself so top-k is deterministic.
+    Score = tf / df (term count over document frequency). Classic TF-IDF
+    multiplies by ln(N/df), but ln() is libm-dependent (breaks bit-exact
+    cross-engine oracles) and the corpus size N is one constant over every
+    scored row, so it cannot change any per-document ranking — dropping it
+    removes a whole join from the plan. tf/df is a BIGINT÷BIGINT double:
+    IEEE-deterministic in any engine. Ties break on the term itself so
+    top-k is deterministic.
 
     Plan: (doc,term) counts and the term document-frequency both
-    partial-aggregate map-side; the tf⋈df join keys on term — broadcast
-    when the vocabulary fits (Catalyst/AQE decides), shuffle-on-term
-    otherwise, either way ∝ vocab not tokens; the corpus size joins in as
-    a broadcast 1-row frame, never a driver-side collect; final top-k is
-    one window per doc over ≤ vocab rows."""
+    partial-aggregate map-side; the single tf⋈df join keys on term —
+    broadcast when the vocabulary fits (Catalyst/AQE decides),
+    shuffle-on-term otherwise, either way ∝ vocab not tokens; final top-k
+    is one window per doc over ≤ vocab rows."""
     from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
 
     w = df.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
     tf = w.groupBy(id_col, "term").agg(F.count("*").alias("c"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
-    n_docs = df.select(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(broadcast(n_docs))
-        .select(
-            F.col(id_col),
-            "term",
-            (
-                (F.col("c") * F.col("n_docs")).cast("double") / F.col("dfreq")
-            ).alias("score"),
-        )
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("c").cast("double") / F.col("dfreq")).alias("score"),
     )
     rank_w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
     return (

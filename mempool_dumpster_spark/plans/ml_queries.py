@@ -318,11 +318,10 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
     df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
-    n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             CAST(tf.c * n.n_docs AS DOUBLE) / df.dfreq AS score
-      FROM tf JOIN df USING (term) CROSS JOIN n
+             CAST(tf.c AS DOUBLE) / df.dfreq AS score
+      FROM tf JOIN df USING (term)
     )
     SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM (
       SELECT *, row_number() OVER (
@@ -330,11 +329,10 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS rank FROM scored
     ) WHERE rank <= 3
     """,
-    doc="Per-doc top-3 salient terms by tf×N/df (ml.text.tfidf_top_terms) — "
-    "keyword extraction with an ln-free score so the oracle hashes "
-    "bit-identically; term tiebreak makes top-k deterministic. The tf⋈df "
-    "join keys on term (∝ vocab), the corpus size joins as a broadcast "
-    "1-row frame.",
+    doc="Per-doc top-3 salient terms by tf/df (ml.text.tfidf_top_terms) — "
+    "keyword extraction with an ln-free, constant-factor-free score so the "
+    "oracle hashes bit-identically and ranking is unchanged; term tiebreak "
+    "makes top-k deterministic. One tf⋈df equi-join on term (∝ vocab).",
 )
 def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mempool_dumpster_spark.ml.text import tfidf_top_terms

@@ -34,6 +34,7 @@ GUARDED = [
     "emb_knn_lsh",
     "emb_knn_ivf",
     "docs_dedup_keeplist",
+    "docs_tfidf_terms",
     "events_asof_click",
     "events_type_topk",
     "sources_attach",
