@@ -16,6 +16,7 @@ import io
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -98,3 +99,32 @@ def test_projection_prunes_columns(spark):
     plan = _plan_of(spark, "included_split")
     read = plan[plan.index("ReadSchema") :].split("\n", 1)[0]
     assert "ReadSchema: struct<value:double>" in read, read
+
+
+def test_partitioned_archive_prunes(spark, tmp_path):
+    """The date=/hour= layout the collector writes (ST2) must actually prune
+    at read time: a day+hour predicate has to land in the scan's
+    PartitionFilters — not as a post-scan filter over the whole archive.
+    This is what makes the 100 TB archive point-queryable."""
+    df = spark.createDataFrame(
+        [
+            ("2023-09-04", "00", "h1"),
+            ("2023-09-04", "01", "h2"),
+            ("2023-09-05", "00", "h3"),
+        ],
+        "date string, hour string, hash string",
+    )
+    root = str(tmp_path / "archive")
+    df.write.partitionBy("date", "hour").parquet(root)
+
+    q = spark.read.parquet(root).filter(
+        (F.col("date") == "2023-09-04") & (F.col("hour") == "01")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = plan[plan.index("PartitionFilters") :].split("\n", 1)[0]
+    assert "date" in pf and "hour" in pf, pf
+    assert [r["hash"] for r in q.collect()] == ["h2"]
