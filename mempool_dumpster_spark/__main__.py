@@ -1,0 +1,150 @@
+"""CLI entry points mirroring the reference's subcommands
+(`mempool-dumpster merge|analyze|collect|website`, cmd/main.go), so a user
+of the reference can run the same daily jobs against this engine:
+
+    python -m mempool_dumpster_spark merge --out DAY_DIR \
+        --sourcelog sl_*.csv --tx-blacklist yesterday.csv txs_*.csv
+    python -m mempool_dumpster_spark analyze --out summary.txt \
+        transactions.parquet
+    python -m mempool_dumpster_spark collect --landing DIR --out DIR \
+        [--drain]
+    python -m mempool_dumpster_spark website --root ARCHIVE --out SITE
+
+Flag names follow cmd/merge/main.go:20-57 and cmd/analyze/main.go:20-34
+where the concept carries over. Each command builds a local SparkSession
+unless one is injected (tests inject the shared fixture session; a cluster
+deployment submits this module via spark-submit and the active session is
+picked up)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _session(spark: SparkSession | None) -> SparkSession:
+    if spark is not None:
+        return spark
+    return (
+        SparkSession.builder.appName("mempool-dumpster-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def cmd_merge(args, spark: SparkSession | None = None) -> int:
+    from mempool_dumpster_spark.operators.analyzer import analyze, sprint_summary
+    from mempool_dumpster_spark.plans.merge import (
+        merge_transactions,
+        write_merge_outputs,
+    )
+    from mempool_dumpster_spark.sources.sinks import write_sorted_csv
+
+    spark = _session(spark)
+    result = merge_transactions(
+        spark,
+        tx_paths=args.tx,
+        sourcelog_paths=args.sourcelog or None,
+        blacklist_paths=args.tx_blacklist or None,
+    )
+    write_merge_outputs(result, args.out)
+    if args.sourcelog and result.sourcelog is not None:
+        write_sorted_csv(result.sourcelog, f"{args.out}/sourcelog.csv")
+    if args.write_summary:
+        report = sprint_summary(analyze(result.transactions))
+        with open(f"{args.out}/summary.txt", "w") as f:
+            f.write(report)
+    return 0
+
+
+def cmd_analyze(args, spark: SparkSession | None = None) -> int:
+    from mempool_dumpster_spark.operators.analyzer import analyze, sprint_summary
+    from mempool_dumpster_spark.sources.readers import read_transactions_parquet
+
+    spark = _session(spark)
+    txs = read_transactions_parquet(spark, args.input)
+    report = sprint_summary(analyze(txs))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report)
+    else:
+        print(report)
+    return 0
+
+
+def cmd_collect(args, spark: SparkSession | None = None) -> int:
+    from mempool_dumpster_spark.streaming.collector import (
+        file_stream_source,
+        start_collector,
+    )
+
+    spark = _session(spark)
+    stream = file_stream_source(spark, args.landing)
+    queries = start_collector(
+        stream,
+        out_dir=args.out,
+        checkpoint_dir=args.checkpoint or f"{args.out}/_checkpoint",
+        trigger_available_now=args.drain,
+    )
+    queries.await_all()
+    return 0
+
+
+def cmd_website(args, spark: SparkSession | None = None) -> int:
+    from mempool_dumpster_spark.plans.site_index import build_site
+
+    spark = _session(spark)
+    for path in build_site(spark, args.root, args.out):
+        print(path)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mempool_dumpster_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    m = sub.add_parser("merge", help="merge a day of collector outputs")
+    m.add_argument("tx", nargs="+", help="transaction CSV/zip input files")
+    m.add_argument("--out", required=True, help="output directory")
+    m.add_argument("--sourcelog", nargs="*", default=[], help="sourcelog files")
+    m.add_argument(
+        "--tx-blacklist", nargs="*", default=[],
+        help="blacklisted tx files (e.g. previous day)",
+    )
+    m.add_argument(
+        "--write-summary", action="store_true",
+        help="run the analyzer and write summary.txt",
+    )
+    m.set_defaults(fn=cmd_merge)
+
+    a = sub.add_parser("analyze", help="analyze merged transactions")
+    a.add_argument("input", nargs="+", help="input parquet files")
+    a.add_argument("--out", help="output filename (stdout if omitted)")
+    a.set_defaults(fn=cmd_analyze)
+
+    c = sub.add_parser("collect", help="run the streaming collector")
+    c.add_argument("--landing", required=True, help="landing dir of feed CSVs")
+    c.add_argument("--out", required=True, help="output directory")
+    c.add_argument("--checkpoint", help="checkpoint dir (default OUT/_checkpoint)")
+    c.add_argument(
+        "--drain", action="store_true",
+        help="process available input then exit (availableNow)",
+    )
+    c.set_defaults(fn=cmd_collect)
+
+    w = sub.add_parser("website", help="build the archive file-index site")
+    w.add_argument("--root", required=True, help="archive root (month dirs)")
+    w.add_argument("--out", required=True, help="site output directory")
+    w.set_defaults(fn=cmd_website)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args, spark=spark)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

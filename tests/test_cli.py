@@ -1,0 +1,82 @@
+"""CLI smoke tests: every subcommand of `python -m mempool_dumpster_spark`
+(the reference's cmd/main.go surface) runs end-to-end in-process against the
+shared session — merge produces the three sink formats + summary, analyze
+renders a report from parquet, collect drains a landing dir, website builds
+the index pages."""
+
+from __future__ import annotations
+
+import glob
+
+from mempool_dumpster_spark.__main__ import main
+from txgen import make_tx, tx_hash_of
+
+TS = 1693785600_000
+
+
+def test_cli_merge_and_analyze(spark, tmp_path):
+    tx_a = make_tx(priv=0xA11CE, tx_type=2, nonce=1)
+    tx_b = make_tx(priv=0xB0B, tx_type=0, nonce=2)
+    ha, hb = tx_hash_of(tx_a), tx_hash_of(tx_b)
+    txs = tmp_path / "txs.csv"
+    txs.write_text(f"{TS + 100},{ha},{tx_a}\n{TS + 200},{hb},{tx_b}\n")
+    sl = tmp_path / "sourcelog.csv"
+    sl.write_text(f"{TS + 100},{ha},alchemy\n{TS + 150},{hb},local\n")
+    out = tmp_path / "out"
+
+    rc = main(
+        [
+            "merge", str(txs),
+            "--out", str(out),
+            "--sourcelog", str(sl),
+            "--write-summary",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    merged = spark.read.parquet(str(out / "transactions.parquet"))
+    assert {r["hash"] for r in merged.select("hash").collect()} == {ha, hb}
+    assert (out / "summary.txt").exists()
+    assert glob.glob(str(out / "transactions.csv" / "*.csv"))
+    assert glob.glob(str(out / "sourcelog.csv" / "*.csv"))
+
+    report = tmp_path / "report.txt"
+    rc = main(
+        [
+            "analyze", str(out / "transactions.parquet"),
+            "--out", str(report),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    text = report.read_text()
+    assert "[Mempool Dumpster]" in text and "Date: 2023-09-04" in text
+
+
+def test_cli_collect_drain(spark, tmp_path):
+    tx = make_tx(priv=0xFEED, tx_type=2, nonce=9)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.csv").write_text(f"2023-09-04 00:01:40,{tx},alchemy\n")
+    out = tmp_path / "cout"
+    rc = main(
+        ["collect", "--landing", str(landing), "--out", str(out), "--drain"],
+        spark=spark,
+    )
+    assert rc == 0
+    sl = glob.glob(str(out / "sourcelog" / "date=*" / "hour=*" / "*.csv"))
+    assert sl, "collector wrote no sourcelog buckets"
+
+
+def test_cli_website(spark, tmp_path):
+    arch = tmp_path / "arch" / "2023-09"
+    arch.mkdir(parents=True)
+    (arch / "2023-09-04.parquet").write_bytes(b"x" * 128)
+    site = tmp_path / "site"
+    rc = main(
+        ["website", "--root", str(tmp_path / "arch"), "--out", str(site)],
+        spark=spark,
+    )
+    assert rc == 0
+    assert (site / "index.html").exists()
+    assert (site / "ethereum" / "mainnet" / "2023-09" / "index.html").exists()
