@@ -339,3 +339,91 @@ def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return tfidf_top_terms(docs, k=3)
+
+
+def _prep_pipeline_oracle() -> str:
+    return (
+        _dup_components_cte()
+        + """,
+    comp AS (
+      SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id
+    ),
+    nearkeep AS (
+      SELECT doc_id FROM comp WHERE doc_id = component_id
+      UNION ALL
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    ),
+    exactkeep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    gw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    gwc AS (SELECT doc_id, w, count(*) AS c FROM gw GROUP BY doc_id, w),
+    gper AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(max(c) AS BIGINT) AS top_word_count,
+             CAST(sum(c * length(w)) AS BIGINT) AS total_chars
+      FROM gwc GROUP BY doc_id
+    ),
+    gophkeep AS (
+      SELECT doc_id FROM gper
+      WHERE (n_words BETWEEN 30 AND 100000)
+        AND (CAST(total_chars AS DOUBLE) / n_words >= 3.8)
+        AND (CAST(total_chars AS DOUBLE) / n_words <= 5.0)
+        AND (CAST(top_word_count AS DOUBLE) / n_words <= 0.12)
+    ),
+    kept AS (
+      SELECT d.* FROM documents d
+      WHERE d.doc_id IN (SELECT doc_id FROM nearkeep)
+        AND d.doc_id IN (SELECT doc_id FROM exactkeep)
+        AND d.doc_id IN (SELECT doc_id FROM gophkeep)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY source
+    """
+    )
+
+
+@register(
+    "docs_prep_pipeline",
+    oracle=_prep_pipeline_oracle(),
+    doc="The full training-data prep pipeline as ONE oracle-checked query — "
+    "the composition a 100 TB corpus run actually executes: Gopher-style "
+    "structural filters (ml.text.gopher_rules) ∧ exact content dedup "
+    "(ml.dedup.exact_dedup, min doc per md5) ∧ MinHash-LSH near-dup "
+    "keep-list (shingle → band join → connected components → cluster heads "
+    "+ singletons), then a per-source corpus summary (docs / tokens / "
+    "chars kept). Each gate is computed over the corpus once and applied "
+    "as a doc_id semi-join: the gates are independent, so they parallelize "
+    "as sibling stages rather than a serial filter chain, and every join "
+    "is an equi-join on doc_id — no gate amplifies rows. All-BIGINT "
+    "output so the cross-engine hash compares exactly.",
+)
+def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.dedup import words
+    from mempool_dumpster_spark.ml.text import gopher_rules
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    goph_keep = gopher_rules(docs).filter("keep").select("doc_id")
+    exact_keep = exact_dedup(docs).select("doc_id")
+    near_keep = docs_dedup_keeplist(spark, sf_dir)
+    kept = (
+        docs.join(goph_keep, "doc_id", "left_semi")
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(near_keep, "doc_id", "left_semi")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.size(words("text")).cast("bigint")).alias("sum_tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("sum_chars"),
+    )

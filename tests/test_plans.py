@@ -35,6 +35,7 @@ GUARDED = [
     "emb_knn_lsh",
     "emb_knn_ivf",
     "docs_dedup_keeplist",
+    "docs_prep_pipeline",
     "docs_tfidf_terms",
     "events_asof_click",
     "events_type_topk",
