@@ -27,7 +27,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #: are emb_knn_lsh / emb_knn_ivf, which ARE guarded).
 GUARDED = [
     "q3_shipping_priority",
+    "q4_late_orders",
     "q5_regional_revenue",
+    "q14_promo_revenue",
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard",
     "docs_simhash_pairs",
@@ -78,6 +80,18 @@ def test_tpch_dimension_joins_broadcast(spark):
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast joins"
         # the only sort-merge allowed in q5 is the lineitem↔orders fact join
         assert plan.count("SortMergeJoin") <= 1, f"{name} shuffles a dimension"
+
+
+def test_q6_pushes_filters_and_prunes(spark):
+    """Q6: the selective conjunctive predicate must reach the parquet reader
+    (PushedFilters on shipdate/discount/quantity) and the scan must read only
+    the 4 referenced columns — the whole point of the Q6 shape."""
+    plan = _plan_of(spark, "q6_forecast_revenue")
+    pf = plan[plan.index("PushedFilters") :].split("\n", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+    read = plan[plan.index("ReadSchema") :].split("\n", 1)[0]
+    assert read.count(",") == 3, f"q6 reads more than its 4 columns: {read}"
 
 
 def test_point_lookup_pushes_filters(spark):
