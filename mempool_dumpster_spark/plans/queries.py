@@ -882,3 +882,43 @@ def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "events_daily_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           max(value) AS max_value,
+           CAST(GROUPING(event_type) * 2
+                + GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT) AS lvl
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+    """,
+    doc="Hierarchical rollup (the hypertable-rollup shape): per "
+    "(type, day) cells plus per-type subtotals plus a grand total in one "
+    "pass — GROUP BY ROLLUP, with grouping_id exposed as `lvl` so subtotal "
+    "rows are unambiguous even if a group key were genuinely NULL. Spark "
+    "expands the rollup (Expand ×3) BELOW a partial hash aggregate, so the "
+    "shuffle carries pre-combined cells, not ×3 input rows; aggregates are "
+    "all exact integers / max (no fp accumulation) for cross-engine "
+    "hashing.",
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        "user_id",
+        "value",
+    )
+    return base.rollup("event_type", "day").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("value").alias("max_value"),
+        (F.grouping("event_type") * 2 + F.grouping("day"))
+        .cast("bigint")
+        .alias("lvl"),
+    )
