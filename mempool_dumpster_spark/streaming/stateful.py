@@ -66,11 +66,10 @@ def sources_attach_stream(
             state.remove()  # reference: knownTxs TTL eviction, no emission
             return
         if state.exists:
-            sources, first_ms = state.get
+            sources, first_ms, last_ms = state.get
             sources = list(sources)
         else:
-            sources, first_ms = [], None
-        last_ms = 0
+            sources, first_ms, last_ms = [], None, 0
         for pdf in pdfs:
             for _, row in pdf.sort_values(["__ts_ms", "__source"]).iterrows():
                 if row["__source"] not in sources:
@@ -78,9 +77,11 @@ def sources_attach_stream(
                 ms = int(row["__ts_ms"])
                 first_ms = ms if first_ms is None else min(first_ms, ms)
                 last_ms = max(last_ms, ms)
-        state.update((sources, int(first_ms)))
-        # evict once the watermark passes the latest receipt + TTL
-        # (always > current watermark: watermark trails max event time)
+        state.update((sources, int(first_ms), int(last_ms)))
+        # evict once the watermark passes the latest receipt + TTL.
+        # last_ms persists across batches: a late-but-in-watermark
+        # re-delivery older than a prior batch's receipt must not pull
+        # the deadline earlier than "latest receipt ever + TTL".
         state.setTimeoutTimestamp(last_ms + ttl_ms)
         yield pd.DataFrame(
             {
@@ -102,7 +103,9 @@ def sources_attach_stream(
         outputStructType=(
             "key string, sources array<string>, first_seen_ms long, n_sources int"
         ),
-        stateStructType="sources array<string>, first_seen_ms long",
+        stateStructType=(
+            "sources array<string>, first_seen_ms long, last_seen_ms long"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
