@@ -85,6 +85,26 @@ def ts_ms_to_timestamp(col: Column | str) -> Column:
     return F.timestamp_millis(F.col(col) if isinstance(col, str) else col)
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds of a timestamp column, robust to TIMESTAMP_NTZ.
+
+    `unix_micros` only accepts TIMESTAMP; externally-produced parquet
+    (pandas/pyarrow `timestamp[us]` with no timezone — the most common
+    encoding in the wild) reads as TIMESTAMP_NTZ and makes it throw
+    DATATYPE_MISMATCH. The cast is a no-op on TIMESTAMP and interprets NTZ
+    wall-clock in the session timezone, which this engine pins to UTC
+    (session.py) — so the epoch value matches what DuckDB/pandas compute
+    for the same naive timestamp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def epoch_ms(col: Column | str) -> Column:
+    """Epoch milliseconds, TIMESTAMP_NTZ-robust — see `epoch_us`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
 def parse_date_multi(col: Column | str) -> Column:
     """P9: parse a date string in the reference's three accepted formats —
     date-only, datetime, RFC3339 (reference common/utils.go:200-209)."""

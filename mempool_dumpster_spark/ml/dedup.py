@@ -280,6 +280,8 @@ def duplicate_components(pairs: DataFrame, iterations: int = 50) -> DataFrame:
     algorithm pattern that survives 100× scale (see also GraphFrames'
     connected components, which alternates the same join with checkpoints).
     """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))

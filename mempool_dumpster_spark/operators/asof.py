@@ -58,6 +58,16 @@ def asof_join(
     """
     rc = right_cols or [c for c in right.columns if c not in [*on, right_ts]]
     out_cols = [c + suffix for c in rc]
+    # Fail fast on output-name collisions: if `left` already carries a
+    # column named `<right_col><suffix>` (or `asof_ts<suffix>`), the select
+    # below would silently emit a duplicate column name and every
+    # downstream reference to it would be ambiguous.
+    clash = set(left.columns) & {f"asof_ts{suffix}", *out_cols}
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {sorted(clash)} already exist on the "
+            f"left side; pass a different suffix or rename/drop them first"
+        )
 
     # The whole matched right row travels as ONE struct, and last(struct,
     # ignorenulls) picks it atomically — taking last() per payload column

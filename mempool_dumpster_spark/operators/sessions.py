@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mempool_dumpster_spark.functions.scalars import epoch_us
+
 
 def sessionize(
     df: DataFrame,
@@ -39,11 +41,12 @@ def sessionize(
         order.append(F.col(tiebreak).asc())
     w = Window.partitionBy(*key_cols).orderBy(*order)
     # integer-microsecond arithmetic: exact, and bit-identical to any other
-    # engine's epoch-µs math (a float-seconds cast would round differently)
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    # engine's epoch-µs math (a float-seconds cast would round differently).
+    # epoch_us (not raw unix_micros) so TIMESTAMP_NTZ parquet — the common
+    # pandas/pyarrow encoding — works; the difference math is tz-invariant.
+    prev = F.lag(epoch_us(ts_col)).over(w)
     boundary = (
-        prev.isNull()
-        | (F.unix_micros(F.col(ts_col)) - prev > gap_seconds * 1_000_000)
+        prev.isNull() | (epoch_us(ts_col) - prev > gap_seconds * 1_000_000)
     ).cast("long")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_seq", F.sum(boundary).over(running))
@@ -65,7 +68,7 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         (
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            (epoch_us(F.max(ts_col)) - epoch_us(F.min(ts_col)))
             / F.lit(1_000_000.0)
         ).alias("duration_s"),
     )
@@ -104,7 +107,7 @@ def session_stats_window(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             (
-                (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+                (epoch_us(F.max(ts_col)) - epoch_us(F.min(ts_col)))
                 / F.lit(1_000_000.0)
             ).alias("duration_s"),
         )

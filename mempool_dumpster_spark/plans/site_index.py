@@ -76,36 +76,47 @@ def page_model(listing: DataFrame) -> DataFrame:
 
 
 def _page(title: str, body: str) -> str:
+    from html import escape
+
     return (
         "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
-        f"<title>Mempool Dumpster{(' — ' + title) if title else ''}</title>"
+        f"<title>Mempool Dumpster{(' — ' + escape(title)) if title else ''}</title>"
         "</head><body>" + body + "</body></html>"
     )
 
 
 def render_root_page(months: list[str], network: str = "Ethereum Mainnet") -> str:
-    """index_root.html: one link per month folder."""
+    """index_root.html: one link per month folder. All interpolated values
+    are escaped — the reference renders through Go html/template, which
+    auto-escapes (cmd/website uses website/templates via html/template)."""
+    from html import escape
+
     items = "".join(
-        f'<li><a href="ethereum/mainnet/{m}/index.html">{m}</a></li>'
+        f'<li><a href="ethereum/mainnet/{escape(m, quote=True)}/index.html">'
+        f"{escape(m)}</a></li>"
         for m in months
     )
-    return _page("", f"<h2>{network}</h2><ul>{items}</ul>")
+    return _page("", f"<h2>{escape(network)}</h2><ul>{items}</ul>")
 
 
 def render_month_page(month: str, files: list, network: str = "Ethereum Mainnet") -> str:
     """index_files.html: ../ link, then one banded row per file with the
-    filename link and the human-readable size."""
+    filename link and the human-readable size. Filenames/months are escaped
+    for the same html/template-parity reason as `render_root_page`."""
+    from html import escape
+
     rows = ['<tr class="cx"><td class=fn><a href=/index.html>../</a></td><td></td></tr>']
     for r in files:
-        anchor = f'<a name="{r["day"]}"></a>' if r["day_change"] else ""
+        fn = escape(r["filename"], quote=True)
+        anchor = f'<a name="{escape(r["day"], quote=True)}"></a>' if r["day_change"] else ""
         rows.append(
             f'<tr class="f-{r["band"]}">'
-            f'<td class=fn>{anchor}<a name="{r["filename"]}"></a>'
-            f'<a href={r["filename"]}>{r["filename"]}</a></td>'
+            f'<td class=fn>{anchor}<a name="{fn}"></a>'
+            f'<a href="{fn}">{fn}</a></td>'
             f'<td class=fs>{human_bytes(r["size_bytes"])}</td></tr>'
         )
     body = (
-        f'<a href=/index.html>{network}</a><h2>{month}</h2>'
+        f'<a href=/index.html>{escape(network)}</a><h2>{escape(month)}</h2>'
         f'<table><tbody>{"".join(rows)}</tbody></table>'
     )
     return _page(month, body)

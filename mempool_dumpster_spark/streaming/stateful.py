@@ -29,11 +29,25 @@ Semantics per micro-batch, per hash:
   is the Spark-native eviction clock.) Expired state means a very late
   re-arrival starts a fresh array — same behavior as the reference's
   cache miss; the daily batch merge is authoritative.
+- TTL anchor divergence (deliberate, documented like the event-time one
+  above): the reference's knownTxs records only the FIRST-seen time and
+  evicts 30 min after that (tx_processor.go:240-247,501-508); here the
+  deadline anchors on the LATEST receipt ever seen (`last_seen_ms`), so
+  a re-delivery extends the key's life. Like the event-time difference,
+  this only delays cleanup — it never corrupts output, and it is what
+  keeps a still-active hash's source array growing instead of resetting
+  mid-flight.
 
-State size: one (array<string>, long) per live hash — ~45k keys for a
-2M-tx day at 30 min TTL, trivially partitioned by hash across executors.
-The per-batch Python work is Arrow-batched and proportional to the
-batch's updated keys only.
+State size: one (array<string> sources, long first_seen_ms, long
+last_seen_ms) per live hash — ~45k keys for a 2M-tx day at 30 min TTL,
+trivially partitioned by hash across executors. The per-batch Python work
+is Arrow-batched and proportional to the batch's updated keys only.
+
+Checkpoint compatibility: the state schema grew from 2 to 3 fields when
+`last_seen_ms` was added (so a late-but-in-watermark re-delivery can't
+pull the eviction deadline earlier). Spark's state-store schema check
+rejects checkpoints written by the 2-field version — restart such a query
+with a fresh checkpoint location.
 """
 
 from __future__ import annotations
@@ -44,6 +58,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mempool_dumpster_spark.functions.scalars import epoch_ms
 
 
 def sources_attach_stream(
@@ -96,7 +112,7 @@ def sources_attach_stream(
         F.col(key_col).alias("__key"),
         F.col(source_col).alias("__source"),
         F.col(ts_col).alias("__ts"),
-        F.unix_millis(F.col(ts_col)).alias("__ts_ms"),
+        epoch_ms(ts_col).alias("__ts_ms"),
     ).withWatermark("__ts", f"{ttl_minutes} minutes")
     return prepared.groupBy("__key").applyInPandasWithState(
         fold,

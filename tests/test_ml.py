@@ -88,6 +88,14 @@ def test_duplicate_components(spark):
     assert comp[7] == comp[9] == 7
 
 
+def test_duplicate_components_rejects_nonpositive_iterations(spark):
+    """iterations=0 used to fall into the for/else warning with `n_changed`
+    unbound (NameError); now it's rejected up front."""
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="iterations"):
+        duplicate_components(pairs, iterations=0)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     # 3 clusters around orthogonal axes in 8d + the queries themselves

@@ -234,6 +234,29 @@ def test_asof_join_null_payload_atomic(spark):
     assert row["a_right"] is None  # NOT "old_a" stitched from the older row
 
 
+def test_asof_join_output_collision_raises(spark):
+    """If the left side already has `<right_col><suffix>` (or the
+    `asof_ts<suffix>` slot), the join must fail fast instead of emitting an
+    ambiguous duplicate column."""
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "x")], "user_id long, ts long, tag_right string"
+    )
+    right = spark.createDataFrame([(1, 50, "t")], "user_id long, ts long, tag string")
+    with pytest.raises(ValueError, match="tag_right"):
+        asof_join(left, right, on=["user_id"])
+    # a non-colliding suffix works
+    out = asof_join(left, right, on=["user_id"], suffix="_r").collect()[0]
+    assert out["tag_r"] == "t"
+
+    left2 = spark.createDataFrame(
+        [(1, 100, "x")], "user_id long, ts long, asof_ts_right string"
+    )
+    with pytest.raises(ValueError, match="asof_ts_right"):
+        asof_join(left2, right, on=["user_id"], right_cols=["tag"])
+
+
 def test_sessionize_gap_boundaries(spark):
     """Hand-computed sessions: gaps > 30 min split; boundaries are inclusive
     of the exact-gap case (gap == threshold stays in-session)."""
@@ -320,6 +343,120 @@ def test_session_window_parity(spark, tmp_path):
     )
     q.awaitTermination()
     assert canon(spark.sql("select * from sess_parity_tbl")) == batch
+
+
+@pytest.fixture()
+def ntz_events(spark, tmp_path):
+    """events-shaped parquet written by pyarrow as `timestamp[us]` with NO
+    timezone — the encoding pandas/DuckDB produce and the one the driver's
+    testdata uses. Spark reads it as TIMESTAMP_NTZ, which `unix_micros`
+    rejects outright (the round-4 `events_sessions` regression: pytest was
+    green on Spark-written TIMESTAMP_LTZ fixtures while the driver's NTZ
+    parquet hard-failed). The fixture asserts the type so it can never
+    silently degrade back to LTZ."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=29)),
+        (3, 1, t0 + dt.timedelta(minutes=59)),     # exactly 30 min -> merges
+        (4, 1, t0 + dt.timedelta(minutes=120)),    # 61 min -> new session
+        (5, 2, t0),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    path = str(tmp_path / "ntz_events.parquet")
+    pq.write_table(table, path)
+    df = spark.read.parquet(path)
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    return df
+
+
+def test_sessionize_timestamp_ntz(spark, ntz_events):
+    """Regression: sessionize/session_stats/session_stats_window must accept
+    TIMESTAMP_NTZ input and produce the same sessions as the LTZ form."""
+    from mempool_dumpster_spark.operators.sessions import (
+        session_stats,
+        session_stats_window,
+        sessionize,
+    )
+
+    s = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(
+            ntz_events, ["user_id"], gap_seconds=1800, tiebreak="event_id"
+        ).collect()
+    }
+    assert s == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_stats(ntz_events, ["user_id"], gap_seconds=1800).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 3
+    assert stats[(1, 1)]["duration_s"] == 3540.0
+    assert stats[(1, 2)]["duration_s"] == 0.0
+
+    win = sorted(
+        (r["user_id"], r["n_events"], r["duration_s"])
+        for r in session_stats_window(
+            ntz_events, ["user_id"], gap_seconds=1800
+        ).collect()
+    )
+    assert win == [(1, 1, 0.0), (1, 3, 3540.0), (2, 1, 0.0)]
+
+
+def test_asof_join_timestamp_ntz(spark, ntz_events, tmp_path):
+    """asof_join over NTZ timestamps on both sides, including the interval
+    tolerance arithmetic (NTZ supports datetime +/- interval)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    right = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + dt.timedelta(minutes=90), t0], pa.timestamp("us")
+            ),
+            "tag": pa.array(["early", "mid", "other"], pa.string()),
+        }
+    )
+    rpath = str(tmp_path / "ntz_right.parquet")
+    pq.write_table(right, rpath)
+    rdf = spark.read.parquet(rpath)
+    assert rdf.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+    out = {
+        r["event_id"]: r["tag_right"]
+        for r in asof_join(ntz_events, rdf, on=["user_id"]).collect()
+    }
+    # user 1 events at 10:00/10:29/10:59 match the 10:30 "mid" row only
+    # from 10:30 onward; earlier events match "early" (09:00).
+    assert out == {1: "early", 2: "early", 3: "mid", 4: "mid", 5: "other"}
+
+    tol = {
+        r["event_id"]: r["tag_right"]
+        for r in asof_join(
+            ntz_events, rdf, on=["user_id"], tolerance=F.expr("INTERVAL 65 MINUTE")
+        ).collect()
+    }
+    # 65-min tolerance: event 1 (10:00 vs 09:00 match, 60 min old) keeps it;
+    # event 2 (10:29, 89 min) loses it.
+    assert tol[1] == "early" and tol[2] is None
 
 
 def test_value_quantiles_approx_tolerance(spark):
@@ -440,6 +577,37 @@ def test_site_index_builder(spark, tmp_path):
     assert model["2023-08-30.parquet"]["band"] == "odd"  # next day flips
     assert model["2023-08-29.csv.zip"]["day_change"]
     assert not model["2023-08-29.parquet"]["day_change"]
+
+
+def test_site_index_html_escaping():
+    """Parity with the reference's auto-escaping Go html/template
+    (cmd/website renders website/templates via html/template): hostile
+    filenames/months must come out entity-escaped, never as live markup."""
+    from mempool_dumpster_spark.plans.site_index import (
+        render_month_page,
+        render_root_page,
+    )
+
+    root = render_root_page(['2023-08"><script>alert(1)</script>'])
+    assert "<script>" not in root
+    assert "&lt;script&gt;" in root and "&quot;&gt;" in root
+
+    month = render_month_page(
+        "2023-<b>08</b>",
+        [
+            {
+                "filename": '<img src=x onerror=alert(1)>.parquet',
+                "day": '<day>',
+                "day_change": True,
+                "band": "even",
+                "size_bytes": 1024,
+            }
+        ],
+        network="<Mainnet>",
+    )
+    assert "<img" not in month and "<Mainnet>" not in month and "<b>" not in month
+    assert "&lt;img src=x onerror=alert(1)&gt;.parquet" in month
+    assert "1.0 KB" in month  # size rendering unaffected
 
 
 def test_distinct_users_approx_tolerance(spark):

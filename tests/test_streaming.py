@@ -278,3 +278,63 @@ def test_sources_attach_stream_ttl_eviction(spark, tmp_path):
     # alchemy and carries the NEW first_seen
     assert [r["sources"] for r in aa] == [["alchemy"], ["bloxroute"]]
     assert aa[1]["first_seen_ms"] == 1693789380000  # 01:03:00 UTC
+
+
+def test_sources_attach_stream_late_redelivery_keeps_deadline(spark, tmp_path):
+    """Regression for the persisted `last_seen_ms` (3rd state field): a
+    late-but-in-watermark re-delivery whose timestamp is OLDER than a prior
+    batch's receipt must not pull the eviction deadline earlier than
+    "latest receipt ever + TTL". Sequence (TTL = 30 min, watermark delay =
+    TTL):
+
+      b0  0xaa @ 00:10 alchemy    -> deadline 00:40
+      b1  0xaa @ 00:05 eden       -> older re-delivery; deadline STAYS 00:40
+                                     (a buggy per-batch anchor gives 00:35)
+      b2  0xbb @ 01:07            -> watermark 00:37: past the buggy 00:35,
+                                     NOT past the correct 00:40
+      b3  0xaa @ 00:39 bloxroute  -> state must still be alive: the array
+                                     EXTENDS instead of starting fresh
+    """
+    import os as _os
+
+    from mempool_dumpster_spark.streaming.stateful import sources_attach_stream
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [
+        "2023-09-04 00:10:00,0xaa,alchemy\n",
+        "2023-09-04 00:05:00,0xaa,eden\n",
+        "2023-09-04 01:07:00,0xbb,local\n",
+        "2023-09-04 00:39:00,0xaa,bloxroute\n",
+    ]
+    for i, content in enumerate(batches):
+        p = indir / f"b{i}.csv"
+        p.write_text(content)
+        t = 1_700_000_000 + i
+        _os.utime(p, (t, t))
+
+    stream = spark.readStream.schema(
+        "received_at timestamp, hash string, source string"
+    ).option("maxFilesPerTrigger", 1).csv(str(indir))
+    q = (
+        sources_attach_stream(stream, key_col="hash", ttl_minutes=30)
+        .writeStream.format("memory")
+        .queryName("attach_late_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    aa = [
+        r
+        for r in spark.sql("select * from attach_late_tbl").collect()
+        if r["key"] == "0xaa"
+    ]
+    assert [r["sources"] for r in aa] == [
+        ["alchemy"],
+        ["alchemy", "eden"],
+        ["alchemy", "eden", "bloxroute"],  # NOT a fresh ["bloxroute"] start
+    ]
+    # first_seen tracks the true minimum across batches (the 00:05 re-delivery)
+    assert aa[-1]["first_seen_ms"] == 1693785900000  # 00:05:00 UTC
