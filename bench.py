@@ -17,6 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Queries whose single-shot timings have historically oscillated round to
+# round on identical code (CPU-bound md5/array work is the most sensitive to
+# transient host load) — these get 5 timed runs instead of 3.
+VOLATILE = {"docs_ngram_jaccard", "docs_minhash_lsh_pairs"}
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -117,14 +122,14 @@ def _bench_merge(spark) -> dict:
         return time.time() - t0
 
     # First timed run = cold-ish (workers pre-warmed above, JIT/GC not yet
-    # steady). Keep running until two consecutive runs agree within 10% —
-    # that plateau is the steady-state throughput a deployment sees.
+    # steady). Steady-state = median of the next 4 runs — a fixed-count
+    # median instead of the old "two consecutive within 10%" plateau, which
+    # could latch onto two adjacent lucky (or unlucky) runs and made the
+    # steady number swing round to round on identical code.
     times = [one_run()]
-    for _ in range(5):
+    for _ in range(4):
         times.append(one_run())
-        if abs(times[-1] - times[-2]) / times[-2] < 0.10:
-            break
-    steady = min(times[-2:])
+    steady = sorted(times[1:])[len(times[1:]) // 2]
     return {
         "sec": round(times[0], 3),
         "sec_steady": round(steady, 3),
@@ -192,21 +197,34 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = None
-        # best-of-2: transient host load inflates single-shot timings 30%+
-        # run to run (the r2 "q3/q5 regression" was exactly this noise).
-        # clearCache() before EACH attempt, otherwise the repeat reads the
-        # first attempt's materialized caches (CacheManager dedups by plan)
-        # and times a cache hit instead of the query.
-        for _ in range(2):
+        # median-of-N, not best-of-2: transient host load swings single-shot
+        # timings ±30% (r2 and r4 both shipped phantom "regressions" that
+        # were pure harness noise — r4's headline moved +35% on zero batch
+        # code change). The median is robust to one slow AND one lucky run;
+        # per-query min/median/max is reported so a future delta can be told
+        # apart from dispersion at a glance. Queries with a history of
+        # oscillation get 5 runs. clearCache() before EACH attempt,
+        # otherwise the repeat reads the first attempt's materialized caches
+        # (CacheManager dedups by plan) and times a cache hit.
+        n_runs = 5 if name in VOLATILE else 3
+        runs: list[float] = []
+        for _ in range(n_runs):
             spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        runs.sort()
+        med = runs[len(runs) // 2]
+        timings[name] = round(med, 3)
+        dispersion[name] = {
+            "min": round(runs[0], 3),
+            "median": round(med, 3),
+            "max": round(runs[-1], 3),
+            "n": n_runs,
+        }
 
     total = round(sum(timings.values()), 3)
     merge_stats = _bench_merge(spark)
@@ -218,6 +236,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_dispersion": dispersion,
                 "merge_pipeline": merge_stats,
                 "ann_recall_at3": ann_recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

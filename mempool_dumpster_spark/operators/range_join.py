@@ -1,0 +1,99 @@
+"""Bucketed range join — point-in-interval matching without a θ-join.
+
+The reference's inclusion check asks "which block's time window contains
+this receipt" (cmd/merge/inclusioncheck.go:88-191, solved there with an
+RPC lookup per hash); the general form every time-series/feature pipeline
+needs is RANGE JOIN: match each point row to every interval row with
+`start <= point <= end` (optionally sharing equi-keys). Spark has no range
+join operator — expressed naively the condition is a θ-join, which the
+planner can only run as BroadcastNestedLoop/cartesian: |P|×|I| comparisons,
+dead at scale.
+
+The scale-safe distributed form is BUCKET + EQUI-JOIN + RESIDUAL:
+
+    bucket(point)   = floor(point / width)            -- one bucket per point
+    buckets(interval)= sequence(floor(start/width),
+                               floor(end/width))      -- exploded per interval
+    join on (keys..., bucket), then filter start <= point <= end
+
+Each (point, interval) match shares exactly one bucket (the point's), so no
+dedup pass is needed. Cost model: the interval side is replicated
+`len/width + 1`× — pick `width` near the typical interval length so the
+blow-up is ~2× — and the join is a plain hash equi-join that shuffles on
+(keys, bucket) and scales linearly. Long-tail intervals fan out across many
+buckets but each replica lands in a different bucket partition, so skew
+from ONE long interval spreads instead of concentrating (the opposite of a
+hot equi-key); a genuinely hot bucket (many intervals overlapping one
+window) behaves like any skewed join key and is handled by AQE skew-join.
+
+DuckDB/engines with IEJoin run the same query natively — that is the
+oracle for the registered query entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each `points` row to every `intervals` row whose
+    [start_col, end_col] contains its `point_col` (inclusive both ends),
+    matching additionally on the optional `on` equi-keys.
+
+    point/start/end must be numeric (LONG/INT/DOUBLE) in the same unit —
+    callers convert timestamps via `epoch_us`/`datediff` first, which keeps
+    the operator unit-agnostic. `bucket_width` is in that unit; choose it
+    near the typical interval length (replication factor is
+    `interval_len / bucket_width + 1`). `how`: 'inner' or 'left' (left =
+    keep unmatched points with nulls, like a LEFT range join).
+
+    Output: all point columns + all interval columns (minus the join keys,
+    which appear once). Column names must not collide across the two
+    sides (keys excepted) — collisions raise. LEFT caveat: point rows that
+    are fully identical across all columns are treated as one when backing
+    unmatched points in (the anti-join is by value); carry a unique id
+    column if exact multiplicity of unmatched duplicates matters.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    keys = list(on or [])
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} exist on both sides; rename them or "
+            f"list them in `on`"
+        )
+
+    w = F.lit(bucket_width)
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w)
+            )
+        ),
+    )
+    contained: Column = (F.col(point_col) >= F.col(start_col)) & (
+        F.col(point_col) <= F.col(end_col)
+    )
+    if how == "inner":
+        return p.join(iv, [*keys, "__bucket"]).filter(contained).drop("__bucket")
+    # LEFT: run the inner match, then add back points with no interval.
+    matched = p.join(iv, [*keys, "__bucket"]).filter(contained).drop("__bucket")
+    missing = p.drop("__bucket").join(
+        matched.select(*points.columns), points.columns, "left_anti"
+    )
+    return matched.unionByName(missing, allowMissingColumns=True)

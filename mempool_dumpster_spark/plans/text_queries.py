@@ -142,29 +142,43 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly once end-to-end. The shingle bag skips the distinct shuffle
     # (collect_set dedups), and the explicit hash repartition both serves as
     # the groupBy clustering and pins CORE-count partitions for the
-    # CPU-bound md5 signature projection over the cache (AQE would coalesce
+    # CPU-bound signature projection over the cache (AQE would coalesce
     # a byte-small shuffle to 1 task otherwise).
     par = spark.sparkContext.defaultParallelism
     sh = doc_shingles(docs, distinct=False)
+    # ONE aggregate produces the exact shingle set AND the 8 per-band
+    # minhash keys — there is no separate signature projection stage at
+    # all. Two wins over hashing the cached arrays afterwards:
+    # - the band keys are prefilter-only (unlike docs_minhash_lsh_pairs,
+    #   whose md5 minhash IS the oracle-checked output), so they can use
+    #   xxhash64 — whole-stage-codegen'd, ~10× cheaper than md5;
+    # - min() partial-aggregates map-side, and the CPU-bound hashing rides
+    #   the same pass that builds the set, removing the straggler-sensitive
+    #   post-cache span behind this query's round-to-round timing swings.
+    # NB the hashes must live in a plain aggregate, NOT inside a
+    # higher-order-function lambda: `transform(shs, s -> xxhash64(i, s))`
+    # returns corrupt values when several such lambdas share a projection
+    # (subexpression-elimination bug over NamedLambdaVariable hash exprs —
+    # observed on Spark 4.1: all 8 "different" band mins came back equal).
     arrs = (
         sh.repartition(par, "doc_id")
         .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shs"))
-        .select("doc_id", "shs", F.size("shs").cast("bigint").alias("n_sh"))
+        .agg(
+            F.collect_set("shingle").alias("shs"),
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+                for i in range(8)
+            ],
+        )
+        .select(
+            "doc_id",
+            "shs",
+            F.size("shs").cast("bigint").alias("n_sh"),
+            *[f"m{i}" for i in range(8)],
+        )
         .cache()
     )
-    sig = arrs.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    "shs", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            ).alias(f"m{i}")
-            for i in range(8)
-        ],
-    )
-    bands = sig.select(
+    bands = arrs.select(
         "doc_id",
         F.explode(
             F.array(

@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mempool_dumpster_spark.functions.rlp_udf import parse_raw_tx_udf, tx_hash_udf
+from mempool_dumpster_spark.functions.scalars import epoch_ms
 from mempool_dumpster_spark.schemas import (
     STREAM_DEDUP_TTL_MINUTES,
     TX_IN,
@@ -172,7 +173,7 @@ def start_collector(
     # hash-only UDF, no sender recovery.
     sourcelog = _bucketed(
         stream.select(
-            F.unix_millis("received_at").alias("timestamp_ms"),
+            epoch_ms("received_at").alias("timestamp_ms"),
             tx_hash_udf(F.col("raw_tx")).alias("hash"),
             "source",
             "received_at",
@@ -208,7 +209,7 @@ def start_collector(
             # timestamp_ms,hash,raw_tx — source is in the sourcelog.
             valid = _bucketed(
                 batch.filter(is_first).select(
-                    F.unix_millis("received_at").alias("timestamp_ms"),
+                    epoch_ms("received_at").alias("timestamp_ms"),
                     "hash",
                     F.concat(
                         F.lit("0x"), F.lower(F.hex("parsed.rawTx"))
@@ -221,7 +222,7 @@ def start_collector(
             )
             trash = _bucketed(
                 batch.filter(~is_first).select(
-                    F.unix_millis("received_at").alias("timestamp_ms"),
+                    epoch_ms("received_at").alias("timestamp_ms"),
                     F.coalesce("hash", F.lit("")).alias("hash"),
                     "source",
                     F.when(F.col("onchain"), F.lit(REASON_ALREADY_ONCHAIN))

@@ -257,6 +257,61 @@ def test_asof_join_output_collision_raises(spark):
         asof_join(left2, right, on=["user_id"], right_cols=["tag"])
 
 
+def test_range_join_inner_and_left(spark):
+    """Bucketed point-in-interval join: inclusive boundaries, intervals
+    spanning multiple buckets, multiple matching intervals per point, and
+    the left form backfilling unmatched points with nulls."""
+    from mempool_dumpster_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 27), (4, 99)], "pid long, x long"
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, 0, 10),    # catches x=5 and x=10 (inclusive end)
+            (200, 10, 30),   # catches x=10 (inclusive start) and x=27
+            (300, 25, 26),   # catches nothing
+        ],
+        "iid long, lo long, hi long",
+    )
+    inner = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "x", "lo", "hi", bucket_width=7).collect()
+    )
+    assert inner == [(1, 100), (2, 100), (2, 200), (3, 200)]
+
+    # a width much smaller than the intervals must give identical results
+    # (more replicas, same matches — each pair still joins in exactly the
+    # point's bucket, so no duplicates either)
+    inner2 = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "x", "lo", "hi", bucket_width=2).collect()
+    )
+    assert inner2 == inner
+
+    left = range_join(pts, iv, "x", "lo", "hi", bucket_width=7, how="left")
+    rows = sorted((r["pid"], r["iid"]) for r in left.collect())
+    assert rows == [(1, 100), (2, 100), (2, 200), (3, 200), (4, None)]
+
+
+def test_range_join_keys_and_validation(spark):
+    from mempool_dumpster_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame([("a", 5), ("b", 5)], "k string, x long")
+    iv = spark.createDataFrame([("a", 0, 10)], "k string, lo long, hi long")
+    out = range_join(pts, iv, "x", "lo", "hi", bucket_width=4, on=["k"]).collect()
+    assert [(r["k"], r["x"]) for r in out] == [("a", 5)]  # key "b" filtered
+
+    with pytest.raises(ValueError, match="collide|both sides"):
+        range_join(
+            pts.withColumn("lo", F.lit(1)), iv, "x", "lo", "hi", bucket_width=4
+        )
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(pts, iv, "x", "lo", "hi", bucket_width=0)
+    with pytest.raises(ValueError, match="how"):
+        range_join(pts, iv, "x", "lo", "hi", bucket_width=4, how="outer")
+
+
 def test_sessionize_gap_boundaries(spark):
     """Hand-computed sessions: gaps > 30 min split; boundaries are inclusive
     of the exact-gap case (gap == threshold stays in-session)."""
