@@ -44,6 +44,8 @@ GUARDED = [
     "sources_attach",
     "blacklist_anti",
     "dedup_earliest",
+    "q13_order_distribution",
+    "shipments_in_order_window",
 ]
 
 
