@@ -280,6 +280,65 @@ def test_sources_attach_stream_ttl_eviction(spark, tmp_path):
     assert aa[1]["first_seen_ms"] == 1693789380000  # 01:03:00 UTC
 
 
+def test_session_window_append_mode_with_watermark(spark, tmp_path):
+    """session_stats_window as a WATERMARKED APPEND-mode streaming query —
+    the production form (the parity test uses complete mode + memory sink,
+    which needs no watermark). A session is emitted exactly once, when the
+    watermark passes its close (end + gap); sessions still open at the end
+    of a batch emit nothing. Two users' interleaved events across three
+    micro-batches, watermark delay 0 for determinism."""
+    import os as _os
+
+    from mempool_dumpster_spark.operators.sessions import session_stats_window
+    from pyspark.sql import functions as F
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [
+        # u1 session A: 10:00, 10:10; u2 session: 10:05
+        "1,2024-01-01 10:00:00\n1,2024-01-01 10:10:00\n2,2024-01-01 10:05:00\n",
+        # u1 session B starts 11:30 (80-min gap) -> watermark 11:30 closes
+        # session A (ended 10:10 + 30 min = 10:40) and u2's (10:35)
+        "1,2024-01-01 11:30:00\n",
+        # advance watermark far enough to close session B too
+        "2,2024-01-01 13:00:00\n",
+    ]
+    for i, content in enumerate(batches):
+        p = indir / f"b{i}.csv"
+        p.write_text(content)
+        t = 1_700_000_000 + i
+        _os.utime(p, (t, t))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(indir))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        session_stats_window(stream, ["user_id"], gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_append_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = sorted(
+        (r["user_id"], r["n_events"], str(r["session_start"]), r["duration_s"])
+        for r in spark.sql("select * from sess_append_tbl").collect()
+    )
+    # closed sessions only: u1's 2-event morning session, u1's 11:30
+    # singleton, u2's 10:05 singleton; u2's 13:00 session is still open at
+    # drain end and must NOT have been emitted.
+    assert rows == [
+        (1, 1, "2024-01-01 11:30:00", 0.0),
+        (1, 2, "2024-01-01 10:00:00", 600.0),
+        (2, 1, "2024-01-01 10:05:00", 0.0),
+    ]
+
+
 def test_sources_attach_stream_late_redelivery_keeps_deadline(spark, tmp_path):
     """Regression for the persisted `last_seen_ms` (3rd state field): a
     late-but-in-watermark re-delivery whose timestamp is OLDER than a prior
