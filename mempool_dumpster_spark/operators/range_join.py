@@ -45,6 +45,7 @@ def range_join(
     bucket_width: int,
     on: list[str] | None = None,
     how: str = "inner",
+    fanout_partitions: int | None = None,
 ) -> DataFrame:
     """Join each `points` row to every `intervals` row whose
     [start_col, end_col] contains its `point_col` (inclusive both ends),
@@ -63,6 +64,14 @@ def range_join(
     are fully identical across all columns are treated as one when backing
     unmatched points in (the anti-join is by value); carry a unique id
     column if exact multiplicity of unmatched duplicates matters.
+
+    fanout_partitions: when the interval side is small enough to broadcast,
+    the join never shuffles and pair generation runs with the POINT SIDE'S
+    scan parallelism — a few-MB points file read as 3 splits that explodes
+    into 10^8 pairs serializes on 3 tasks. Set this (e.g. to
+    `sc.defaultParallelism`) to round-robin the points first and spread the
+    blow-up; leave None at scale, where input splits already provide
+    parallelism and an extra shuffle of a huge points side is pure waste.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -77,6 +86,8 @@ def range_join(
         )
 
     w = F.lit(bucket_width)
+    if fanout_partitions:
+        points = points.repartition(fanout_partitions)
     p = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
     iv = intervals.withColumn(
         "__bucket",

@@ -753,7 +753,16 @@ def shipments_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (days("o_orderdate") + 7).alias("end_day"),
     )
     joined = range_join(
-        pts, iv, "ship_day", "start_day", "end_day", bucket_width=8
+        pts,
+        iv,
+        "ship_day",
+        "start_day",
+        "end_day",
+        bucket_width=8,
+        # the points projection is one small column but the containment
+        # blow-up is ~50 pairs/point: spread generation over the cores
+        # instead of the scan's few input splits (see range_join docstring)
+        fanout_partitions=spark.sparkContext.defaultParallelism,
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_pairs"),
