@@ -634,6 +634,39 @@ def test_site_index_builder(spark, tmp_path):
     assert not model["2023-08-29.parquet"]["day_change"]
 
 
+def test_load_tables_nanos_parquet(spark, tmp_path):
+    """plans.tables.load_tables must accept parquet TIMESTAMP(NANOS) —
+    Spark's vectorized reader rejects it outright, so the loader detects ns
+    columns from the footer, reads them as raw INT64 and truncates to
+    micros. Earlier driver testdata shipped events.ts as nanos; this pins
+    the path against either encoding coming back."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + dt.timedelta(microseconds=1)], pa.timestamp("ns")
+            ),
+        }
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    pq.write_table(table, str(sf_dir / "events.parquet"))
+
+    df = load_tables(spark, str(sf_dir), ["events"])["events"]
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    rows = {r["event_id"]: r["ts"] for r in df.collect()}
+    assert rows[1] == t0
+    assert rows[2] == t0 + dt.timedelta(microseconds=1)
+
+
 def test_site_index_html_escaping():
     """Parity with the reference's auto-escaping Go html/template
     (cmd/website renders website/templates via html/template): hostile

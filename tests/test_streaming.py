@@ -280,6 +280,99 @@ def test_sources_attach_stream_ttl_eviction(spark, tmp_path):
     assert aa[1]["first_seen_ms"] == 1693789380000  # 01:03:00 UTC
 
 
+def test_sse_broadcaster_delivery_and_health():
+    """S21 service semantics vs the reference API server: SSE frames are
+    `data: <tx>\\n\\n` with event-stream headers (api/handler.go:19-47),
+    health endpoints answer ok (api/server.go:50-58), and a full subscriber
+    queue drops frames silently instead of blocking the publisher or peers
+    (api/server.go:122-126)."""
+    import http.client
+
+    from mempool_dumpster_spark.streaming.sse import SSEBroadcaster
+
+    b = SSEBroadcaster(queue_size=2)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", b.port, timeout=10)
+        conn.request("GET", "/livez")
+        assert conn.getresponse().read() == b"ok"
+
+        conn.request("GET", "/sse/transactions")
+        resp = conn.getresponse()
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        assert resp.headers["Cache-Control"] == "no-cache"
+        for _ in range(50):
+            if b.n_subscribers:
+                break
+            import time as _t
+
+            _t.sleep(0.05)
+        assert b.n_subscribers == 1
+
+        b.publish(["0xaa01", "0xbb02"])
+        assert resp.fp.readline() == b"data: 0xaa01\n"
+        assert resp.fp.readline() == b"\n"
+        assert resp.fp.readline() == b"data: 0xbb02\n"
+        assert resp.fp.readline() == b"\n"
+
+        # drop-when-full: an unread internal subscriber with queue_size=2
+        # keeps only the first 2 of 5 frames; the publisher never blocks
+        q = b._subscribe()
+        b.publish([f"0x{i:02x}" for i in range(5)])
+        assert q.qsize() == 2 and q.get_nowait() == "0x00"
+        b._unsubscribe(q)
+        conn.close()
+    finally:
+        b.close()
+    assert b.n_subscribers == 0
+
+
+def test_sse_sink_streams_first_arrivals(spark, tmp_path):
+    """S21 e2e: file stream → allowlist filter → foreachBatch → SSE — a
+    live subscriber receives exactly the allowed sources' raw txs as SSE
+    frames, in batch order."""
+    import http.client
+    import os as _os
+
+    from mempool_dumpster_spark.streaming.sse import SSEBroadcaster, sse_sink
+
+    b = SSEBroadcaster()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", b.port, timeout=10)
+        conn.request("GET", "/sse/transactions")
+        resp = conn.getresponse()
+        for _ in range(50):
+            if b.n_subscribers:
+                break
+            import time as _t
+
+            _t.sleep(0.05)
+
+        indir = tmp_path / "in"
+        indir.mkdir()
+        (indir / "b0.csv").write_text(
+            "0xaaa1,0xf86b01,alchemy\n0xaaa2,0xf86b02,private\n0xaaa3,0xf86b03,infura\n"
+        )
+        stream = spark.readStream.schema(
+            "hash string, raw_tx string, source string"
+        ).csv(str(indir))
+        q = sse_sink(
+            stream,
+            b,
+            allowed_sources=["alchemy", "infura"],
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        lines = [resp.fp.readline() for _ in range(4)]
+        data = [ln for ln in lines if ln != b"\n"]
+        # 'private' is filtered by F6; the allowed two arrive in batch order
+        assert data == [b"data: 0xf86b01\n", b"data: 0xf86b03\n"]
+        conn.close()
+    finally:
+        b.close()
+
+
 def test_session_window_append_mode_with_watermark(spark, tmp_path):
     """session_stats_window as a WATERMARKED APPEND-mode streaming query —
     the production form (the parity test uses complete mode + memory sink,
