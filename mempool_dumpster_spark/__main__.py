@@ -81,14 +81,23 @@ def cmd_collect(args, spark: SparkSession | None = None) -> int:
     )
 
     spark = _session(spark)
+    broadcaster = None
+    if getattr(args, "sse_port", None) is not None:
+        from mempool_dumpster_spark.streaming.sse import SSEBroadcaster
+
+        broadcaster = SSEBroadcaster(port=args.sse_port)
+        print(f"SSE: http://127.0.0.1:{broadcaster.port}/sse/transactions")
     stream = file_stream_source(spark, args.landing)
     queries = start_collector(
         stream,
         out_dir=args.out,
         checkpoint_dir=args.checkpoint or f"{args.out}/_checkpoint",
         trigger_available_now=args.drain,
+        sse_publish=broadcaster.publish_rows if broadcaster else None,
     )
     queries.await_all()
+    if broadcaster is not None:
+        broadcaster.close()
     return 0
 
 
@@ -131,6 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument(
         "--drain", action="store_true",
         help="process available input then exit (availableNow)",
+    )
+    c.add_argument(
+        "--sse-port", type=int, default=None,
+        help="serve valid first arrivals at /sse/transactions on this port "
+        "(0 = ephemeral; reference: api/server.go SSE API)",
     )
     c.set_defaults(fn=cmd_collect)
 

@@ -143,6 +143,7 @@ def start_collector(
     checkpoint_dir: str,
     trigger_available_now: bool = False,
     rpc_client_factory=None,
+    sse_publish=None,
 ) -> CollectorQueries:
     """Wire the full topology and start the two queries (see module
     docstring for why two): the pre-dedup sourcelog sink, and the
@@ -160,6 +161,13 @@ def start_collector(
     come from the pre-dedup `source_metrics` aggregate). Increments from
     different micro-batches sum per window, like the reference's
     reset-every-minute counters accumulate within a minute.
+
+    `sse_publish` (optional, driver-side callable taking a list of row
+    dicts with hash/raw_tx) receives each micro-batch's valid first
+    arrivals — the reference pushes exactly these to its SSE API
+    (collector/tx_processor.go SendTx into api/server.go); pass
+    `SSEBroadcaster(...).publish_rows` to serve them live. foreachBatch
+    runs on the driver, so the broadcaster needs no serialization.
 
     `trigger_available_now=True` drains the currently-available input and
     stops — the batch-testing mode; continuous mode otherwise.
@@ -220,6 +228,13 @@ def start_collector(
             valid.write.mode("append").partitionBy("date", "hour").csv(
                 f"{out_dir}/transactions"
             )
+            if sse_publish is not None:
+                sse_publish(
+                    [
+                        r.asDict()
+                        for r in valid.select("hash", "raw_tx").limit(10_000).collect()
+                    ]
+                )
             trash = _bucketed(
                 batch.filter(~is_first).select(
                     epoch_ms("received_at").alias("timestamp_ms"),

@@ -280,6 +280,38 @@ def test_sources_attach_stream_ttl_eviction(spark, tmp_path):
     assert aa[1]["first_seen_ms"] == 1693789380000  # 01:03:00 UTC
 
 
+def test_collector_sse_publish_hook(spark, tmp_path):
+    """The collector's sse_publish hook receives exactly the valid first
+    arrivals of each micro-batch (the rows the reference pushes to its SSE
+    API, tx_processor.go SendTx) — duplicates and invalid txs excluded."""
+    from mempool_dumpster_spark.streaming.collector import (
+        file_stream_source,
+        start_collector,
+    )
+    from txgen import make_tx, tx_hash_of
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    tx1 = make_tx(priv=0x81, nonce=1)
+    tx2 = make_tx(priv=0x82, nonce=2)
+    # tx1 delivered twice (dup must publish once); malformed line dropped
+    (indir / "f1.csv").write_text(
+        f"{T0},{tx1},alchemy\n{T1},{tx1},infura\n{T1},{tx2},eden\n"
+        f"{T1},nothex,eden\n"
+    )
+    published: list[dict] = []
+    qs = start_collector(
+        file_stream_source(spark, str(indir)),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+        sse_publish=published.extend,
+    )
+    qs.await_all()
+    assert {r["hash"] for r in published} == {tx_hash_of(tx1), tx_hash_of(tx2)}
+    assert all(r["raw_tx"].startswith("0x") for r in published)
+
+
 def test_sse_broadcaster_delivery_and_health():
     """S21 service semantics vs the reference API server: SSE frames are
     `data: <tx>\\n\\n` with event-stream headers (api/handler.go:19-47),
