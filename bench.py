@@ -78,6 +78,13 @@ def _bench_merge(spark) -> dict:
             f.write(str(len(tx_lines)))
     with open(marker) as f:
         n_receipts = int(f.read())
+    # Pre-read the inputs so the "cold" number measures the pipeline, not
+    # whether the page cache happens to hold a few MB of CSV (observed
+    # 10s-24s cold swings on identical code from exactly this).
+    for part in range(4):
+        for stem in ("txs", "sourcelog"):
+            with open(os.path.join(base, f"{stem}_{part}.csv"), "rb") as f:
+                f.read()
 
     # Warm the Python workers (module imports + keccak codegen + G comb
     # table are per-process one-time costs) so the timed run measures

@@ -274,36 +274,46 @@ def duplicate_components(pairs: DataFrame, iterations: int = 50) -> DataFrame:
     round joins labels across edges and takes the min; O(diameter) rounds,
     and near-dup clusters are shallow (chains are rare).
 
-    Every round persists its labels and materializes the convergence check
-    as a count on the already-cached frame, so lineage depth stays O(1) per
-    round instead of re-executing the whole accumulated plan — the iterative-
-    algorithm pattern that survives 100× scale (see also GraphFrames'
-    connected components, which alternates the same join with checkpoints).
+    Every round CHECKPOINTS its labels — `checkpoint(eager=True)` when the
+    context has a checkpoint dir (the fault-tolerant cluster form), else
+    `localCheckpoint`. Persist alone is NOT enough for an iterative plan:
+    it short-circuits physical re-execution but the LOGICAL plan still
+    nests both uses of the previous round's labels, so the tree doubles
+    per round — at sf0.1 the driver died with an OOM while merely
+    *stringifying* the round-~N plan for the cache name
+    (TreeNode.treeString inside CachedRDDBuilder). Checkpointing truncates
+    lineage to a constant-size plan per round — the same pattern
+    GraphFrames' connected components uses.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    sc = pairs.sparkSession.sparkContext
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        # eager: materializes now AND cuts the logical plan at this node
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
         .persist()
     )
-    labels = (
+    labels = snapshot(
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
-        .persist()
     )
-    labels.count()  # materialize before the loop re-reads it per round
     for _ in range(iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
+        new_labels = snapshot(
+            labels.join(neighbor_min, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     "component_id", F.coalesce("nbr_min", "component_id")
@@ -312,12 +322,9 @@ def duplicate_components(pairs: DataFrame, iterations: int = 50) -> DataFrame:
                 .cast("int")
                 .alias("__changed"),
             )
-            .persist()
         )
         n_changed = new_labels.filter(F.col("__changed") == 1).count()
-        old = labels
         labels = new_labels.drop("__changed")
-        old.unpersist()
         if n_changed == 0:
             break
     else:
