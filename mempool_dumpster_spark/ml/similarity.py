@@ -171,7 +171,7 @@ def cosine_near_pairs(
     emb_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 3,
-    n_tables: int = 20,
+    n_tables: int = 48,
     round_digits: int = 4,
 ) -> DataFrame:
     """All near-duplicate pairs (sim >= threshold) via LSH bucketing — the
@@ -198,9 +198,13 @@ def cosine_near_pairs(
 
     Recall: a pair at similarity s collides per table w.p.
     (1 - acos(s)/π)^n_planes; missing all n_tables tables is exponentially
-    unlikely in n_tables. The defaults (3 planes × 20 tables) give per-pair
-    miss ≈ 0.3% at s = 0.4 and are verified exhaustive on the driver's
-    testdata (tests/test_ml.py::test_emb_near_pairs_bucketed_parity). On an
+    unlikely in n_tables. Size n_tables from the pair count, not vibes:
+    3 planes × 20 tables has per-pair miss ≈ 3e-3 at s = 0.4, which dropped
+    2 of the sf0.1 corpus's 920 true pairs — exactly the binomial
+    expectation. The default 48 tables pushes per-pair miss to ≈ 9e-7
+    (~1e-3 expected misses on that corpus, still ≪1 at 10× more pairs) and
+    is verified exhaustive by
+    tests/test_ml.py::test_emb_near_pairs_bucketed_parity. On an
     isotropic corpus with pairs at the threshold tail (this testdata) the
     bucket filter prunes only ~15%; on a real clustered corpus the same
     topology prunes almost everything — raise n_planes and the join

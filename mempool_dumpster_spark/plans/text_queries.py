@@ -685,20 +685,21 @@ def emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-duplicate pairs — the fifth dedup modality "
     "(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine). "
     "Registered as the BUCKETED plan (ml.similarity.cosine_near_pairs): "
-    "20 independent 3-bit sign signatures from one scan, (table, bucket) "
+    "48 independent 3-bit sign signatures from one scan, (table, bucket) "
     "equi-join candidates, exact cosine verify before the pair-dedup "
     "shuffle — no cross join in the plan, shuffle ∝ rows × tables. The "
     "oracle stays the exact all-pairs definition: the sim formula is "
-    "bit-identical and the banding is verified exhaustive on this corpus "
-    "(parity pytest vs the exact plan; per-pair miss ≈ 0.3% at sim 0.4 for "
-    "adversarial fresh data — raise n_tables if the corpus may carry "
-    "threshold-tail pairs). Rounded to 4 decimals before the threshold for "
-    "cross-engine determinism.",
+    "bit-identical, and at 48 tables the per-pair miss at sim 0.4 is "
+    "(1-p³)⁴⁸ ≈ 9e-7 (p = 1-acos(0.4)/π) — ~1e-3 expected misses across "
+    "the sf0.1 corpus's 920 true pairs. 20 tables was NOT enough: its "
+    "0.3%/pair miss dropped 2 of 920 pairs at sf0.1, exactly the binomial "
+    "expectation. Parity pytest vs the exact plan + 4-decimal rounding "
+    "before the threshold for cross-engine determinism.",
 )
 def emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return cosine_near_pairs(
-        emb, threshold=0.4, dim=64, n_planes=3, n_tables=20
+        emb, threshold=0.4, dim=64, n_planes=3, n_tables=48
     ).withColumnRenamed("sim", "sim_r")
 
 
