@@ -427,3 +427,41 @@ def docs_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(words("text")).cast("bigint")).alias("sum_tokens"),
         F.sum(F.length("text").cast("bigint")).alias("sum_chars"),
     )
+
+
+@register(
+    "docs_split_assign",
+    oracle="""
+    WITH s AS (
+      SELECT CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % 100 < 90 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             text
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM s GROUP BY split
+    """,
+    doc="Deterministic content-addressed train/val/test split "
+    "(ml.splits.assign_split, 90/5/5): bucket = first-8-hex of "
+    "md5(doc_id) mod 100 — stateless, shuffle-free, stable across runs, "
+    "partitionings, and engines (unlike randomSplit, whose assignment "
+    "moves with seed and partition layout and can leak eval docs into "
+    "training on reprocess). The oracle reproduces the assignment "
+    "bit-for-bit in DuckDB; the summary per split is exact-integer so the "
+    "cross-engine hash compares exactly.",
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.splits import assign_split
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return assign_split(docs, id_col="doc_id").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("bigint")).alias("n_chars"),
+    )

@@ -96,6 +96,29 @@ def test_duplicate_components_rejects_nonpositive_iterations(spark):
         duplicate_components(pairs, iterations=0)
 
 
+def test_assign_split_deterministic(spark):
+    from mempool_dumpster_spark.ml.splits import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    # stable across invocations and partitionings
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df.repartition(7)).collect()
+    }
+    assert out == out2
+    # 90/5/5 within binomial tolerance on 1000 ids
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert 850 <= c["train"] <= 940 and c["val"] >= 20 and c["test"] >= 20
+    # doc 42 pins the cross-engine bucket math (md5 '42' -> bucket 84 -> train)
+    assert out[42] == "train"
+
+    with pytest.raises(ValueError, match="boundaries"):
+        assign_split(df, boundaries={"a": 50, "b": 90})  # doesn't end at 100
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     # 3 clusters around orthogonal axes in 8d + the queries themselves
