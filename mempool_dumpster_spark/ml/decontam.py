@@ -1,0 +1,63 @@
+"""Benchmark decontamination — flag training documents that overlap an
+evaluation/benchmark set (no reference twin; part of the LLM-pipeline
+extension surface alongside ml/dedup, ml/text, ml/splits).
+
+Standard practice before training: any document sharing word n-grams with
+a held-out benchmark is contaminated and must be dropped or cleaned,
+otherwise eval scores measure memorization. The classic recipe is exact
+n-gram collision (n ≈ 8-13 words for real corpora) — which is a join, not
+a model: shingle both sides, intersect, count per document.
+
+Scale shape (the part that matters at 100 TB): the benchmark side is
+always tiny relative to the corpus (benchmark suites are MBs), so its
+distinct shingle set BROADCASTS and the corpus is never shuffled by the
+join — hits are marked map-side during the same pass that explodes the
+corpus shingles, and the only shuffle is the per-doc aggregate on doc_id.
+Corpus scan cost: one explode + one hash aggregate, independent of
+benchmark count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.ml.dedup import shingles
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per corpus document: distinct word n-gram count, how many of those
+    n-grams appear anywhere in `benchmark`, and a 0/1 `contaminated` flag
+    (any collision). Documents shorter than n words have 0 shingles and
+    are never contaminated."""
+    b_sh = (
+        benchmark.select(F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    ).join(F.broadcast(b_sh), "shingle", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("n_shingles"),
+        F.countDistinct(F.when(F.col("__hit") == 1, F.col("shingle"))).alias(
+            "n_hits"
+        ),
+    )
+    # left join back so even shingle-less (< n words) docs get a row
+    base = corpus.select(id_col).distinct()
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("bigint").alias("contaminated"),
+        )
+    )

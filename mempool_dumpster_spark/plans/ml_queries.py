@@ -465,3 +465,64 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text").cast("bigint")).alias("n_chars"),
     )
+
+
+_DUCK_5G = """
+      SELECT DISTINCT doc_id, unnest(
+               CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+                 list_transform(range(1, len(string_split(text, ' ')) - 3),
+                                i -> string_split(text, ' ')[i] || ' ' ||
+                                     string_split(text, ' ')[i+1] || ' ' ||
+                                     string_split(text, ' ')[i+2] || ' ' ||
+                                     string_split(text, ' ')[i+3] || ' ' ||
+                                     string_split(text, ' ')[i+4])
+               ELSE [] END) AS shingle
+      FROM documents
+"""
+
+
+@register(
+    "docs_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_DUCK_5G}),
+    bench AS (
+      SELECT DISTINCT s.shingle FROM sh s
+      JOIN documents d ON d.doc_id = s.doc_id AND d.source = 'src0'
+    ),
+    corpus_sh AS (
+      SELECT s.doc_id, s.shingle FROM sh s
+      JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
+    ),
+    per_doc AS (
+      SELECT c.doc_id,
+             count(DISTINCT c.shingle) AS n_shingles,
+             count(DISTINCT CASE WHEN b.shingle IS NOT NULL
+                                 THEN c.shingle END) AS n_hits
+      FROM corpus_sh c LEFT JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(p.n_hits, 0) > 0 AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    WHERE d.source <> 'src0'
+    """,
+    doc="Benchmark decontamination (ml.decontam.contamination): treat "
+    "source 'src0' as the held-out benchmark and flag every other "
+    "document sharing any word-5-gram with it — the standard "
+    "memorization guard run before training. The benchmark shingle set "
+    "broadcasts (benchmark suites are MBs vs a TB corpus), hits are "
+    "marked map-side in the same pass that explodes corpus shingles, and "
+    "the only shuffle is the per-doc aggregate — corpus cost is "
+    "independent of benchmark count.",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.decontam import contamination
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )

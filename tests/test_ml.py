@@ -96,6 +96,27 @@ def test_duplicate_components_rejects_nonpositive_iterations(spark):
         duplicate_components(pairs, iterations=0)
 
 
+def test_contamination_flags_and_short_docs(spark):
+    from mempool_dumpster_spark.ml.decontam import contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),      # shares 5-grams with benchmark
+            (2, "one two three four five six"),  # clean
+            (3, "too short"),          # < 5 words -> 0 shingles, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "x a b c d e f y")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in contamination(corpus, bench, n=5).collect()}
+    assert out[1]["contaminated"] == 1 and out[1]["n_hits"] == 2  # abcde, bcdef
+    assert out[1]["n_shingles"] == 3
+    assert out[2]["contaminated"] == 0 and out[2]["n_hits"] == 0
+    assert out[3]["n_shingles"] == 0 and out[3]["contaminated"] == 0
+
+
 def test_assign_split_deterministic(spark):
     from mempool_dumpster_spark.ml.splits import assign_split
 

@@ -46,6 +46,7 @@ GUARDED = [
     "dedup_earliest",
     "q13_order_distribution",
     "shipments_in_order_window",
+    "docs_decontaminate",
 ]
 
 
