@@ -1,0 +1,117 @@
+"""Sequence packing and corpus mixing — the last mile between a cleaned
+corpus (ml/dedup, ml/text, ml/decontam, ml/splits) and a training run.
+
+`pack_sequences`: assign documents to fixed-token-budget training
+sequences — greedy first-fit-in-order over a deterministic document
+order, the form every training pipeline uses. The greedy fold is
+genuinely stateful (the current sequence's remaining budget carries
+forward), so this is the documented `applyInPandas` case: an
+Arrow-batched linear pass per shard group, parallel across shards,
+reproducible across runs. Sequences never exceed the budget; documents
+longer than the budget sit alone, flagged `oversize` (pre-split them
+upstream).
+
+`mix_corpus`: deterministic per-source sampling rates (e.g. wiki 2×
+upsampled epochs are expressed as rate > 1 handled by the caller; here
+rates in [0,1] select a stable subset). Reuses the content-addressed
+bucket from ml/splits so a document's inclusion is stable across runs and
+engines — re-running the pipeline yields the same mixture, which keeps
+training reproducible and dedup/decontam decisions consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.ml.splits import split_bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-fit-in-order packing: documents ordered by `id_col` (within
+    optional `partition_cols`, e.g. a split or shard key) accumulate into
+    sequences of at most `max_tokens`. Adds:
+
+    - `seq_id`: 0-based sequence number within the partition;
+    - `oversize`: 1 when the document alone exceeds the budget (it gets
+      its own sequence; split such docs upstream).
+
+    Exact greedy is a stateful fold (the unused tail of the current
+    sequence carries forward), which no composition of window functions
+    expresses — a pure `floor(cumsum/budget)` bucketing can OVERSHOOT the
+    budget when a straddling document resets the origin (e.g. 500, 999,
+    499 at budget 1000 would co-locate 999+499). This is therefore the
+    `applyInPandas` case: one Arrow-batched linear pass per partition
+    group, deterministic order by `id_col` inside the group. Sequences
+    never exceed the budget (oversize docs sit alone, flagged).
+    Parallelism = number of partition groups — pass shard/split columns at
+    scale (packing is per-shard in any real pipeline; cross-shard packing
+    would couple shards at training time anyway)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parts = partition_cols or []
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("seq_id", LongType(), False),
+            StructField("oversize", LongType(), False),
+        ]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        seq, fill = 0, 0
+        seqs = []
+        for t in pdf[token_col].astype("int64"):
+            if fill > 0 and fill + t > max_tokens:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            fill += t
+        pdf["seq_id"] = seqs
+        pdf["oversize"] = (pdf[token_col].astype("int64") > max_tokens).astype(
+            "int64"
+        )
+        return pdf
+
+    grouped = df.groupBy(*parts) if parts else df.groupBy(F.lit(1).alias("__g"))
+    out = grouped.applyInPandas(fold, schema=out_schema)
+    return out
+
+
+def mix_corpus(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep a deterministic `rate` fraction of each source's documents
+    (rate in [0, 1]; sources absent from `rates` use `default_rate`).
+    Selection is content-addressed (md5 bucket of the id, same primitive
+    as ml.splits), so the kept subset is stable across runs, partition
+    layouts, and engines — and independent of the split assignment because
+    the bucket is salted with the source name."""
+    for src, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {src!r} must be in [0,1], got {r}")
+    salted = F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string"))
+    bucket = split_bucket(salted, n_buckets=10_000)
+    rate_expr = None
+    for src, r in rates.items():
+        cond = F.col(source_col) == src
+        rate_expr = (
+            F.when(cond, F.lit(r)) if rate_expr is None else rate_expr.when(cond, F.lit(r))
+        )
+    rate_expr = (
+        rate_expr.otherwise(F.lit(default_rate))
+        if rate_expr is not None
+        else F.lit(default_rate)
+    )
+    return df.filter(bucket < rate_expr * 10_000)

@@ -117,6 +117,68 @@ def test_contamination_flags_and_short_docs(spark):
     assert out[3]["n_shingles"] == 0 and out[3]["contaminated"] == 0
 
 
+def test_pack_sequences_greedy_budget(spark):
+    from mempool_dumpster_spark.ml.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            # the straddle case a naive cumsum/bucket rule over-packs:
+            # greedy must yield [500], [999], [499, 300] — never 999+499
+            (1, 500), (2, 999), (3, 499), (4, 300),
+            (5, 1500),  # oversize: own sequence, flagged
+            (6, 100),
+        ],
+        "doc_id long, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, 1000).collect()}
+    seqs: dict[int, list[int]] = {}
+    for d, r in sorted(out.items()):
+        seqs.setdefault(r["seq_id"], []).append(d)
+    assert list(seqs.values()) == [[1], [2], [3, 4], [5], [6]]
+    assert out[5]["oversize"] == 1 and out[2]["oversize"] == 0
+    # every non-oversize sequence fits the budget
+    for seq_docs in seqs.values():
+        total = sum(out[d]["n_tokens"] for d in seq_docs)
+        assert total <= 1000 or any(out[d]["oversize"] for d in seq_docs)
+
+    # per-partition packing: groups pack independently and in parallel
+    docs2 = docs.withColumn(
+        "shard", (F.col("doc_id") % 2).cast("string")
+    )
+    out2 = pack_sequences(docs2, 1000, partition_cols=["shard"]).collect()
+    by_shard: dict[tuple, int] = {}
+    for r in out2:
+        by_shard[(r["shard"], r["seq_id"])] = (
+            by_shard.get((r["shard"], r["seq_id"]), 0) + r["n_tokens"]
+        )
+    for (_, _), tot in by_shard.items():
+        assert tot <= 1500  # oversize doc 5 sits alone in its shard
+
+
+def test_mix_corpus_deterministic_rates(spark):
+    from mempool_dumpster_spark.ml.packing import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    kept = mix_corpus(df, {"a": 0.5, "b": 1.0})
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["b"] == 1000               # rate 1.0 keeps everything
+    assert 400 <= counts["a"] <= 600         # rate 0.5 within binomial bounds
+    # stable: same subset on re-run and under different partitioning
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {
+        r["doc_id"] for r in mix_corpus(df.repartition(13), {"a": 0.5, "b": 1.0}).collect()
+    }
+    assert ids1 == ids2
+    with pytest.raises(ValueError, match="rate"):
+        mix_corpus(df, {"a": 1.5})
+
+
 def test_assign_split_deterministic(spark):
     from mempool_dumpster_spark.ml.splits import assign_split
 
