@@ -204,3 +204,40 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+#: conservative structural patterns — emails, phone-ish digit runs, IPv4,
+#: and 0x-hex blobs (this corpus's domain-specific identifier). Pure-regex
+#: detection: JVM-side regexp_replace/regexp_count, whole-stage codegen'd,
+#: no Python in the loop. Order matters: email before phone so the digits
+#: inside an email aren't double-counted.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "hex_id": r"\b0x[0-9a-fA-F]{8,}\b",
+}
+
+
+def redact_pii(
+    df, text_col: str = "text", patterns: dict[str, str] | None = None
+):
+    """Replace each PII pattern match with `[<KIND>]` and count matches per
+    kind — the compliance pass a corpus runs between filtering and
+    packing. Adds `<text_col>_redacted` plus one `n_<kind>` LONG column
+    per pattern. One projection, zero shuffles, codegen'd regex — the cost
+    profile of any scalar map at 100 TB. Redaction is substitution, not
+    detection-grade NER: patterns are structural (email/IP/phone/hex id),
+    the conservative default for pre-training scrubbing."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        )
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return out.withColumn(f"{text_col}_redacted", red)

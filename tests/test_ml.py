@@ -117,6 +117,27 @@ def test_contamination_flags_and_short_docs(spark):
     assert out[3]["n_shingles"] == 0 and out[3]["contaminated"] == 0
 
 
+def test_redact_pii(spark):
+    from mempool_dumpster_spark.ml.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or call +1 (555) 123-4567"),
+            (2, "server 10.0.0.1 sent tx 0xdeadbeefcafe1234 twice 0xdeadbeefcafe1234"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    r1 = out[1]["text_redacted"]
+    assert "[EMAIL]" in r1 and "[PHONE]" in r1 and "example.org" not in r1
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_hex_id"] == 2
+    assert out[2]["text_redacted"].count("[HEX_ID]") == 2
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_phone"] == 0
+
+
 def test_pack_sequences_greedy_budget(spark):
     from mempool_dumpster_spark.ml.packing import pack_sequences
 
