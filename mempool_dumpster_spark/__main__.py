@@ -87,17 +87,21 @@ def cmd_collect(args, spark: SparkSession | None = None) -> int:
 
         broadcaster = SSEBroadcaster(port=args.sse_port)
         print(f"SSE: http://127.0.0.1:{broadcaster.port}/sse/transactions")
-    stream = file_stream_source(spark, args.landing)
-    queries = start_collector(
-        stream,
-        out_dir=args.out,
-        checkpoint_dir=args.checkpoint or f"{args.out}/_checkpoint",
-        trigger_available_now=args.drain,
-        sse_publish=broadcaster.publish_rows if broadcaster else None,
-    )
-    queries.await_all()
-    if broadcaster is not None:
-        broadcaster.close()
+    try:
+        stream = file_stream_source(spark, args.landing)
+        queries = start_collector(
+            stream,
+            out_dir=args.out,
+            checkpoint_dir=args.checkpoint or f"{args.out}/_checkpoint",
+            trigger_available_now=args.drain,
+            sse_publish=broadcaster.publish_rows if broadcaster else None,
+        )
+        queries.await_all()
+    finally:
+        # without this, a failed/interrupted run leaks the server thread
+        # and keeps the port bound for the rest of the process
+        if broadcaster is not None:
+            broadcaster.close()
     return 0
 
 

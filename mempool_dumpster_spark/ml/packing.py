@@ -101,7 +101,14 @@ def mix_corpus(
     for src, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {src!r} must be in [0,1], got {r}")
-    salted = F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string"))
+    # coalesce both salt parts: concat is null-propagating, and a NULL
+    # bucket would silently DROP the row in the filter below (NULL < x is
+    # never true) — NULL-source docs must still respect default_rate
+    salted = F.concat(
+        F.coalesce(F.col(source_col), F.lit("")),
+        F.lit(":"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+    )
     bucket = split_bucket(salted, n_buckets=10_000)
     rate_expr = None
     for src, r in rates.items():

@@ -208,16 +208,19 @@ def tfidf_top_terms(
 
 # --- PII redaction -----------------------------------------------------------
 
-#: conservative structural patterns — emails, phone-ish digit runs, IPv4,
-#: and 0x-hex blobs (this corpus's domain-specific identifier). Pure-regex
+#: conservative structural patterns — emails, 0x-hex blobs (this corpus's
+#: domain-specific identifier), IPv4, and phone-ish digit runs. Pure-regex
 #: detection: JVM-side regexp_replace/regexp_count, whole-stage codegen'd,
-#: no Python in the loop. Order matters: email before phone so the digits
-#: inside an email aren't double-counted.
+#: no Python in the loop. ORDER IS LOAD-BEARING and enforced by applying
+#: patterns sequentially to the partially-redacted text: email, hex ids and
+#: IPs are consumed before the greedy phone pattern, so the digit run
+#: inside `0xdeadbeef1234...` or `192.168.100.100` can't be mangled into
+#: `[PHONE]` (a ≥9-digit decimal run occurs in most 64-char tx hashes).
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "hex_id": r"\b0x[0-9a-fA-F]{8,}\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
     "phone": r"\+?\d[\d\s().-]{7,}\d",
-    "hex_id": r"\b0x[0-9a-fA-F]{8,}\b",
 }
 
 
@@ -227,17 +230,19 @@ def redact_pii(
     """Replace each PII pattern match with `[<KIND>]` and count matches per
     kind — the compliance pass a corpus runs between filtering and
     packing. Adds `<text_col>_redacted` plus one `n_<kind>` LONG column
-    per pattern. One projection, zero shuffles, codegen'd regex — the cost
-    profile of any scalar map at 100 TB. Redaction is substitution, not
-    detection-grade NER: patterns are structural (email/IP/phone/hex id),
-    the conservative default for pre-training scrubbing."""
+    per pattern. Patterns apply SEQUENTIALLY to the progressively-redacted
+    text, and each count is taken at that same stage — so `n_<kind>`
+    equals the number of `[<KIND>]` placeholders actually in the output
+    (an email's digits are never also counted as a phone). One projection,
+    zero shuffles, codegen'd regex — the cost profile of any scalar map at
+    100 TB. Redaction is substitution, not detection-grade NER: patterns
+    are structural, the conservative default for pre-training scrubbing."""
     pats = patterns or PII_PATTERNS
     out = df
     red = F.col(text_col)
     for kind, pat in pats.items():
         out = out.withColumn(
-            f"n_{kind}",
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+            f"n_{kind}", F.regexp_count(red, F.lit(pat)).cast("long")
         )
         red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
     return out.withColumn(f"{text_col}_redacted", red)

@@ -60,10 +60,9 @@ def range_join(
 
     Output: all point columns + all interval columns (minus the join keys,
     which appear once). Column names must not collide across the two
-    sides (keys excepted) — collisions raise. LEFT caveat: point rows that
-    are fully identical across all columns are treated as one when backing
-    unmatched points in (the anti-join is by value); carry a unique id
-    column if exact multiplicity of unmatched duplicates matters.
+    sides (keys excepted) — collisions raise. The LEFT form tracks points
+    by a synthetic per-run row id, so duplicate point rows and NULL-valued
+    point columns are both handled exactly.
 
     fanout_partitions: when the interval side is small enough to broadcast,
     the join never shuffles and pair generation runs with the POINT SIDE'S
@@ -103,8 +102,20 @@ def range_join(
     if how == "inner":
         return p.join(iv, [*keys, "__bucket"]).filter(contained).drop("__bucket")
     # LEFT: run the inner match, then add back points with no interval.
-    matched = p.join(iv, [*keys, "__bucket"]).filter(contained).drop("__bucket")
-    missing = p.drop("__bucket").join(
-        matched.select(*points.columns), points.columns, "left_anti"
+    # Unmatched points are found by anti-joining on a synthetic row id —
+    # NOT on the point columns by value, which (a) is null-UNSAFE (a NULL
+    # key column would make a matched row reappear as unmatched, since
+    # NULL == NULL is not true) and (b) conflates fully-identical
+    # duplicate rows. The id is per-run only and never leaves the
+    # operator. `matched` feeds both the output and the anti-join, so
+    # persist it — otherwise the whole bucketed join executes twice
+    # (Spark LRU-evicts the cache if memory is needed; callers running
+    # this inside a larger cached pipeline pay nothing extra).
+    p = p.withColumn("__pid", F.monotonically_increasing_id())
+    matched = (
+        p.join(iv, [*keys, "__bucket"]).filter(contained).drop("__bucket").persist()
     )
-    return matched.unionByName(missing, allowMissingColumns=True)
+    missing = p.drop("__bucket").join(
+        matched.select("__pid"), "__pid", "left_anti"
+    )
+    return matched.unionByName(missing, allowMissingColumns=True).drop("__pid")

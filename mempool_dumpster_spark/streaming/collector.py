@@ -229,12 +229,28 @@ def start_collector(
                 f"{out_dir}/transactions"
             )
             if sse_publish is not None:
-                sse_publish(
-                    [
-                        r.asDict()
-                        for r in valid.select("hash", "raw_tx").limit(10_000).collect()
-                    ]
-                )
+                # best-effort, like the reference's SSE send (silent drop on
+                # full channels): a subscriber-side failure must never fail
+                # the micro-batch — the transactions CSV append above is not
+                # idempotent, so a retry would duplicate rows.
+                try:
+                    sse_publish(
+                        [
+                            r.asDict()
+                            for r in valid.select("hash", "raw_tx")
+                            .limit(10_000)
+                            .collect()
+                        ]
+                    )
+                except Exception:
+                    import warnings
+
+                    warnings.warn(
+                        "sse_publish raised; batch continues (SSE is "
+                        "best-effort)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             trash = _bucketed(
                 batch.filter(~is_first).select(
                     epoch_ms("received_at").alias("timestamp_ms"),

@@ -147,12 +147,18 @@ class SSEBroadcaster:
         for q in subs:
             try:
                 q.put_nowait(_SENTINEL)
-            except queue.Full:  # drain one slot so the sentinel always fits
+            except queue.Full:  # drain one slot so the sentinel likely fits
                 try:
                     q.get_nowait()
                 except queue.Empty:
                     pass
-                q.put_nowait(_SENTINEL)
+                try:
+                    q.put_nowait(_SENTINEL)
+                except queue.Full:
+                    # a concurrent publish refilled the slot — proceed with
+                    # shutdown anyway; handler threads are daemons and the
+                    # server_close below tears their sockets down
+                    pass
         self._httpd.shutdown()
         self._httpd.server_close()
 

@@ -137,6 +137,25 @@ def test_redact_pii(spark):
     assert out[3]["text_redacted"] == "nothing sensitive here"
     assert out[3]["n_email"] == out[3]["n_phone"] == 0
 
+    # counts must describe the OUTPUT: a long digit run inside a hex id /
+    # an email / an IPv4 is consumed by that pattern first and never
+    # double-reported (or mangled) as a phone
+    tricky = spark.createDataFrame(
+        [
+            (10, "tx 0x1234567890abcdef1234567890abcdef"),
+            (11, "digits9876543210@example.com"),
+            (12, "server 192.168.100.100 up"),
+        ],
+        "doc_id long, text string",
+    )
+    t = {r["doc_id"]: r for r in redact_pii(tricky).collect()}
+    assert t[10]["n_hex_id"] == 1 and t[10]["n_phone"] == 0
+    assert t[10]["text_redacted"] == "tx [HEX_ID]"
+    assert t[11]["n_email"] == 1 and t[11]["n_phone"] == 0
+    assert t[12]["n_ipv4"] == 1 and t[12]["n_phone"] == 0
+    for r in t.values():
+        assert "[PHONE]" not in r["text_redacted"]
+
 
 def test_pack_sequences_greedy_budget(spark):
     from mempool_dumpster_spark.ml.packing import pack_sequences
@@ -198,6 +217,13 @@ def test_mix_corpus_deterministic_rates(spark):
     assert ids1 == ids2
     with pytest.raises(ValueError, match="rate"):
         mix_corpus(df, {"a": 1.5})
+
+    # NULL source must not be silently dropped — it follows default_rate
+    withnull = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "doc_id long, source string"
+    )
+    kept_null = mix_corpus(withnull, {"a": 1.0}, default_rate=1.0)
+    assert kept_null.count() == 3
 
 
 def test_assign_split_deterministic(spark):

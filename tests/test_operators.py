@@ -293,6 +293,22 @@ def test_range_join_inner_and_left(spark):
     rows = sorted((r["pid"], r["iid"]) for r in left.collect())
     assert rows == [(1, 100), (2, 100), (2, 200), (3, 200), (4, None)]
 
+    # LEFT with NULL point columns and duplicate point rows: a matched row
+    # with a NULL column must NOT reappear as unmatched (null-unsafe
+    # anti-join bug), and exact duplicates keep their multiplicity
+    pts2 = spark.createDataFrame(
+        [(None, 5), (None, 99), (7, 5), (7, 5)],
+        "pid long, x long",
+    )
+    rows2 = sorted(
+        ((r["pid"], r["x"], r["iid"]) for r in
+         range_join(pts2, iv, "x", "lo", "hi", bucket_width=7, how="left").collect()),
+        key=str,
+    )
+    assert rows2 == sorted(
+        [(None, 5, 100), (None, 99, None), (7, 5, 100), (7, 5, 100)], key=str
+    )
+
 
 def test_range_join_keys_and_validation(spark):
     from mempool_dumpster_spark.operators.range_join import range_join
