@@ -60,9 +60,11 @@ def range_join(
 
     Output: all point columns + all interval columns (minus the join keys,
     which appear once). Column names must not collide across the two
-    sides (keys excepted) — collisions raise. The LEFT form tracks points
-    by a synthetic per-run row id, so duplicate point rows and NULL-valued
-    point columns are both handled exactly.
+    sides (keys excepted) — collisions raise. The LEFT form is a single
+    LEFT OUTER equi-join with the containment predicate as a join
+    residual, so duplicate point rows and NULL-valued point columns are
+    both kept exactly once when unmatched — no synthetic ids, no caching,
+    deterministic under task retries.
 
     fanout_partitions: when the interval side is small enough to broadcast,
     the join never shuffles and pair generation runs with the POINT SIDE'S
@@ -101,21 +103,34 @@ def range_join(
     )
     if how == "inner":
         return p.join(iv, [*keys, "__bucket"]).filter(contained).drop("__bucket")
-    # LEFT: run the inner match, then add back points with no interval.
-    # Unmatched points are found by anti-joining on a synthetic row id —
-    # NOT on the point columns by value, which (a) is null-UNSAFE (a NULL
-    # key column would make a matched row reappear as unmatched, since
-    # NULL == NULL is not true) and (b) conflates fully-identical
-    # duplicate rows. The id is per-run only and never leaves the
-    # operator. `matched` feeds both the output and the anti-join, so
-    # persist it — otherwise the whole bucketed join executes twice
-    # (Spark LRU-evicts the cache if memory is needed; callers running
-    # this inside a larger cached pipeline pay nothing extra).
-    p = p.withColumn("__pid", F.monotonically_increasing_id())
-    matched = (
-        p.join(iv, [*keys, "__bucket"]).filter(contained).drop("__bucket").persist()
+    # LEFT: one LEFT OUTER hash equi-join on (keys, bucket) with the
+    # containment predicate folded into the JOIN CONDITION (a residual on
+    # the hash join, not a post-filter — a post-filter over a left outer
+    # join would wrongly keep a null-padded row for points whose bucket
+    # matched but whose containment failed... and then drop it, losing the
+    # point entirely).
+    #
+    # This shape needs no synthetic row id at all. Earlier designs matched
+    # inner-first and anti-joined the leftovers via
+    # monotonically_increasing_id(), which is nondeterministic across plan
+    # re-executions: a task retry or an evicted cache block could renumber
+    # rows so matched points reappeared as unmatched (and the persisted
+    # midpoint leaked in the cache). A single left outer join evaluates
+    # the points side exactly once, keeps duplicate and NULL-keyed point
+    # rows each exactly once (unmatched rows pass through null-padded,
+    # like any outer join), and leaves nothing persisted behind.
+    #
+    # Join with explicit per-side column references (condition join, not
+    # an on-list) so both sides' key columns stay addressable; the final
+    # select takes keys and point columns from the points side — for
+    # unmatched rows the interval side is all-null.
+    pa = p.alias("__rj_p")
+    ia = iv.alias("__rj_i")
+    cond = pa["__bucket"] == ia["__bucket"]
+    for k in keys:
+        cond = cond & (pa[k] == ia[k])
+    cond = cond & (pa[point_col] >= ia[start_col]) & (pa[point_col] <= ia[end_col])
+    iv_cols = [c for c in intervals.columns if c not in keys]
+    return pa.join(ia, cond, "left").select(
+        *[pa[c] for c in points.columns], *[ia[c] for c in iv_cols]
     )
-    missing = p.drop("__bucket").join(
-        matched.select("__pid"), "__pid", "left_anti"
-    )
-    return matched.unionByName(missing, allowMissingColumns=True).drop("__pid")

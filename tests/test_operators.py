@@ -310,6 +310,25 @@ def test_range_join_inner_and_left(spark):
     )
 
 
+def test_range_join_left_no_cache_and_residual_semantics(spark):
+    """The LEFT form must (a) leave nothing persisted behind (the old
+    id+anti-join design cached an intermediate and leaked it) and (b)
+    keep a point whose BUCKET matches an interval replica but whose
+    containment fails — the residual must live in the join condition,
+    not a post-filter, or such points vanish from a left join."""
+    from mempool_dumpster_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame([(1, 24)], "pid long, x long")
+    iv = spark.createDataFrame([(300, 25, 26)], "iid long, lo long, hi long")
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    # x=24 and [25,26] share bucket floor(/7)=3 but 24 is outside the
+    # interval: the point must survive null-padded.
+    rows = range_join(pts, iv, "x", "lo", "hi", bucket_width=7, how="left").collect()
+    assert [(r["pid"], r["iid"]) for r in rows] == [(1, None)]
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) == len(before), "left range_join leaked a persisted RDD"
+
+
 def test_range_join_keys_and_validation(spark):
     from mempool_dumpster_spark.operators.range_join import range_join
 
