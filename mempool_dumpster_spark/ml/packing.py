@@ -21,7 +21,7 @@ training reproducible and dedup/decontam decisions consistent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mempool_dumpster_spark.ml.splits import split_bucket
@@ -33,14 +33,26 @@ def pack_sequences(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     partition_cols: list[str] | None = None,
+    n_shards: int = 64,
+    shard_col: str = "shard",
 ) -> DataFrame:
     """First-fit-in-order packing: documents ordered by `id_col` (within
-    optional `partition_cols`, e.g. a split or shard key) accumulate into
+    `partition_cols`, e.g. a split or shard key) accumulate into
     sequences of at most `max_tokens`. Adds:
 
     - `seq_id`: 0-based sequence number within the partition;
     - `oversize`: 1 when the document alone exceeds the budget (it gets
       its own sequence; split such docs upstream).
+
+    When `partition_cols` is not given, the input is AUTO-SHARDED by a
+    content-addressed bucket of `id_col` (ml.splits.split_bucket, md5 mod
+    `n_shards`) and a `shard_col` LONG column is added to the output —
+    the sequence key is then `(shard, seq_id)`. Without this, the whole
+    corpus would flow through ONE applyInPandas group (one task, one
+    Arrow transfer of every row — dead at any real scale). Packing is
+    per-shard in any real pipeline anyway; the shard assignment is stable
+    across runs, partition layouts, and engines. Pass `n_shards=1` to
+    explicitly opt into single-group global packing for small inputs.
 
     Exact greedy is a stateful fold (the unused tail of the current
     sequence carries forward), which no composition of window functions
@@ -50,12 +62,22 @@ def pack_sequences(
     `applyInPandas` case: one Arrow-batched linear pass per partition
     group, deterministic order by `id_col` inside the group. Sequences
     never exceed the budget (oversize docs sit alone, flagged).
-    Parallelism = number of partition groups — pass shard/split columns at
-    scale (packing is per-shard in any real pipeline; cross-shard packing
-    would couple shards at training time anyway)."""
+    Parallelism = number of partition groups."""
     from pyspark.sql.types import LongType, StructField, StructType
 
-    parts = partition_cols or []
+    parts = list(partition_cols or [])
+    if not parts:
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        if shard_col in df.columns:
+            raise ValueError(
+                f"auto-shard column {shard_col!r} already exists; pass it in "
+                f"partition_cols to pack by it, or rename via shard_col="
+            )
+        df = df.withColumn(
+            shard_col, split_bucket(id_col, n_buckets=n_shards).cast("long")
+        )
+        parts = [shard_col]
     out_schema = StructType(
         list(df.schema.fields)
         + [
@@ -80,9 +102,7 @@ def pack_sequences(
         )
         return pdf
 
-    grouped = df.groupBy(*parts) if parts else df.groupBy(F.lit(1).alias("__g"))
-    out = grouped.applyInPandas(fold, schema=out_schema)
-    return out
+    return df.groupBy(*parts).applyInPandas(fold, schema=out_schema)
 
 
 def mix_corpus(

@@ -216,11 +216,24 @@ def tfidf_top_terms(
 #: IPs are consumed before the greedy phone pattern, so the digit run
 #: inside `0xdeadbeef1234...` or `192.168.100.100` can't be mangled into
 #: `[PHONE]` (a ≥9-digit decimal run occurs in most 64-char tx hashes).
+#: The phone pattern is STRUCTURAL, not "any long digit run": an earlier
+#: `\+?\d[\d\s().-]{7,}\d` form matched every spaced/dotted digit run of
+#: ~9+ chars and destroyed benign numeric prose ('2024 2025 2026',
+#: '1 000 000.00') into [PHONE]. The replacement is an alternation of the
+#: three shapes real phone numbers take — international (+CC ...),
+#: parenthesized-area-code, and 3-3-4 separated — each requiring its
+#: grouping punctuation in place, so free-standing years/amounts/dates
+#: never match. Deliberately RE2-compatible (no lookahead), so the exact
+#: same patterns run in the DuckDB oracle.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "hex_id": r"\b0x[0-9a-fA-F]{8,}\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "phone": (
+        r"\+\d{1,3}[\s.-]?\(?\d{1,4}\)?(?:[\s.-]\d{2,4}){1,3}\b"
+        r"|\(\d{3}\)[\s.-]?\d{3}[\s.-]\d{4}\b"
+        r"|\b\d{3}[\s.-]\d{3}[\s.-]\d{4}\b"
+    ),
 }
 
 

@@ -157,6 +157,31 @@ def test_redact_pii(spark):
         assert "[PHONE]" not in r["text_redacted"]
 
 
+def test_redact_pii_benign_numeric_prose(spark):
+    """The phone pattern is structural: years, grouped amounts, spaced
+    ISO dates, and plain big integers must survive redaction untouched,
+    while real phone shapes (international, parenthesized, 3-3-4) are
+    still caught."""
+    from mempool_dumpster_spark.ml.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "annual figures for 2024 2025 2026 were flat"),
+            (2, "the fund held 1 000 000.00 and paid 12 345 678 in fees"),
+            (3, "between 2024-01-15 2024-01-16 and 2024-01-17"),
+            (4, "population 1234567890 grew 3.5 percent"),
+            (5, "call (555) 123-4567 or 555.123.4567 or +44 20 7946 0958"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i]["n_phone"] == 0, out[i]["text_redacted"]
+        assert "[PHONE]" not in out[i]["text_redacted"]
+    assert out[5]["n_phone"] == 3
+    assert out[5]["text_redacted"].count("[PHONE]") == 3
+
+
 def test_pack_sequences_greedy_budget(spark):
     from mempool_dumpster_spark.ml.packing import pack_sequences
 
@@ -170,7 +195,8 @@ def test_pack_sequences_greedy_budget(spark):
         ],
         "doc_id long, n_tokens long",
     )
-    out = {r["doc_id"]: r for r in pack_sequences(docs, 1000).collect()}
+    # n_shards=1: explicit opt-in to single-group global packing
+    out = {r["doc_id"]: r for r in pack_sequences(docs, 1000, n_shards=1).collect()}
     seqs: dict[int, list[int]] = {}
     for d, r in sorted(out.items()):
         seqs.setdefault(r["seq_id"], []).append(d)
@@ -193,6 +219,39 @@ def test_pack_sequences_greedy_budget(spark):
         )
     for (_, _), tot in by_shard.items():
         assert tot <= 1500  # oversize doc 5 sits alone in its shard
+
+
+def test_pack_sequences_auto_shards_by_default(spark):
+    """Without partition_cols the corpus must NOT funnel through one
+    applyInPandas group: the default auto-shards by a content-addressed
+    md5 bucket of the id, emits the shard key, and stays deterministic
+    under repartitioning."""
+    from mempool_dumpster_spark.ml.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 7)) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(docs, 1000)
+    rows = out.collect()
+    assert "shard" in out.columns
+    shards = {r["shard"] for r in rows}
+    assert len(shards) > 1, "default packing collapsed to a single group"
+    assert all(0 <= s < 64 for s in shards)
+    # budget holds within every (shard, seq_id) group
+    totals: dict[tuple, int] = {}
+    for r in rows:
+        k = (r["shard"], r["seq_id"])
+        totals[k] = totals.get(k, 0) + r["n_tokens"]
+    assert all(t <= 1000 for t in totals.values())
+    # content-addressed: same assignment under a different partition layout
+    again = {
+        (r["doc_id"], r["shard"], r["seq_id"])
+        for r in pack_sequences(docs.repartition(13), 1000).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["seq_id"]) for r in rows}
+    # a pre-existing column named `shard` must not be silently clobbered
+    with pytest.raises(ValueError, match="shard"):
+        pack_sequences(docs.withColumn("shard", F.lit(1)), 1000)
 
 
 def test_mix_corpus_deterministic_rates(spark):
