@@ -10,12 +10,7 @@ from pyspark.sql import functions as F
 
 from mempool_dumpster_spark.ml.dedup import duplicate_components, exact_dedup
 from mempool_dumpster_spark.ml.similarity import ivf_topk, lsh_bucketed_topk
-from mempool_dumpster_spark.ml.text import (
-    DEFAULT_LANG_PROFILES,
-    language_id,
-    quality_features,
-    quality_score,
-)
+from mempool_dumpster_spark.ml.text import DEFAULT_LANG_PROFILES, language_id
 from mempool_dumpster_spark.plans.registry import register
 from mempool_dumpster_spark.plans.tables import load_tables
 
@@ -59,34 +54,160 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs).select("doc_id", "predicted_lang")
 
 
-@register(
-    "docs_quality_score",
-    oracle="""
-    WITH f AS (
-      SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS distinct_ratio,
-             CAST(len(list_filter(string_split(text, ' '),
-                    w -> list_contains(['the','and','of','to','a','in','is'], w)))
-                  AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
-      FROM documents
-    )
-    SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
-           (least(n_tokens / 20.0, 1.0) + least(distinct_ratio * 2, 1.0)
-            + least(stopword_ratio * 10, 1.0)) / 3.0 AS quality_score
-    FROM f
-    """,
-    doc="Composite quality score (ml.text.quality_score): length, lexical "
-    "diversity, stopword presence — the cheap corpus filters of LLM data "
-    "pipelines, as one codegen'd projection.",
+# doc_id buckets for the deterministic PII augmentation below — the synthetic
+# corpus is digit-free word salad, so the redaction oracle would otherwise be
+# an all-zeros no-op. Both engines append the SAME derived strings (emails,
+# phones, hex ids, IPv4s, plus numeric DECOYS that must NOT match), turning
+# the cross-engine hash into a char-for-char regex-parity check with true
+# positives and near-miss negatives.
+_PII_AUG_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', doc_id,"
+    "   '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' call 555-123-', 1000 + doc_id % 9000)"
+    "   ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(' from 10.0.', doc_id % 256,"
+    "   '.1 tx 0x', md5(text)) ELSE '' END,"
+    " ' in ', 2000 + doc_id % 30,"
+    " CASE WHEN doc_id % 3 = 0 THEN ' paid 1 000 000.00' ELSE '' END)"
 )
-def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    out = quality_score(quality_features(docs))
-    return out.select(
-        "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio", "quality_score"
+_PII_AUG_DUCK = """
+      text
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-123-' || (1000 + doc_id % 9000) ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.1 tx 0x' || md5(text)
+              ELSE '' END
+      || ' in ' || (2000 + doc_id % 30)
+      || CASE WHEN doc_id % 3 = 0 THEN ' paid 1 000 000.00' ELSE '' END
+"""
+
+
+def _pii_oracle() -> str:
+    """Build the staged DuckDB twin of ml.text.redact_pii from the live
+    PII_PATTERNS dict, so pattern text and application ORDER can never
+    drift between the Spark path and the oracle (the patterns are written
+    RE2-compatible for exactly this reason — ml/text.py)."""
+    from mempool_dumpster_spark.ml.text import PII_PATTERNS
+
+    inner = f"SELECT doc_id, {_PII_AUG_DUCK} AS t FROM documents"
+    count_cols: list[str] = []
+    for kind, pat in PII_PATTERNS.items():
+        lit = pat.replace("'", "''")
+        carried = ", ".join(count_cols)
+        carried = carried + ", " if carried else ""
+        inner = (
+            f"SELECT doc_id, {carried}"
+            f"CAST(len(regexp_extract_all(t, '{lit}')) AS BIGINT) AS n_{kind}, "
+            f"regexp_replace(t, '{lit}', '[{kind.upper()}]', 'g') AS t "
+            f"FROM ({inner})"
+        )
+        count_cols.append(f"n_{kind}")
+    return (
+        f"SELECT doc_id, {', '.join(count_cols)}, t AS text_redacted "
+        f"FROM ({inner})"
     )
+
+
+@register(
+    "docs_redact_pii",
+    oracle=_pii_oracle(),
+    doc="Structural PII redaction (ml.text.redact_pii): emails, 0x-hex ids, "
+    "IPv4s, and structural phone shapes replaced by [KIND] placeholders with "
+    "per-kind counts, patterns applied sequentially so a hex id's digit run "
+    "is never double-reported as a phone. The corpus is augmented with "
+    "deterministic doc_id-derived PII strings AND numeric decoys (years, "
+    "grouped amounts) in both engines, so the value hash proves regex "
+    "semantic parity on matches and non-matches alike. One projection, "
+    "zero shuffles, codegen'd JVM regex — scalar-map cost at 100 TB.",
+)
+def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import redact_pii
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    aug = docs.select("doc_id", F.expr(_PII_AUG_SPARK).alias("text"))
+    return redact_pii(aug).select(
+        "doc_id", "n_email", "n_hex_id", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+@register(
+    "docs_pack_sequences",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 8 AS BIGINT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    pack(shard, rn, doc_id, n_tokens, seq_id, fill) AS (
+      SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 256
+                  THEN p.seq_id + 1 ELSE p.seq_id END,
+             CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 256
+                  THEN o.n_tokens ELSE p.fill + o.n_tokens END
+      FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, seq_id,
+           CAST(n_tokens > 256 AS BIGINT) AS oversize
+    FROM pack
+    """,
+    doc="Exact greedy sequence packing (ml.packing.pack_sequences) through "
+    "the scale-safe AUTO-SHARD default: documents bucket by md5(doc_id) mod "
+    "8 (content-addressed, engine-portable), then first-fit-in-order pack "
+    "to a 256-token budget per shard via one Arrow-batched applyInPandas "
+    "pass per shard — parallelism = shard count, no single-group funnel. "
+    "The greedy fold is genuinely stateful (a straddling doc resets the "
+    "budget origin, which floor(cumsum/budget) gets wrong), so the DuckDB "
+    "twin is a recursive CTE stepping row-by-row per shard — exact, not "
+    "approximate, parity on every (shard, seq_id) assignment.",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.packing import pack_sequences
+    from mempool_dumpster_spark.ml.text import token_count
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return pack_sequences(toks, 256, n_shards=8).select(
+        "doc_id", "shard", "n_tokens", "seq_id", "oversize"
+    )
+
+
+@register(
+    "docs_mix_corpus",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(coalesce(source, '') || ':'
+                          || coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8)
+          )::UBIGINT % 10000
+          < 10000 * CASE source WHEN 'src0' THEN 0.25
+                                WHEN 'src1' THEN 0.5
+                                ELSE 0.75 END
+    """,
+    overflow=True,  # oracle-checked via selfcheck; cedes its driver slot
+    doc="Deterministic corpus mixing (ml.packing.mix_corpus): keep a stable "
+    "per-source fraction via a source-salted content-addressed md5 bucket — "
+    "the kept subset is identical across runs, partition layouts, and "
+    "engines (the oracle reproduces it bit-for-bit), unlike sample(). One "
+    "codegen'd filter, zero shuffles.",
+)
+def docs_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.packing import mix_corpus
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return mix_corpus(
+        docs, rates={"src0": 0.25, "src1": 0.5}, default_rate=0.75
+    ).select("doc_id", "source")
 
 
 @register(

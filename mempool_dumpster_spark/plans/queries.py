@@ -791,27 +791,6 @@ def top_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "order_priority_counts",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM orders GROUP BY o_orderpriority
-    """,
-    doc="A8-style per-type counts on the orders fact (ref common/analyzer.go:94, "
-    "201-210) with DECIMAL-exact money sum.",
-)
-def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir, ["orders"])["orders"]
-    return o.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
-            "total_price"
-        ),
-    )
-
-
-@register(
     "events_type_topk",
     oracle="""
     SELECT event_type, event_id, value, CAST(rank AS BIGINT) AS rank

@@ -30,14 +30,17 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     doc: str
+    overflow: bool = False  # True → sort after the 50 driver-recorded slots
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str):
+def register(name: str, oracle: str | None, doc: str, overflow: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc, overflow=overflow
+        )
         return fn
 
     return deco
@@ -66,13 +69,19 @@ def _ensure_loaded() -> None:
     # entries in iteration order (observed r4: 51 registered, artifact had
     # exactly the first 50 and silently dropped `events_daily_rollup`, the
     # 51st insertion). Order oracle-checked entries first so any cap cuts
-    # only rows-only-gated entries, and put `emb_knn_ivf_pretrained` dead
-    # last — it shares its whole code path and recall gate with
-    # `emb_knn_ivf`, so it is the entry whose artifact row carries the
-    # least marginal signal.
+    # only rows-only-gated entries; entries registered with overflow=True
+    # (oracle-checked, but deliberately ceded their artifact slot — they
+    # are still verified by tools/selfcheck.py) sort after the recorded 50,
+    # and `emb_knn_ivf_pretrained` goes dead last — it shares its whole
+    # code path and recall gate with `emb_knn_ivf`, so it is the entry
+    # whose artifact row carries the least marginal signal.
     ordered = sorted(
         REGISTRY.items(),
-        key=lambda kv: (kv[1].oracle is None, kv[0] == "emb_knn_ivf_pretrained"),
+        key=lambda kv: (
+            kv[1].overflow or kv[1].oracle is None,
+            kv[1].oracle is None,
+            kv[0] == "emb_knn_ivf_pretrained",
+        ),
     )
     if list(REGISTRY) != [k for k, _ in ordered]:
         replacement = dict(ordered)
