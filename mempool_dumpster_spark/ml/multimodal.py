@@ -2,10 +2,14 @@
 with typed metadata, processed via Arrow-batched `mapInPandas`.
 
 The Spark-side contract (schemas, partitioning, UDF signatures, batch
-shapes) is real and tested; the actual codec work is STUBBED because no
-image/audio libraries exist in this container — `decode_images` dispatches
-to PIL when importable and otherwise uses `_fake_decode` (deterministic
-byte-statistics features) or raises NotImplementedError in strict mode.
+shapes) is real and tested. Dimension/format extraction is REAL for the
+container formats whose headers are self-describing — PNG (IHDR chunk),
+JPEG (SOF0/1/2... frame markers), GIF (logical screen descriptor), and BMP
+(BITMAPINFOHEADER) — via `image_header`, a pure-Python byte parse needing
+no codec library. Full pixel decode dispatches to PIL when importable;
+payloads in formats the header parser doesn't know fall back to
+`_fake_decode` (deterministic byte-statistics features) or raise
+NotImplementedError in strict mode.
 
 At 100 TB: media tables are date/modality-partitioned; decode runs as
 mapInPandas so each Arrow batch holds only `batch_rows` payloads (bound
@@ -33,8 +37,76 @@ MEDIA_SCHEMA = T.StructType(
 
 IMAGE_FEATURES_SCHEMA = (
     "media_id long, mime string, n_bytes long, byte_mean double, "
-    "byte_entropy double, width int, height int, decode_ok boolean"
+    "byte_entropy double, width int, height int, format string, "
+    "decode_ok boolean"
 )
+
+#: JPEG start-of-frame markers that carry dimensions (all SOFn except the
+#: non-frame 0xC4 DHT, 0xC8 JPG, and 0xCC DAC markers).
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Parse (format, width, height) from an image payload's header bytes —
+    pure Python, no codec library. Recognizes PNG, JPEG, GIF, and BMP.
+    Returns None for unrecognized formats; raises ValueError when the
+    signature matches but the header is truncated or malformed (the caller
+    maps that to decode_ok=False, distinct from "unknown format")."""
+    n = len(payload)
+    if n >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # First chunk must be IHDR: 4-byte length, 'IHDR', then
+        # 4-byte big-endian width and height (PNG spec 11.2.2).
+        if n < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("truncated or non-IHDR-first PNG")
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        if not (0 < w and 0 < h):
+            raise ValueError("PNG IHDR with zero dimension")
+        return ("png", w, h)
+    if n >= 2 and payload[:2] == b"\xff\xd8":
+        # Walk marker segments to the first SOFn frame header:
+        # FF marker len(2) [precision(1) height(2) width(2) ...].
+        i = 2
+        while i + 1 < n:
+            if payload[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    raise ValueError("truncated JPEG SOF")
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                if not (0 < w and 0 < h):
+                    raise ValueError("JPEG SOF with zero dimension")
+                return ("jpeg", w, h)
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                i += 2  # standalone marker, no length field
+                continue
+            if i + 4 > n:
+                raise ValueError("truncated JPEG segment")
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                raise ValueError("invalid JPEG segment length")
+            i += 2 + seg_len
+        raise ValueError("no JPEG SOF marker found")
+    if n >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        if n < 10:
+            raise ValueError("truncated GIF header")
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return ("gif", w, h)
+    if n >= 2 and payload[:2] == b"BM":
+        if n < 26:
+            raise ValueError("truncated BMP header")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return ("bmp", abs(w), abs(h))  # negative height = top-down rows
+    return None
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -67,29 +139,45 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode/feature-extract an image media table → IMAGE_FEATURES_SCHEMA.
 
     mapInPandas: one Arrow batch in, one out; payload bytes never leave the
-    executor. With PIL installed, real width/height are used; otherwise the
-    deterministic fake (or NotImplementedError when strict=True).
+    executor. Dimensions and format come from `image_header` (pure-Python
+    PNG/JPEG/GIF/BMP header parse — no codec library needed); with PIL
+    installed its full decode refines them. Payloads in formats the header
+    parser doesn't recognize fall back to `_fake_decode`'s byte statistics
+    with format=NULL — or raise NotImplementedError when strict=True (a
+    recognized-but-malformed header is decode_ok=False instead, so one
+    corrupt file can't kill a 100 TB scan).
     """
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         try:
-            from PIL import Image  # type: ignore
             import io
 
-            def decode(payload: bytes) -> dict:
+            from PIL import Image  # type: ignore
+
+            def pil_size(payload: bytes):
                 img = Image.open(io.BytesIO(payload))
-                stats = _fake_decode(payload)
-                stats["width"], stats["height"] = img.size
-                return stats
+                return (img.format or "").lower(), *img.size
 
         except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "image decoding requires PIL; container has no codec libs"
-                )
-            decode = _fake_decode
+            pil_size = None
+
+        def decode(payload: bytes) -> dict:
+            header = image_header(payload)  # ValueError → decode_ok=False
+            if header is None and pil_size is not None:
+                header = pil_size(payload)
+            if header is None:
+                if strict:
+                    raise NotImplementedError(
+                        "unrecognized image format (not PNG/JPEG/GIF/BMP) "
+                        "and no PIL in this container"
+                    )
+                return {**_fake_decode(payload), "format": None}
+            fmt, w, h = header
+            stats = _fake_decode(payload)
+            stats.update({"width": w, "height": h, "format": fmt})
+            return stats
 
         for pdf in batches:
             out = []
@@ -105,7 +193,7 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
                     raise
                 except Exception:
                     feats = {"byte_mean": None, "byte_entropy": None,
-                             "width": None, "height": None}
+                             "width": None, "height": None, "format": None}
                     ok = False
                 out.append(
                     {
@@ -120,7 +208,7 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
                 out,
                 columns=[
                     "media_id", "mime", "n_bytes", "byte_mean",
-                    "byte_entropy", "width", "height", "decode_ok",
+                    "byte_entropy", "width", "height", "format", "decode_ok",
                 ],
             )
 

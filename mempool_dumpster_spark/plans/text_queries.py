@@ -580,8 +580,9 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multimodal byte-column plumbing: payloads as opaque binary with "
     "typed metadata; decode/feature-extraction runs as Arrow-batched "
-    "mapInPandas (see ml.multimodal — stubbed, no codec libs in container). "
-    "This query is the metadata/size-accounting pass over binary columns.",
+    "mapInPandas (see ml.multimodal — PNG/JPEG/GIF/BMP dimensions parsed "
+    "from headers in pure Python, no codec library needed). This query is "
+    "the metadata/size-accounting pass over binary columns.",
 )
 def docs_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]

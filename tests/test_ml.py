@@ -369,6 +369,71 @@ def test_multimodal_decode_stub(spark):
     assert feats[2]["n_bytes"] == 0
 
 
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_multimodal_header_decode(spark):
+    """Real header-derived dimensions for PNG/JPEG/GIF/BMP — no codec
+    library involved; malformed-but-recognized payloads mark
+    decode_ok=False instead of failing the scan."""
+    from mempool_dumpster_spark.ml.multimodal import image_header
+
+    # pure-python parser unit checks
+    assert image_header(_png(64, 48)) == ("png", 64, 48)
+    assert image_header(_jpeg(640, 480)) == ("jpeg", 640, 480)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert image_header(gif + b"\x00" * 4) == ("gif", 320, 200)
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + (100).to_bytes(4, "little")
+        + (-50).to_bytes(4, "little", signed=True)
+    )
+    assert image_header(bmp) == ("bmp", 100, 50)  # top-down BMP: |height|
+    assert image_header(b"\x00\x01\x02\x03" * 100) is None  # unknown format
+    with pytest.raises(ValueError):
+        image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # truncated PNG
+
+    media = spark.createDataFrame(
+        [
+            (1, _png(64, 48), "image/png", {}),
+            (2, _jpeg(640, 480), "image/jpeg", {}),
+            (3, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, "image/png", {}),  # corrupt
+        ],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    # strict mode: recognized formats yield REAL dimensions (the stub is
+    # gone for these); corrupt-but-recognized rows survive as decode_ok=False
+    feats = {r["media_id"]: r for r in decode_images(media, strict=True).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["format"]) == (64, 48, "png")
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["format"]) == (
+        640, 480, "jpeg",
+    )
+    assert feats[1]["decode_ok"] and feats[2]["decode_ok"]
+    assert not feats[3]["decode_ok"] and feats[3]["width"] is None
+
+    # strict + genuinely unknown format still raises (honest stub boundary)
+    unknown = spark.createDataFrame(
+        [(9, b"\x00\x01\x02\x03" * 100, "image/webp", {})],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="unrecognized image format"):
+        decode_images(unknown, strict=True).collect()
+
+
 def test_frame_sample_plan(spark):
     media = spark.createDataFrame(
         [(1, None, "video/mp4", {"duration_s": "12"})],
