@@ -144,6 +144,7 @@ def start_collector(
     trigger_available_now: bool = False,
     rpc_client_factory=None,
     sse_publish=None,
+    sse_batch_cap: int = 10_000,
 ) -> CollectorQueries:
     """Wire the full topology and start the two queries (see module
     docstring for why two): the pre-dedup sourcelog sink, and the
@@ -167,7 +168,14 @@ def start_collector(
     arrivals — the reference pushes exactly these to its SSE API
     (collector/tx_processor.go SendTx into api/server.go); pass
     `SSEBroadcaster(...).publish_rows` to serve them live. foreachBatch
-    runs on the driver, so the broadcaster needs no serialization.
+    runs on the driver, so the broadcaster needs no serialization. The
+    driver-side collect is bounded by `sse_batch_cap`; frames beyond the
+    cap are dropped (best-effort, like the reference) but COUNTED — the
+    metrics stream records `sse-drop-cap` (pre-publish cap overflow) and
+    `sse-drop-queue` (per-subscriber full-queue drops, when the callable
+    returns a count as `SSEBroadcaster.publish_rows` does) rows under
+    source `_sse`, mirroring the reference's per-source metrics
+    discipline (collector/sourcemetrics.go:29-55).
 
     `trigger_available_now=True` drains the currently-available input and
     stops — the batch-testing mode; continuous mode otherwise.
@@ -228,20 +236,25 @@ def start_collector(
             valid.write.mode("append").partitionBy("date", "hour").csv(
                 f"{out_dir}/transactions"
             )
+            sse_drop_cap = sse_drop_queue = 0
             if sse_publish is not None:
                 # best-effort, like the reference's SSE send (silent drop on
                 # full channels): a subscriber-side failure must never fail
                 # the micro-batch — the transactions CSV append above is not
-                # idempotent, so a retry would duplicate rows.
+                # idempotent, so a retry would duplicate rows. Drops are
+                # best-effort too, but never SILENT: both the cap overflow
+                # and the subscriber-queue drops land in the metrics stream.
                 try:
-                    sse_publish(
-                        [
-                            r.asDict()
-                            for r in valid.select("hash", "raw_tx")
-                            .limit(10_000)
-                            .collect()
-                        ]
-                    )
+                    frames = [
+                        r.asDict()
+                        for r in valid.select("hash", "raw_tx")
+                        .limit(sse_batch_cap)
+                        .collect()
+                    ]
+                    if len(frames) == sse_batch_cap:
+                        # only pay the count job when the cap actually bit
+                        sse_drop_cap = max(0, valid.count() - sse_batch_cap)
+                    sse_drop_queue = int(sse_publish(frames) or 0)
                 except Exception:
                     import warnings
 
@@ -301,6 +314,24 @@ def start_collector(
                 .filter(F.col("n") > 0)
             )
             metrics.write.mode("append").csv(f"{out_dir}/metrics")
+            if sse_drop_cap or sse_drop_queue:
+                # same (minute, source, family, n) shape as the counter
+                # families above, under the synthetic source `_sse`
+                minute = batch.agg(
+                    F.max(F.date_trunc("minute", "received_at"))
+                ).collect()[0][0]
+                drops = [
+                    (minute, "_sse", fam, n)
+                    for fam, n in (
+                        ("sse-drop-cap", sse_drop_cap),
+                        ("sse-drop-queue", sse_drop_queue),
+                    )
+                    if n > 0
+                ]
+                batch.sparkSession.createDataFrame(
+                    drops,
+                    schema="minute timestamp, source string, family string, n long",
+                ).write.mode("append").csv(f"{out_dir}/metrics")
         finally:
             batch.unpersist()
 

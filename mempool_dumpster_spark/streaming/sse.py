@@ -45,6 +45,9 @@ class SSEBroadcaster:
         self._subs: dict[int, queue.Queue] = {}
         self._subs_lock = threading.Lock()
         self._next_uid = 0
+        self._dropped = 0  # frames dropped on full subscriber queues
+        self._closing = threading.Event()
+        self._conns: set = set()  # live handler sockets, torn down in close()
         broadcaster = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -66,6 +69,11 @@ class SSEBroadcaster:
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
+                # an SSE connection is never reused: without this the
+                # keep-alive loop in handle() would block on readline() for
+                # a next request after the stream ends, holding the socket
+                # open past close()
+                self.close_connection = True
                 self.send_response(200)
                 self.send_header("Access-Control-Allow-Origin", "*")
                 self.send_header("Access-Control-Expose-Headers", "Content-Type")
@@ -73,17 +81,29 @@ class SSEBroadcaster:
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 q = broadcaster._subscribe()
+                with broadcaster._subs_lock:
+                    broadcaster._conns.add(self.connection)
                 try:
-                    while True:
-                        item = q.get()
+                    # get() with a timeout, re-checking the shutdown flag:
+                    # a sentinel can be lost to a concurrent publish refilling
+                    # the queue, and a subscriber that connects after close()
+                    # snapshots the subs never gets one — the flag bounds
+                    # every handler thread's exit to one timeout period.
+                    while not broadcaster._closing.is_set():
+                        try:
+                            item = q.get(timeout=0.5)
+                        except queue.Empty:
+                            continue
                         if item is _SENTINEL:
                             return
                         self.wfile.write(f"data: {item}\n\n".encode())
                         self.wfile.flush()
-                except (BrokenPipeError, ConnectionResetError):
+                except (BrokenPipeError, ConnectionResetError, OSError):
                     pass  # client went away; reference logs + removes too
                 finally:
                     broadcaster._unsubscribe(q)
+                    with broadcaster._subs_lock:
+                        broadcaster._conns.discard(self.connection)
 
         class _QuietServer(ThreadingHTTPServer):
             def handle_error(self, request, client_address):  # noqa: ARG002
@@ -123,25 +143,47 @@ class SSEBroadcaster:
         with self._subs_lock:
             self._subs.pop(getattr(q, "_sse_uid", -1), None)
 
-    def publish(self, txs: list[str]) -> None:
+    @property
+    def dropped_frames(self) -> int:
+        """Total frames dropped on full subscriber queues since start —
+        the per-subscriber drop counter the reference tracks in its
+        source metrics (api/server.go select/default drops)."""
+        with self._subs_lock:
+            return self._dropped
+
+    def publish(self, txs: list[str]) -> int:
         """Fan one batch of raw-tx hex strings out to every subscriber,
         dropping frames for any subscriber whose queue is full (reference
-        api/server.go:122-126 select/default)."""
+        api/server.go:122-126 select/default). Returns the number of
+        frames dropped this call (also accumulated in `dropped_frames`)."""
         with self._subs_lock:
             subs = list(self._subs.values())
+        dropped = 0
         for tx in txs:
             for q in subs:
                 try:
                     q.put_nowait(tx)
                 except queue.Full:
-                    pass
+                    dropped += 1
+        if dropped:
+            with self._subs_lock:
+                self._dropped += dropped
+        return dropped
 
-    def publish_rows(self, rows: list[dict]) -> None:
+    def publish_rows(self, rows: list[dict]) -> int:
         """`fanout.receiver_sink`-shaped adapter: extract `raw_tx` from the
-        micro-batch row dicts and broadcast."""
-        self.publish([r["raw_tx"] for r in rows if r.get("raw_tx")])
+        micro-batch row dicts and broadcast. Returns frames dropped (the
+        collector records it as the `sse-drop-queue` metric family)."""
+        return self.publish([r["raw_tx"] for r in rows if r.get("raw_tx")])
 
     def close(self) -> None:
+        # Order matters: flag first (every handler loop re-checks it within
+        # its get() timeout, so no thread can block forever even if its
+        # sentinel is lost), then best-effort sentinels for a fast wake,
+        # then the listener, then any still-open accepted sockets — so a
+        # driver that restarts collectors leaks neither threads nor client
+        # connections.
+        self._closing.set()
         with self._subs_lock:
             subs = list(self._subs.values())
         for q in subs:
@@ -155,12 +197,18 @@ class SSEBroadcaster:
                 try:
                     q.put_nowait(_SENTINEL)
                 except queue.Full:
-                    # a concurrent publish refilled the slot — proceed with
-                    # shutdown anyway; handler threads are daemons and the
-                    # server_close below tears their sockets down
-                    pass
+                    pass  # flag + socket teardown below still unblock it
         self._httpd.shutdown()
         self._httpd.server_close()
+        with self._subs_lock:
+            conns = list(self._conns)
+        for conn in conns:
+            try:
+                import socket
+
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
 
 
 def sse_sink(

@@ -312,6 +312,94 @@ def test_collector_sse_publish_hook(spark, tmp_path):
     assert all(r["raw_tx"].startswith("0x") for r in published)
 
 
+def test_collector_sse_drop_metrics(spark, tmp_path):
+    """Dropped SSE frames are counted, not silent: the cap overflow
+    (sse-drop-cap) and the subscriber-queue drops reported by the publish
+    callable (sse-drop-queue) land in the per-minute metrics stream under
+    source `_sse` (reference sourcemetrics.go counter discipline)."""
+    from mempool_dumpster_spark.streaming.collector import (
+        file_stream_source,
+        start_collector,
+    )
+    from txgen import make_tx
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    tx1 = make_tx(priv=0x83, nonce=1)
+    tx2 = make_tx(priv=0x84, nonce=2)
+    (indir / "f1.csv").write_text(f"{T0},{tx1},alchemy\n{T1},{tx2},eden\n")
+
+    received: list[dict] = []
+
+    def slow_subscriber(rows):
+        received.extend(rows)
+        return 2  # pretend two frames hit full subscriber queues
+
+    qs = start_collector(
+        file_stream_source(spark, str(indir)),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+        sse_publish=slow_subscriber,
+        sse_batch_cap=1,  # 2 valid first arrivals → 1 published, 1 capped
+    )
+    qs.await_all()
+    assert len(received) == 1
+    m = spark.read.schema(
+        "minute timestamp, source string, family string, n long"
+    ).csv(str(tmp_path / "out" / "metrics"))
+    got = {(r["source"], r["family"]): r["n"] for r in m.collect()
+           if r["family"].startswith("sse-")}
+    assert got == {("_sse", "sse-drop-cap"): 1, ("_sse", "sse-drop-queue"): 2}
+
+
+def test_sse_close_unblocks_handler_threads():
+    """close() must terminate subscriber handler threads that sit blocked
+    on empty queues and tear down their sockets — a long-lived driver that
+    restarts collectors must not leak either (the old design's q.get()
+    had no timeout and server_close() only closed the listener)."""
+    import http.client
+    import time as _t
+
+    from mempool_dumpster_spark.streaming.sse import SSEBroadcaster
+
+    b = SSEBroadcaster()
+    conn = http.client.HTTPConnection("127.0.0.1", b.port, timeout=10)
+    conn.request("GET", "/sse/transactions")
+    resp = conn.getresponse()
+    for _ in range(50):
+        if b.n_subscribers:
+            break
+        _t.sleep(0.05)
+    assert b.n_subscribers == 1
+    b.close()  # subscriber is idle-blocked; close must still unblock it
+    assert resp.fp.read() == b""  # EOF: server side torn down
+    for _ in range(50):
+        if b.n_subscribers == 0:
+            break
+        _t.sleep(0.05)
+    assert b.n_subscribers == 0
+    conn.close()
+
+
+def test_sse_publish_reports_drops():
+    """publish() returns the frames dropped on full queues and accumulates
+    dropped_frames — the counter surfaced by the collector metrics."""
+    from mempool_dumpster_spark.streaming.sse import SSEBroadcaster
+
+    b = SSEBroadcaster(queue_size=2)
+    try:
+        q = b._subscribe()  # unread internal subscriber
+        assert b.publish([f"0x{i:02x}" for i in range(5)]) == 3
+        assert b.dropped_frames == 3
+        assert b.publish(["0xff"]) == 1  # still full
+        assert b.dropped_frames == 4
+        b._unsubscribe(q)
+        assert b.publish(["0xff"]) == 0  # no subscribers, nothing to drop
+    finally:
+        b.close()
+
+
 def test_sse_broadcaster_delivery_and_health():
     """S21 service semantics vs the reference API server: SSE frames are
     `data: <tx>\\n\\n` with event-stream headers (api/handler.go:19-47),
