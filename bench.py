@@ -218,6 +218,18 @@ def main() -> None:
         # (CacheManager dedups by plan) and times a cache hit.
         n_runs = 5 if name in VOLATILE else 3
         runs: list[float] = []
+        # One untimed PRIMING run at the benchmark SF first: the sf0.001
+        # warm-up above exercises classloading/codegen compilation, but C2
+        # JIT only fully optimizes the hot loops after they run at real
+        # data volume — measured on q3 at sf0.1, the first full-size run
+        # is 1.8× the steady state and the next runs decline monotonically
+        # (a warm-up slope, not AQE flapping; q5's 7-run spread without
+        # priming was already only 1.1×). Priming moves the timed runs
+        # onto the steady-state plateau, which is what a long-running
+        # deployment executes; the per-query dispersion below still
+        # reports any residual spread honestly.
+        spark.catalog.clearCache()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         for _ in range(n_runs):
             spark.catalog.clearCache()
             t0 = time.time()
