@@ -31,6 +31,26 @@ def subword_estimate(text: Column | str = "text") -> Column:
     return F.ceil(F.length(c) / 4).cast("bigint")
 
 
+#: GPT-2-style BPE pre-tokenizer pattern, simplified to be RE2-compatible
+#: (the original's trailing `\s+(?!\S)` negative lookahead is dropped —
+#: RE2 has no lookahead, and the cross-engine oracle runs on RE2): English
+#: contractions, optionally space-prefixed letter runs / digit runs /
+#: punctuation runs, then residual whitespace. Each match is one
+#: pre-token — the unit a BPE tokenizer would merge within.
+PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def pretoken_count(text: Column | str = "text") -> Column:
+    """Count of BPE pre-tokenizer segments — the tokenizer-shaped budget
+    estimate between the whitespace count (undercounts punctuation/digit
+    splits) and chars/4 (`subword_estimate`, ignores token structure).
+    One JVM regexp_count, codegen'd — scalar-map cost at any scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(PRETOKEN_PATTERN)).cast("bigint")
+
+
 def stopword_hits(text_words: Column, profile: list[str]) -> Column:
     """Count of tokens that appear in `profile` (array_contains chain over a
     literal array — broadcastable, codegen'd)."""

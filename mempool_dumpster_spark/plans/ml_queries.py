@@ -647,3 +647,100 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         n=5,
     )
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.4
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(vec_id, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT g.u, r.label FROM edges g JOIN reach r ON g.v = r.vec_id
+    ),
+    comp AS (SELECT vec_id, min(label) AS component_id FROM reach GROUP BY vec_id)
+    SELECT em.vec_id,
+           coalesce(c.component_id, em.vec_id) AS component_id,
+           CAST(coalesce(c.component_id, em.vec_id) = em.vec_id AS BIGINT) AS keep
+    FROM embeddings em LEFT JOIN comp c ON c.vec_id = em.vec_id
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="SemDeDup-shaped semantic dedup: embedding-cosine near-dup pairs "
+    "(the bucketed 48-table sign-LSH plan of emb_near_pairs — no cross "
+    "join) → connected components (per-round checkpointed label "
+    "propagation, ml.dedup.duplicate_components) → keep exactly one "
+    "vector per semantic cluster (the min id), singletons kept. The "
+    "oracle recomputes the exact all-pairs graph and its transitive "
+    "closure in DuckDB, so every (component_id, keep) assignment is "
+    "cross-engine checked. Cost at 100 TB: LSH candidate shuffle "
+    "∝ rows × tables, components O(diameter) rounds over near-dup edges "
+    "(shallow clusters), final left join broadcasts nothing bigger than "
+    "the duplicate set.",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.similarity import cosine_near_pairs
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    pairs = cosine_near_pairs(
+        emb, threshold=0.4, dim=64, n_planes=3, n_tables=48
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = duplicate_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
+    return emb.select("vec_id").join(comp, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("component_id", "vec_id").alias("component_id"),
+        (F.coalesce("component_id", "vec_id") == F.col("vec_id"))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+@register(
+    "docs_pretoken_stats",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' don''t stop: 123 tokens, v2.0 (beta)!' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+           )) AS BIGINT) AS n_pretokens,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(ceil(length(t) / 4.0) AS BIGINT) AS est_subwords
+    FROM aug
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Tokenizer-shaped counting (ml.text.pretoken_count): BPE "
+    "pre-tokenizer segments (GPT-2-style pattern, RE2-compatible — no "
+    "lookahead — so the exact same regex runs in the oracle) next to the "
+    "whitespace count and the chars/4 subword estimate. Both engines "
+    "append a punctuation/digit-bearing suffix so the digit, punctuation, "
+    "and contraction branches of the pattern are actually exercised (the "
+    "synthetic corpus is bare lowercase words). Pure projection, zero "
+    "shuffles.",
+)
+def docs_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import pretoken_count, subword_estimate
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = F.concat(F.col("text"), F.lit(" don't stop: 123 tokens, v2.0 (beta)!"))
+    return docs.select(
+        "doc_id",
+        pretoken_count(t).alias("n_pretokens"),
+        F.size(F.split(t, " ")).cast("bigint").alias("n_ws_tokens"),
+        subword_estimate(t).alias("est_subwords"),
+    )

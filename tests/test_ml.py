@@ -182,6 +182,71 @@ def test_redact_pii_benign_numeric_prose(spark):
     assert out[5]["text_redacted"].count("[PHONE]") == 3
 
 
+def test_pretoken_count(spark):
+    """BPE pre-tokenizer segment counting: punctuation and digit runs are
+    separate pre-tokens (unlike the whitespace count), contractions split
+    off, and plain word text degenerates to the word count."""
+    from mempool_dumpster_spark.ml.text import pretoken_count, token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),            # plain words: 3 pre-tokens == 3 words
+            (2, "don't"),            # contraction: don + 't
+            (3, "v2.0 (beta)!"),     # v / 2 / . / 0 / ' (' / beta / ')!'
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pretoken_count("text").alias("p"),
+            token_count("text").alias("w"),
+        ).collect()
+    }
+    assert out[1]["p"] == 3 and out[1]["w"] == 3
+    assert out[2]["p"] == 2 and out[2]["w"] == 1
+    assert out[3]["p"] == 7 and out[3]["w"] == 2  # punct/digits split out
+
+
+def test_semantic_dedup_keep_semantics(spark):
+    """Embedding near-dup pairs → components → keep-list: one keeper (min
+    id) per semantic cluster, singletons kept."""
+    from mempool_dumpster_spark.ml.dedup import duplicate_components
+    from mempool_dumpster_spark.ml.similarity import cosine_near_pairs
+
+    # 1 ≈ 2 ≈ 5 (same direction), 3 orthogonal, 4 alone in a third direction
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.14, 0.0, 0.0]),
+        (5, [0.98, 0.2, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_near_pairs(
+        emb, threshold=0.9, dim=4, n_planes=3, n_tables=48
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = duplicate_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
+    out = {
+        r["vec_id"]: (r["component_id"], r["keep"])
+        for r in emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", "vec_id").alias("component_id"),
+            (F.coalesce("component_id", "vec_id") == F.col("vec_id"))
+            .cast("bigint")
+            .alias("keep"),
+        )
+        .collect()
+    }
+    assert out[1] == (1, 1) and out[2] == (1, 0) and out[5] == (1, 0)
+    assert out[3] == (3, 1) and out[4] == (4, 1)
+
+
 def test_pack_sequences_greedy_budget(spark):
     from mempool_dumpster_spark.ml.packing import pack_sequences
 
