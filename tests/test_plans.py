@@ -47,6 +47,7 @@ GUARDED = [
     "q13_order_distribution",
     "shipments_in_order_window",
     "docs_decontaminate",
+    "emb_semantic_dedup",
 ]
 
 
@@ -117,6 +118,32 @@ def test_projection_prunes_columns(spark):
     plan = _plan_of(spark, "included_split")
     read = plan[plan.index("ReadSchema") :].split("\n", 1)[0]
     assert "ReadSchema: struct<value:double>" in read, read
+
+
+@pytest.mark.parametrize(
+    "name", ["docs_redact_pii", "docs_mix_corpus", "docs_pretoken_stats"]
+)
+def test_scalar_ml_queries_shuffle_free(spark, name):
+    """The scalar LLM-pipeline passes (PII redaction, corpus mixing,
+    pre-token counting) must compile to pure projections/filters — zero
+    Exchange nodes. A shuffle here would mean a scalar map is paying a
+    network pass at 100 TB."""
+    plan = _plan_of(spark, name)
+    assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Auto-sharded packing: exactly one Exchange (the hash partition on
+    the content-addressed shard key feeding applyInPandas) — the fold
+    itself must not add further shuffles, and parallelism comes from the
+    shard count, not a single-group funnel."""
+    plan = _plan_of(spark, "docs_pack_sequences")
+    # formatted mode: one "(N) Exchange" node header per exchange, with the
+    # hashpartitioning argument on its own line
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected 1 shard shuffle, saw {n_exchanges}:\n{plan}"
+    assert "Arguments: hashpartitioning(shard" in plan, plan
+    assert "SinglePartition" not in plan, "packing collapsed to one partition"
 
 
 def test_partitioned_archive_prunes(spark, tmp_path):
