@@ -120,3 +120,127 @@ def test_uint256_chunk_combine_roundtrip(vals):
             sums[i] += int(s[i * CHUNK_DIGITS : (i + 1) * CHUNK_DIGITS])
     row = {f"c{i}": sums[i] for i in range(N_CHUNKS)}
     assert _combine(row) == total
+
+
+# --- determinism contracts: splits / mixing / PII redaction -----------------
+# The whole point of content-addressing (ml/splits.py) is that a row's
+# split / mixture membership is a pure function of its id — independent of
+# partition layout, union order, or run count. These properties are the
+# contract the docstrings promise; hypothesis explores id shapes (unicode,
+# empty-adjacent, numeric-looking) that fixed examples miss.
+
+_doc_ids = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        min_size=1,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(ids=_doc_ids, nparts=st.integers(min_value=1, max_value=7), seed=st.randoms())
+@settings(max_examples=10, deadline=None)
+def test_assign_split_stable_under_permutation(spark, ids, nparts, seed):
+    """assign_split: same label per id regardless of row order, partition
+    count, or union composition order (content-addressed contract)."""
+    from mempool_dumpster_spark.ml.splits import assign_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    base = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+
+    shuffled = list(ids)
+    seed.shuffle(shuffled)
+    cut = len(shuffled) // 2
+    a = spark.createDataFrame([(i,) for i in shuffled[:cut]] or [("‾",)], "doc_id string")
+    b = spark.createDataFrame([(i,) for i in shuffled[cut:]] or [("‾",)], "doc_id string")
+    permuted = b.union(a).repartition(nparts)
+    again = {r["doc_id"]: r["split"] for r in assign_split(permuted).collect()}
+    for i in ids:
+        assert again.get(i, base[i]) == base[i]
+    assert set(base.values()) <= {"train", "val", "test"}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(min_size=1, max_size=16),
+            st.sampled_from(["web", "wiki", "code", None]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    rate=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=10, deadline=None)
+def test_mix_corpus_stable_subset_and_rate_bounds(spark, rows, rate, nparts):
+    """mix_corpus: kept set is identical under repartition; rate 1.0 keeps
+    everything, 0.0 keeps nothing; partial rates keep a subset."""
+    from mempool_dumpster_spark.ml.packing import mix_corpus
+
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    rates = {"web": rate, "wiki": 1.0}
+    kept = {r["doc_id"] for r in mix_corpus(df, rates).collect()}
+    kept2 = {
+        r["doc_id"] for r in mix_corpus(df.repartition(nparts), rates).collect()
+    }
+    assert kept == kept2
+    all_ids = {t[0] for t in rows}
+    assert kept <= all_ids
+    assert {t[0] for t in rows if t[1] == "wiki"} <= kept
+    assert not {
+        r["doc_id"] for r in mix_corpus(df, {"web": 0.0, "wiki": 0.0, "code": 0.0},
+                                        default_rate=0.0).collect()
+    }
+    assert {
+        r["doc_id"] for r in mix_corpus(df, {}, default_rate=1.0).collect()
+    } == all_ids
+
+
+_pii_fragments = st.lists(
+    st.one_of(
+        st.sampled_from(
+            [
+                "alice.b+spam@ex-ample.org",
+                "0xDEADbeef00112233445566778899aabb",
+                "10.0.255.7",
+                "+44 20 7946 0958",
+                "(415) 555-2671",
+                "415-555-2671",
+                "released in 2024 2025 2026",
+                "costs 1 000 000.00 total",
+                "order #123456789",
+            ]
+        ),
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+            max_size=20,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(frags=st.lists(_pii_fragments, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_redact_pii_counts_equal_placeholders(spark, frags):
+    """redact_pii contract: for every kind, n_<kind> == number of [<KIND>]
+    placeholders in the redacted text — under adversarial interleavings of
+    PII shapes and benign numeric prose (pattern-order attack strings)."""
+    from mempool_dumpster_spark.ml.text import PII_PATTERNS, redact_pii
+
+    docs = [(i, " ".join(parts)) for i, parts in enumerate(frags)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in redact_pii(df).collect():
+        red = r["text_redacted"]
+        for kind in PII_PATTERNS:
+            assert r[f"n_{kind}"] == red.count(f"[{kind.upper()}]"), (
+                kind,
+                r["text"],
+                red,
+            )
