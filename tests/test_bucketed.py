@@ -1,0 +1,143 @@
+"""Bucketed-table plan guards (sources/bucketed.py): the co-located join
+must compile WITHOUT an Exchange on either side, and a point lookup must
+prune to a single bucket. These are plan properties, not value properties —
+the exact shape that decides whether a fact-fact hash join is a one-time
+write cost or a per-query 100 TB shuffle."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.sources.bucketed import (
+    cobucketed_join,
+    read_bucketed,
+    write_bucketed,
+)
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    txs = spark.range(0, 400).select(
+        F.concat(F.lit("0x"), F.md5(F.col("id").cast("string"))).alias("hash"),
+        (F.col("id") * 1000).alias("timestamp_ms"),
+        (F.col("id") % 7).alias("tx_type"),
+    )
+    # sourcelog: 1-3 receipts per hash, different column set
+    sl = (
+        spark.range(0, 400)
+        .select(
+            F.concat(F.lit("0x"), F.md5(F.col("id").cast("string"))).alias("hash"),
+            F.explode(
+                F.slice(
+                    F.array(F.lit("alchemy"), F.lit("infura"), F.lit("blx")),
+                    1,
+                    (F.col("id") % 3 + 1).cast("int"),
+                )
+            ).alias("source"),
+        )
+    )
+    write_bucketed(
+        txs, "txs_b", "hash", N_BUCKETS, path=str(base / "txs"), sort_cols=["hash"]
+    )
+    write_bucketed(
+        sl, "sl_b", "hash", N_BUCKETS, path=str(base / "sl"), sort_cols=["hash"]
+    )
+    yield "txs_b", "sl_b"
+    spark.sql("DROP TABLE IF EXISTS txs_b")
+    spark.sql("DROP TABLE IF EXISTS sl_b")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Matching bucket specs on both sides → sort-merge join with zero
+    shuffles; broadcast is disabled so the guard exercises the plan a
+    non-broadcastable fact-fact join takes at scale."""
+    lt, rt = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(spark, lt, rt, on="hash")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # value check against the plain (shuffled) join
+        expect = (
+            spark.table(lt)
+            .join(spark.table(rt), "hash")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum(F.crc32(F.col("source"))).alias("h"))
+            .collect()[0]
+        )
+        got = (
+            joined.groupBy()
+            .agg(F.count("*").alias("n"), F.sum(F.crc32(F.col("source"))).alias("h"))
+            .collect()[0]
+        )
+        # 400 hashes × (1 + id%3) receipts = 134·1 + 133·2 + 133·3 = 799
+        assert (got["n"], got["h"]) == (expect["n"], expect["h"]) and got["n"] == 799
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    """Aggregation on the bucket key also rides the bucket layout — the
+    sourcelog collapse (J1's build side) needs no shuffle off a bucketed
+    sourcelog."""
+    _, rt = bucketed_tables
+    agg = read_bucketed(spark, rt).groupBy("hash").agg(F.count("*").alias("n"))
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+    assert agg.count() == 400
+
+
+def test_bucket_pruning_point_lookup(spark, bucketed_tables):
+    """hash = literal scans one bucket, not the table (SelectedBucketsCount)."""
+    lt, _ = bucketed_tables
+    one = spark.table(lt).limit(1).collect()[0]["hash"]
+    # autoBucketedScan turns the bucketed layout OFF for queries with no
+    # join/agg on the key (it prefers splittable scans); pin it on so the
+    # point lookup takes the pruned path a production lookup service would
+    # configure.
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = spark.table(lt).filter(F.col("hash") == one)
+        plan = _plan(df)
+        assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan, plan
+        assert df.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
+        )
+
+
+def test_non_catalog_read_loses_bucketing_documented(spark, bucketed_tables, tmp_path):
+    """Negative control for the read_bucketed docstring: reading the same
+    parquet files WITHOUT the catalog reintroduces the Exchange."""
+    lt, rt = bucketed_tables
+    lpath = spark.sql(f"DESCRIBE FORMATTED {lt}").filter(
+        F.col("col_name") == "Location"
+    ).collect()[0]["data_type"]
+    rpath = spark.sql(f"DESCRIBE FORMATTED {rt}").filter(
+        F.col("col_name") == "Location"
+    ).collect()[0]["data_type"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        raw = spark.read.parquet(lpath).join(spark.read.parquet(rpath), "hash")
+        assert "Exchange" in _plan(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
