@@ -990,3 +990,140 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lvl"),
     )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT l.l_extendedprice,
+             5 * l.l_quantity * count(*) OVER (PARTITION BY l.l_partkey) AS lhs,
+             sum(l.l_quantity)  OVER (PARTITION BY l.l_partkey)          AS rhs
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#13'
+    ) WHERE lhs < rhs
+    """,
+    doc="TPC-H Q17-style: revenue lost to small-quantity orders of one "
+    "brand's parts. The canonical form is a correlated scalar subquery "
+    "(avg qty per part); re-planned here as ONE window pass over the "
+    "brand-filtered fact — no self-join, single shuffle on l_partkey. The "
+    "threshold test `qty < 0.2*avg(qty)` is algebraically rewritten to "
+    "`5*qty*count < sum(qty)` so both engines compare exact integers "
+    "instead of a float division whose last bit could flip borderline "
+    "rows. part is broadcast into the fact scan; at 100 TB the window "
+    "shuffle carries only the brand's share of the fact.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    p = t["part"].filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("__lhs", F.lit(5) * F.col("l_quantity") * F.count("*").over(w))
+        .withColumn("__rhs", F.sum("l_quantity").over(w))
+        .filter(F.col("__lhs") < F.col("__rhs"))
+    )
+    return flagged.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.lit(7.0)
+        )
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(t.total_qty AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18-style: large-volume orders (the IN-subquery-with-HAVING "
+    "shape). The qualifying set is computed ONCE as a per-orderkey "
+    "aggregate (map-side partial combine; >300 keeps a handful of keys), "
+    "then joined to orders/customer — after the filter the qualifying "
+    "side is tiny, so AQE converts both probe joins to broadcasts at "
+    "runtime. Sort keys include o_orderkey so the LIMIT cut is total and "
+    "engine-independent. l_quantity is integer-valued: sums are exact in "
+    "fp on both engines.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q16_brand_suppliers",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand NOT IN ('Brand#45', 'Brand#13')
+      AND p.p_size >= 10
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q16-style: supplier diversity per brand — distinct-count "
+    "aggregation behind a broadcast dim join with a NOT IN exclusion list "
+    "(the reference analog is the per-source distinct-hash counting in "
+    "common/analyzer.go). The exclusion + size predicates prune the dim "
+    "BEFORE broadcast; count(DISTINCT) expands to a two-level aggregate "
+    "(dedup on (brand, suppkey), then count) — both levels partial-agg, "
+    "shuffle bounded by brand x supplier cardinality, not fact rows.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def q16_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    p = (
+        t["part"]
+        .filter(
+            ~F.col("p_brand").isin("Brand#45", "Brand#13")
+            & (F.col("p_size") >= 10)
+        )
+        .select("p_partkey", "p_brand")
+    )
+    li = t["lineitem"].select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -45,6 +45,9 @@ GUARDED = [
     "blacklist_anti",
     "dedup_earliest",
     "q13_order_distribution",
+    "q16_brand_suppliers",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
     "shipments_in_order_window",
     "docs_decontaminate",
     "emb_semantic_dedup",
