@@ -81,3 +81,40 @@ def cobucketed_join(
     return read_bucketed(spark, left_table).join(
         read_bucketed(spark, right_table), on=keys, how=how
     )
+
+
+def write_backfill_bucketed(
+    transactions: DataFrame,
+    sourcelog: DataFrame,
+    base_path: str,
+    prefix: str = "mempool",
+    n_buckets: int = 32,
+) -> tuple[str, str]:
+    """Materialize a merge run's two outputs as CO-BUCKETED tables on
+    `hash` — the backfill layout for repeated analytics over many days.
+
+    The reference re-reads its parquet and re-builds Go hash maps for every
+    analyze/merge pass (common/analyzer.go, cmd/merge/transactions.go);
+    here the equivalent hash-addressability is paid once per day at write
+    time, after which the analyzer join (J4), inclusion re-checks, and
+    per-hash point lookups all plan with zero Exchange and single-bucket
+    pruning. Returns the (transactions, sourcelog) table names.
+    """
+    t_tbl, s_tbl = f"{prefix}_transactions", f"{prefix}_sourcelog"
+    write_bucketed(
+        transactions,
+        t_tbl,
+        "hash",
+        n_buckets,
+        sort_cols=["hash"],
+        path=f"{base_path}/transactions",
+    )
+    write_bucketed(
+        sourcelog,
+        s_tbl,
+        "hash",
+        n_buckets,
+        sort_cols=["hash"],
+        path=f"{base_path}/sourcelog",
+    )
+    return t_tbl, s_tbl

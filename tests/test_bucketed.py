@@ -141,3 +141,33 @@ def test_non_catalog_read_loses_bucketing_documented(spark, bucketed_tables, tmp
         assert "Exchange" in _plan(raw)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_backfill_from_merge_outputs(spark, tmp_path):
+    """End-to-end: a merged day re-materialized via write_backfill_bucketed
+    joins transactions x sourcelog (the J4 analyzer shape) with zero
+    Exchange, and the values survive the round-trip."""
+    from mempool_dumpster_spark.sources.bucketed import write_backfill_bucketed
+
+    txs = spark.range(0, 50).select(
+        F.concat(F.lit("0x"), F.md5(F.col("id").cast("string"))).alias("hash"),
+        (F.col("id") * 1000).alias("timestamp"),
+    )
+    sl = spark.range(0, 50).select(
+        F.concat(F.lit("0x"), F.md5(F.col("id").cast("string"))).alias("hash"),
+        F.lit("alchemy").alias("source"),
+        (F.col("id") * 1000).alias("timestamp_ms"),
+    )
+    t_tbl, s_tbl = write_backfill_bucketed(
+        txs, sl, str(tmp_path / "day"), prefix="bf_test", n_buckets=N_BUCKETS
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = cobucketed_join(spark, t_tbl, s_tbl, on="hash")
+        assert "Exchange" not in _plan(joined)
+        assert joined.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {s_tbl}")
