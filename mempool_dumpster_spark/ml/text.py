@@ -279,3 +279,54 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
     return out.withColumn(f"{text_col}_redacted", red)
+
+
+# --- document chunking -------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+    chunk_col: str = "chunk_text",
+) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with optional overlap
+    — the upstream producer for `ml.packing.pack_sequences` (which flags
+    docs longer than its budget as `oversize` and tells you to pre-split
+    them here) and for embedding models with bounded context windows.
+
+    Chunk i covers tokens [i·stride, i·stride + max_tokens) with
+    stride = max_tokens − overlap; the last chunk is short rather than
+    padded, and a doc of ≤ max_tokens tokens yields exactly one chunk.
+    Adds `chunk_id` (0-based LONG), `<chunk_col>`, and `n_chunk_tokens`.
+
+    Pure column algebra — tokens array, one `sequence`+`explode`, one
+    `slice` per chunk — so the whole operator is JVM-side codegen with NO
+    Python in the loop; output rows ∝ input tokens / stride, and the
+    explode is pipelined into the scan (no shuffle at all)."""
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    w = words(text_col)
+    n = F.size(w)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    start = F.col("chunk_id").cast("int") * stride  # 0-based token offset
+    return (
+        df.withColumn("__toks", w)
+        .withColumn("__n", n)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            chunk_col,
+            F.array_join(F.slice(F.col("__toks"), start + 1, max_tokens), " "),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(F.lit(max_tokens), F.col("__n") - start).cast("long"),
+        )
+        .withColumn("chunk_id", F.col("chunk_id").cast("long"))
+        .drop("__toks", "__n")
+    )

@@ -758,3 +758,40 @@ def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(comp(2)).cast("double") / F.count("*")).alias("c2"),
         (F.sum(comp(3)).cast("double") / F.count("*")).alias("c3"),
     )
+
+
+@register(
+    "docs_chunk",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, CASE WHEN n <= 40 THEN 1
+                           ELSE CAST(ceil((n - 8) / 32.0) AS BIGINT) END)) AS cid
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(cid AS BIGINT) AS chunk_id,
+           array_to_string(toks[CAST(cid*32+1 AS BIGINT):CAST(cid*32+40 AS BIGINT)],
+                           ' ') AS chunk_text,
+           CAST(least(40, n - cid*32) AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+    doc="Document chunking (ml.text.chunk_documents): fixed 40-token chunks "
+    "with 8-token overlap — the pre-split step pack_sequences expects for "
+    "oversize docs. Pure sequence+explode+slice column algebra; the "
+    "explode pipelines into the scan, zero shuffles, rows out proportional "
+    "to tokens/stride.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import chunk_documents
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return chunk_documents(docs, max_tokens=40, overlap=8).select(
+        "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"
+    )

@@ -808,3 +808,57 @@ def test_gopher_rules_split_on_testdata(spark):
     rows = all_queries()["docs_gopher_rules"](spark, sf_dir).collect()
     kept = sum(1 for r in rows if r["keep"])
     assert 0 < kept < len(rows)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from mempool_dumpster_spark.ml.text import chunk_documents
+
+    toks = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc: exactly one whole chunk
+    (short,) = by_doc[2]
+    assert (short["chunk_id"], short["chunk_text"], short["n_chunk_tokens"]) == (
+        0, "a b c", 3
+    )
+    # 100 tokens @ budget 64 stride 56: chunks [0,64) and [56,100)
+    c0, c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert c0["chunk_text"].split(" ") == toks[:64]
+    assert c1["chunk_text"].split(" ") == toks[56:]
+    assert (c0["n_chunk_tokens"], c1["n_chunk_tokens"]) == (64, 44)
+    # overlap region is shared verbatim; union covers every token
+    assert c0["chunk_text"].split(" ")[56:] == c1["chunk_text"].split(" ")[:8]
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_chunk_then_pack_pipeline(spark):
+    """chunk_documents feeds pack_sequences: no chunk is oversize, and
+    packing respects the budget."""
+    from mempool_dumpster_spark.ml.packing import pack_sequences
+    from mempool_dumpster_spark.ml.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(10 + (i * 37) % 90)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(df, max_tokens=32, overlap=4).withColumn(
+        "chunk_key", F.concat_ws("#", "doc_id", "chunk_id")
+    )
+    packed = pack_sequences(
+        chunks, max_tokens=64, token_col="n_chunk_tokens",
+        id_col="chunk_key", n_shards=4,
+    )
+    rows = packed.collect()
+    assert rows and all(r["oversize"] == 0 for r in rows)
+    fills = {}
+    for r in rows:
+        key = (r["shard"], r["seq_id"])
+        fills[key] = fills.get(key, 0) + r["n_chunk_tokens"]
+    assert all(v <= 64 for v in fills.values())
