@@ -610,3 +610,48 @@ def test_sources_attach_stream_late_redelivery_keeps_deadline(spark, tmp_path):
     ]
     # first_seen tracks the true minimum across batches (the 00:05 re-delivery)
     assert aa[-1]["first_seen_ms"] == 1693785900000  # 00:05:00 UTC
+
+
+def test_compact_hourly_partitions(spark, tmp_path):
+    """compact_partitions: many tiny micro-batch files collapse to one per
+    hour, row set and partition pruning are preserved, already-compact
+    partitions are left untouched (incremental contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.streaming.compact import compact_partitions
+
+    root = str(tmp_path / "archive")
+    df = spark.range(0, 600).select(
+        F.col("id"),
+        F.lit("2023-09-01").alias("date"),
+        F.format_string("%02d", (F.col("id") % 2).cast("int")).alias("hour"),
+    )
+    # 6 appends x 8 partitions -> many small files per hour bucket
+    for _ in range(6):
+        df.repartition(8).write.mode("append").partitionBy("date", "hour").parquet(root)
+
+    h0 = f"{root}/date=2023-09-01/hour=00"
+    n_before = len([f for f in os.listdir(h0) if f.endswith(".parquet")])
+    assert n_before >= 6
+
+    before = spark.read.parquet(root)
+    rows_before = sorted(r["id"] for r in before.collect())
+
+    stats = compact_partitions(spark, root, target_file_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 2
+    assert stats["files_after"] == 2  # one file per hour at a 1GB target
+
+    n_after = len([f for f in os.listdir(h0) if f.endswith(".parquet")])
+    assert n_after == 1
+
+    after = spark.read.parquet(root)
+    assert sorted(r["id"] for r in after.collect()) == rows_before
+    # partition columns still prune (layout unchanged)
+    pruned = after.filter(F.col("hour") == "00")
+    assert pruned.count() == 1800  # 6 appends x 300 rows/hour
+
+    # second run: nothing left to do
+    stats2 = compact_partitions(spark, root, target_file_bytes=1 << 30)
+    assert stats2["partitions_compacted"] == 0
