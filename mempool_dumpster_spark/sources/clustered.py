@@ -1,0 +1,50 @@
+"""Range-clustered writes — sort-on-write so time/key-range scans skip data.
+
+Bucketing (sources/bucketed.py) optimizes equi-joins and point lookups;
+this is the complementary layout for RANGE predicates — `timestamp
+BETWEEN …`, `block_height >= …` — the shape of most archive queries
+(the reference's daily files give it this for free at day granularity,
+cmd/merge/transactions.go; inside a day it has nothing).
+
+`write_range_clustered` = `repartitionByRange` on the cluster columns +
+`sortWithinPartitions` + parquet write. Effects at scan time:
+
+- files hold DISJOINT value ranges (range partitioning), so parquet
+  footer min/max prunes whole FILES for a selective range predicate;
+- rows are sorted inside each file, so row-group and page min/max stats
+  are tight and prune within the surviving files;
+- the sampled range boundaries equal-weight the DATA, so skew in the
+  cluster key spreads across files instead of hot-spotting one.
+
+Cost: one range shuffle per write — the same price the collector's O1
+global sort already pays, made durable. At 100 TB, cluster within each
+date partition (pass `partition_by=["date"]`) so the range shuffle is
+per-day, not global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 32,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+) -> None:
+    """Write `df` to parquet range-clustered by `cluster_cols`.
+
+    `n_files` is the target file count per write (per partition-value set
+    when `partition_by` is given); size it as total_bytes / 128 MB.
+    """
+    out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    w = out.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -171,3 +171,39 @@ def test_backfill_from_merge_outputs(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {s_tbl}")
+
+
+def test_range_clustered_write_file_disjointness(spark, tmp_path):
+    """write_range_clustered: output files hold disjoint cluster-key ranges
+    (the mechanism behind footer min/max file skipping), rows are sorted
+    within files, and values round-trip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mempool_dumpster_spark.sources.clustered import write_range_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).select(
+        (F.xxhash64(F.col("id")) % 1_000_000).alias("ts"), F.col("id")
+    )
+    write_range_clustered(df, path, cluster_cols=["ts"], n_files=8)
+
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "ts"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 2
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
