@@ -230,3 +230,113 @@ def frame_sample_plan(
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_s", F.col("frame_idx") * every_n_seconds)
+
+
+# --- audio ------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, mime string, n_bytes long, format string, "
+    "sample_rate int, channels int, bits_per_sample int, duration_s double, "
+    "decode_ok boolean"
+)
+
+
+def audio_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
+    """Parse (format, sample_rate, channels, bits_per_sample, duration_s)
+    from an audio payload — pure Python, no codec library. REAL for
+    WAV/RIFF (the fmt chunk is self-describing and duration is exactly
+    data_size / byte_rate); returns None for unrecognized containers;
+    raises ValueError for a recognized-but-malformed header (the caller
+    maps that to decode_ok=False, distinct from "unknown format").
+
+    Compressed formats (MP3/OGG/FLAC) need a frame walk or a codec table
+    for exact duration — they fall through to None here and are the
+    documented stub path in `audio_features` (strict mode raises)."""
+    n = len(payload)
+    if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate = channels = bits = byte_rate = None
+        data_size = None
+        i = 12
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body = i + 8
+            if cid == b"fmt ":
+                if body + 16 > n:
+                    raise ValueError("truncated WAV fmt chunk")
+                channels = int.from_bytes(payload[body + 2 : body + 4], "little")
+                rate = int.from_bytes(payload[body + 4 : body + 8], "little")
+                byte_rate = int.from_bytes(payload[body + 8 : body + 12], "little")
+                bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+            elif cid == b"data":
+                # size may legitimately exceed the buffer for a streamed
+                # header probe; trust the declared size for duration
+                data_size = size
+            i = body + size + (size & 1)  # chunks are word-aligned
+        if rate is None or data_size is None:
+            raise ValueError("WAV missing fmt or data chunk")
+        if not (rate > 0 and channels and byte_rate):
+            raise ValueError("WAV fmt chunk with zero rate/channels")
+        return ("wav", rate, channels, bits or 0, data_size / byte_rate)
+    return None
+
+
+def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Feature-extract an audio media table → AUDIO_FEATURES_SCHEMA, the
+    audio twin of `decode_images`. WAV headers decode for real
+    (`audio_header`); unrecognized formats emit NULL features with
+    decode_ok=False — or raise NotImplementedError when strict=True —
+    keeping the plumbing (schema, Arrow batching, partitioning) identical
+    to what a codec-enabled deployment would run."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": media_id,
+                    "mime": mime,
+                    "n_bytes": len(payload),
+                    "format": None,
+                    "sample_rate": None,
+                    "channels": None,
+                    "bits_per_sample": None,
+                    "duration_s": None,
+                    "decode_ok": False,
+                }
+                try:
+                    hdr = audio_header(payload)
+                except ValueError:
+                    hdr = None  # malformed known format: decode_ok stays False
+                else:
+                    if hdr is None and strict:
+                        raise NotImplementedError(
+                            "no pure-Python duration parse for this audio "
+                            "container; install a codec library or run "
+                            "strict=False"
+                        )
+                if hdr is not None:
+                    fmt, rate, ch, bits, dur = hdr
+                    row.update(
+                        format=fmt,
+                        sample_rate=rate,
+                        channels=ch,
+                        bits_per_sample=bits,
+                        duration_s=float(dur),
+                        decode_ok=True,
+                    )
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "mime", "n_bytes", "format", "sample_rate",
+                    "channels", "bits_per_sample", "duration_s", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

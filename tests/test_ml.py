@@ -862,3 +862,50 @@ def test_chunk_then_pack_pipeline(spark):
         key = (r["shard"], r["seq_id"])
         fills[key] = fills.get(key, 0) + r["n_chunk_tokens"]
     assert all(v <= 64 for v in fills.values())
+
+
+def _wav(rate=16_000, channels=2, bits=16, seconds=2.0):
+    import struct
+
+    byte_rate = rate * channels * bits // 8
+    data_size = int(byte_rate * seconds)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                      channels * bits // 8, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    )
+
+
+def test_audio_header_and_features(spark):
+    from mempool_dumpster_spark.ml.multimodal import audio_features, audio_header
+
+    assert audio_header(_wav(44_100, 1, 16, 1.5)) == ("wav", 44_100, 1, 16, 1.5)
+    # word-alignment: odd-sized LIST chunk before fmt must not desync
+    import struct
+
+    wav = _wav(8_000, 2, 8, 0.25)
+    padded = wav[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + wav[12:]
+    assert audio_header(padded) == ("wav", 8_000, 2, 8, 0.25)
+    assert audio_header(b"fLaC" + b"\x00" * 64) is None  # unknown container
+    with pytest.raises(ValueError):
+        audio_header(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav(16_000, 2, 16, 2.0)), "audio/wav", None),
+            (2, bytearray(b"\xffsome-mp3-ish-bytes"), "audio/mpeg", None),
+        ],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    ok = rows[1]
+    assert (ok["format"], ok["sample_rate"], ok["channels"],
+            ok["bits_per_sample"], ok["duration_s"], ok["decode_ok"]) == (
+        "wav", 16_000, 2, 16, 2.0, True
+    )
+    assert rows[2]["decode_ok"] is False and rows[2]["format"] is None
+
+    with pytest.raises(Exception):  # strict mode surfaces the stub honestly
+        audio_features(df, strict=True).collect()
