@@ -142,3 +142,81 @@ def mix_corpus(
         else F.lit(default_rate)
     )
     return df.filter(bucket < rate_expr * 10_000)
+
+
+def budget_fill(
+    df: DataFrame,
+    token_budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Keep each source's highest-priority documents until its TOKEN budget
+    fills — the mixture primitive real training runs use (budgets are set
+    in tokens, not document rates; `mix_corpus` covers the rate form).
+
+    Documents are taken in `order_col` DESCENDING order (quality score,
+    dedup priority, …), tiebroken by `id_col` so the cut is total; with no
+    `order_col`, a content-addressed md5 bucket of the id orders them —
+    uniform-random-but-stable, same determinism contract as ml.splits. A
+    document is kept only if it fits ENTIRELY within the remaining budget
+    of its running total (inclusive cumulative sum ≤ budget): no partial
+    documents, deterministic across engines and partitionings.
+
+    One shuffle (window over source); the cumulative sum is a running
+    aggregate, not a self-join — at 100 TB the cost is a sort within each
+    source's partitions, and skewed sources are exactly the ones whose
+    budget cut discards most rows early at the read."""
+    from pyspark.sql import Window
+
+    if order_col is None:
+        order = split_bucket(F.col(id_col).cast("string"), n_buckets=1_000_000)
+        ordering = [order.asc(), F.col(id_col).asc()]
+    else:
+        ordering = [F.col(order_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(source_col).orderBy(*ordering)
+    budget = None
+    for src, b in token_budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {src!r} must be >= 0, got {b}")
+        cond = F.col(source_col) == src
+        budget = F.when(cond, F.lit(b)) if budget is None else budget.when(cond, F.lit(b))
+    budget = (
+        budget.otherwise(F.lit(default_budget))
+        if budget is not None
+        else F.lit(default_budget)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic `n`-per-group sample: rank rows within each group by
+    the content-addressed md5 bucket of their id (uniform-but-stable
+    pseudo-order, tiebroken by id) and keep rank ≤ n. Unlike
+    `df.sampleBy`, the selection is independent of partition layout, seed
+    plumbing, and engine — re-running the pipeline re-picks the same rows,
+    so downstream dedup/decontam decisions stay consistent. One window
+    shuffle on the group key."""
+    from pyspark.sql import Window
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    order = split_bucket(F.col(id_col).cast("string"), n_buckets=1_000_000)
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

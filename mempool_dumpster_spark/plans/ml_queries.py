@@ -744,3 +744,76 @@ def docs_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(t, " ")).cast("bigint").alias("n_ws_tokens"),
         subword_estimate(t).alias("est_subwords"),
     )
+
+
+@register(
+    "docs_budget_fill",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                        % 1000000, doc_id
+             ) AS cum
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_used
+    FROM t
+    WHERE cum <= CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 1500
+                 ELSE 800 END
+    GROUP BY source
+    """,
+    doc="Token-budget corpus assembly (ml.packing.budget_fill): each source "
+    "contributes documents — in content-addressed stable pseudo-random "
+    "order — until its TOKEN budget fills; no partial documents (inclusive "
+    "running sum <= budget). One window shuffle on source; the running "
+    "sum is a streaming aggregate, not a self-join. The rate-based twin "
+    "is docs_mix_corpus.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.packing import budget_fill
+    from mempool_dumpster_spark.ml.text import token_count
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    kept = budget_fill(
+        toks, {"src0": 4000, "src1": 1500}, default_budget=800
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_used"),
+    )
+
+
+@register(
+    "docs_sample_per_source",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                        % 1000000, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= 25
+    """,
+    doc="Deterministic per-source sampling (ml.packing.sample_per_group): "
+    "25 documents per source ranked by the content-addressed md5 bucket — "
+    "stable across runs, partition layouts, and engines, unlike sampleBy's "
+    "seed-and-partitioning-dependent Bernoulli draw. One window shuffle.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.packing import sample_per_group
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return sample_per_group(docs, 25).select("doc_id", "source")

@@ -909,3 +909,55 @@ def test_audio_header_and_features(spark):
 
     with pytest.raises(Exception):  # strict mode surfaces the stub honestly
         audio_features(df, strict=True).collect()
+
+
+def test_budget_fill_no_partial_and_priority(spark):
+    from mempool_dumpster_spark.ml.packing import budget_fill
+
+    df = spark.createDataFrame(
+        [
+            ("a1", "web", 40, 0.9),
+            ("a2", "web", 40, 0.8),
+            ("a3", "web", 40, 0.7),  # 3rd doc would exceed 100
+            ("b1", "wiki", 10, 0.1),
+        ],
+        "doc_id string, source string, n_tokens long, quality double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in budget_fill(
+            df, {"web": 100, "wiki": 5}, order_col="quality"
+        ).collect()
+    }
+    # top-2 web docs fit (80 <= 100), the third would overshoot; wiki's
+    # only doc (10 tokens) exceeds its 5-token budget entirely
+    assert kept == {"a1", "a2"}
+    with pytest.raises(ValueError):
+        budget_fill(df, {"web": -1})
+    # determinism under repartition with the content-addressed default order
+    k1 = {r["doc_id"] for r in budget_fill(df, {"web": 80}, default_budget=0).collect()}
+    k2 = {
+        r["doc_id"]
+        for r in budget_fill(df.repartition(5), {"web": 80}, default_budget=0).collect()
+    }
+    assert k1 == k2 and len(k1) == 2
+
+
+def test_sample_per_group_deterministic(spark):
+    from mempool_dumpster_spark.ml.packing import sample_per_group
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "s" + str(i % 3)) for i in range(60)],
+        "doc_id string, source string",
+    )
+    s1 = {(r["doc_id"], r["source"]) for r in sample_per_group(df, 7).collect()}
+    s2 = {
+        (r["doc_id"], r["source"])
+        for r in sample_per_group(df.repartition(9), 7).collect()
+    }
+    assert s1 == s2
+    per = {}
+    for _d, s in s1:
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 7, "s1": 7, "s2": 7}
+    assert sample_per_group(df, 0).count() == 0
