@@ -99,13 +99,32 @@ def image_header(payload: bytes) -> tuple[str, int, int] | None:
             raise ValueError("truncated GIF header")
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
+        if not (0 < w and 0 < h):
+            raise ValueError("GIF logical screen with zero dimension")
         return ("gif", w, h)
-    if n >= 2 and payload[:2] == b"BM":
-        if n < 26:
-            raise ValueError("truncated BMP header")
-        w = int.from_bytes(payload[18:22], "little", signed=True)
-        h = int.from_bytes(payload[22:26], "little", signed=True)
-        return ("bmp", abs(w), abs(h))  # negative height = top-down rows
+    if n >= 18 and payload[:2] == b"BM":
+        # 'BM' alone is a weak signature (any text starting "BM…" matches),
+        # so discriminate on the DIB header-size field at offset 14: 12 is
+        # the OS/2 BITMAPCOREHEADER (16-bit dims), the rest are the
+        # BITMAPINFOHEADER family (32-bit dims). Anything else is not a
+        # BMP — fall through to unknown-format rather than decode garbage.
+        dib = int.from_bytes(payload[14:18], "little")
+        if dib == 12:
+            if n < 22:
+                raise ValueError("truncated BMP core header")
+            w = int.from_bytes(payload[18:20], "little")
+            h = int.from_bytes(payload[20:22], "little")
+        elif dib in (40, 52, 56, 64, 108, 124):
+            if n < 26:
+                raise ValueError("truncated BMP info header")
+            w = int.from_bytes(payload[18:22], "little", signed=True)
+            h = int.from_bytes(payload[22:26], "little", signed=True)
+            w, h = abs(w), abs(h)  # negative height = top-down rows
+        else:
+            return None
+        if not (0 < w and 0 < h):
+            raise ValueError("BMP header with zero dimension")
+        return ("bmp", w, h)
     return None
 
 
@@ -166,7 +185,14 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
         def decode(payload: bytes) -> dict:
             header = image_header(payload)  # ValueError → decode_ok=False
             if header is None and pil_size is not None:
-                header = pil_size(payload)
+                # PIL failing to identify the payload means it is STILL an
+                # unknown format — the same strict/fallback contract as
+                # having no PIL at all, not a decode_ok=False malformed file
+                # (environment must not change the output classification).
+                try:
+                    header = pil_size(payload)
+                except Exception:
+                    header = None
             if header is None:
                 if strict:
                     raise NotImplementedError(

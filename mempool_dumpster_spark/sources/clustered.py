@@ -17,9 +17,13 @@ cmd/merge/transactions.go; inside a day it has nothing).
   cluster key spreads across files instead of hot-spotting one.
 
 Cost: one range shuffle per write — the same price the collector's O1
-global sort already pays, made durable. At 100 TB, cluster within each
-date partition (pass `partition_by=["date"]`) so the range shuffle is
-per-day, not global.
+global sort already pays, made durable. With `partition_by` (e.g.
+["date"]), the partition columns LEAD the range keys, so each output
+task holds (almost always) a single partition value and writes ~one
+file into its directory — n_files total across the write, disjoint
+cluster ranges within each directory. It is still ONE shuffle over the
+whole input; to bound shuffle size at 100 TB, call this per ingest
+batch (per day), not over the full archive at once.
 """
 
 from __future__ import annotations
@@ -41,8 +45,9 @@ def write_range_clustered(
     `n_files` is the target file count per write (per partition-value set
     when `partition_by` is given); size it as total_bytes / 128 MB.
     """
-    out = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
-        *cluster_cols
+    range_keys = [*(partition_by or []), *cluster_cols]
+    out = df.repartitionByRange(n_files, *range_keys).sortWithinPartitions(
+        *range_keys
     )
     w = out.write.mode(mode).option("compression", compression)
     if partition_by:

@@ -13,43 +13,87 @@ parquet files. Design points:
 
 - **Incremental**: partitions already at ≤ the target layout are skipped,
   so running it every hour only touches the hour that just closed.
-- **Per-partition jobs, not one global shuffle**: each partition is read,
-  coalesced to `ceil(bytes/target)` files, and swapped in independently —
-  a failure mid-run leaves every other partition intact, and the work for
-  one hour never reshuffles the rest of the day.
-- **Write-then-rename swap**: the new files land in a staging dir next to
-  the partition and replace it with two renames. On a POSIX/HDFS-style
-  filesystem the windows are tiny; an object-store deployment would swap
-  the rename for a manifest/table-format commit (Iceberg/Delta) — the
-  compaction plan above it is unchanged.
-- `coalesce`, not `repartition`: compaction must not shuffle — it only
-  narrows the file fan-in, keeping the write a single read-merge pass.
+- **Live-partition aware**: a partition with a file modified within
+  `quiesce_seconds` is skipped — the hour the collector is still writing
+  is never compacted under it; late data just defers that hour one cycle.
+- **Concurrent-append safe**: the file set is re-checked after the
+  (slow) Spark rewrite and the swap aborts if it changed; files that
+  race into the microsecond rename window are rescued from the retired
+  dir before it is deleted. Nothing appended during compaction is lost.
+- **Invisible work dirs**: staging/retired live under `root/_compaction`
+  — the leading underscore keeps them out of Spark/Hadoop partition
+  discovery (hiddenFileFilter), so concurrent readers never see a
+  partition value like `hour=00__compacting` or double-counted rows.
+- **Crash recoverable**: a run killed between the two renames leaves the
+  partition's data intact under `_compaction/retired/...`; the next run
+  restores it before doing any new work (stale staging is discarded —
+  it is always a re-derivable copy).
+- **Per-partition jobs, not one global shuffle**: each partition is
+  read, `coalesce`d (never shuffled) to `ceil(bytes/target)` files, and
+  swapped independently — a failure mid-run leaves every other
+  partition intact.
+
+On a POSIX/HDFS filesystem the swap windows are tiny; an object-store
+deployment would replace the renames with a manifest/table-format commit
+(Iceberg/Delta) — the compaction plan above it is unchanged.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import SparkSession
 
 PARQUET_FOOTER_OVERHEAD = 1.15  # recompressed output runs slightly smaller
+WORK_DIR = "_compaction"  # underscore prefix: hidden from partition discovery
 
 
 def _leaf_partitions(root: str) -> list[str]:
     """Directories under `root` that directly hold parquet files (any
-    `key=value` nesting depth)."""
+    `key=value` nesting depth). Hidden dirs (`_…`, `.…`) are pruned — they
+    are work/metadata dirs (`_compaction`, `_temporary`), not partitions."""
     leaves = []
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         if any(f.endswith(".parquet") for f in filenames):
             leaves.append(dirpath)
     return sorted(leaves)
 
 
 def _partition_files(d: str) -> list[str]:
-    return [
+    return sorted(
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-    ]
+    )
+
+
+def _recover(root: str) -> int:
+    """Restore partitions stranded by a crash mid-swap: anything under
+    `retired/` whose live partition dir vanished is renamed back; files the
+    live dir does have already are merged in (never overwritten). Staging
+    leftovers are always discarded — staging holds a re-derivable copy."""
+    restored = 0
+    staging_root = os.path.join(root, WORK_DIR, "staging")
+    retired_root = os.path.join(root, WORK_DIR, "retired")
+    shutil.rmtree(staging_root, ignore_errors=True)
+    if not os.path.isdir(retired_root):
+        return 0
+    for dirpath, _dirnames, filenames in os.walk(retired_root):
+        if not any(f.endswith(".parquet") for f in filenames):
+            continue
+        live = os.path.join(root, os.path.relpath(dirpath, retired_root))
+        if not os.path.exists(live):
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(dirpath, live)
+        else:
+            for f in filenames:
+                dst = os.path.join(live, f)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(dirpath, f), dst)
+        restored += 1
+    shutil.rmtree(retired_root, ignore_errors=True)
+    return restored
 
 
 def compact_partitions(
@@ -57,25 +101,37 @@ def compact_partitions(
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 2,
+    quiesce_seconds: float = 300.0,
 ) -> dict:
     """Compact every leaf partition under `root` whose parquet-file count
     exceeds both `min_files_to_compact` and the count the target size
-    implies. Returns stats: partitions seen/compacted, files before/after.
+    implies, skipping partitions written to within `quiesce_seconds`.
+    Returns stats: partitions seen/compacted/skipped-live, files
+    before/after, crash-recovered partitions.
     """
-    seen = compacted = files_before = files_after = 0
+    recovered = _recover(root)
+    staging_root = os.path.join(root, WORK_DIR, "staging")
+    retired_root = os.path.join(root, WORK_DIR, "retired")
+    seen = compacted = skipped_live = aborted = 0
+    files_before = files_after = 0
+    cutoff = time.time() - quiesce_seconds
     for part_dir in _leaf_partitions(root):
         seen += 1
         files = _partition_files(part_dir)
+        if any(os.path.getmtime(f) > cutoff for f in files):
+            skipped_live += 1  # the collector is still writing this hour
+            continue
         total = sum(os.path.getsize(f) for f in files)
         want = max(1, int(total * PARQUET_FOOTER_OVERHEAD // target_file_bytes) + 1)
         if len(files) < max(min_files_to_compact, want + 1):
             continue
-        staging = part_dir + "__compacting"
-        retired = part_dir + "__retired"
+        rel = os.path.relpath(part_dir, root)
+        staging = os.path.join(staging_root, rel)
+        retired = os.path.join(retired_root, rel)
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(retired, ignore_errors=True)
-        # Read THIS partition's files only — partition values live in the
-        # directory name, not the rows, so the rewrite is value-identical.
+        # Read the SNAPSHOTTED files only — partition values live in the
+        # directory name, not the rows, so the rewrite is value-identical,
+        # and files appended after the snapshot are left alone by design.
         (
             spark.read.parquet(*files)
             .coalesce(want)
@@ -83,19 +139,45 @@ def compact_partitions(
             .option("compression", "gzip")
             .parquet(staging)
         )
+        for f in ("_SUCCESS",):
+            marker = os.path.join(staging, f)
+            if os.path.exists(marker):
+                os.remove(marker)
+        # The Spark rewrite took real time; if the partition changed under
+        # us, abort this one (next run picks it up once it quiesces).
+        if _partition_files(part_dir) != files:
+            shutil.rmtree(staging)
+            aborted += 1
+            continue
+        os.makedirs(os.path.dirname(retired), exist_ok=True)
+        shutil.rmtree(retired, ignore_errors=True)
         os.rename(part_dir, retired)
-        os.rename(staging, part_dir)
-        # Spark leaves _SUCCESS markers; harmless, but drop for cleanliness.
-        marker = os.path.join(part_dir, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)
+        try:
+            os.rename(staging, part_dir)
+        except OSError:
+            # a concurrent writer re-created the dir inside the rename
+            # window: merge the compacted files in file-by-file instead
+            os.makedirs(part_dir, exist_ok=True)
+            for f in _partition_files(staging):
+                os.rename(f, os.path.join(part_dir, os.path.basename(f)))
+            shutil.rmtree(staging, ignore_errors=True)
+        # rescue any file that raced into the old dir between the re-check
+        # and the first rename — it is in `retired` but not in the snapshot
+        snapshot_names = {os.path.basename(f) for f in files}
+        for f in _partition_files(retired):
+            if os.path.basename(f) not in snapshot_names:
+                os.rename(f, os.path.join(part_dir, os.path.basename(f)))
         shutil.rmtree(retired)
         compacted += 1
         files_before += len(files)
         files_after += len(_partition_files(part_dir))
+    shutil.rmtree(os.path.join(root, WORK_DIR), ignore_errors=True)
     return {
         "partitions_seen": seen,
         "partitions_compacted": compacted,
+        "partitions_skipped_live": skipped_live,
+        "partitions_aborted_changed": aborted,
+        "partitions_recovered": recovered,
         "files_before": files_before,
         "files_after": files_after,
     }

@@ -463,12 +463,24 @@ def test_multimodal_header_decode(spark):
     gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
     assert image_header(gif + b"\x00" * 4) == ("gif", 320, 200)
     bmp = (
-        b"BM" + b"\x00" * 16
+        b"BM" + b"\x00" * 12
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER
         + (100).to_bytes(4, "little")
         + (-50).to_bytes(4, "little", signed=True)
     )
     assert image_header(bmp) == ("bmp", 100, 50)  # top-down BMP: |height|
+    core = (
+        b"BM" + b"\x00" * 12
+        + (12).to_bytes(4, "little")  # OS/2 BITMAPCOREHEADER: 16-bit dims
+        + (100).to_bytes(2, "little")
+        + (50).to_bytes(2, "little")
+    )
+    assert image_header(core) == ("bmp", 100, 50)
+    # 'BM'-prefixed text is NOT a BMP (DIB-size discriminator rejects it)
+    assert image_header(b"BMW is a car maker, not a bitmap") is None
     assert image_header(b"\x00\x01\x02\x03" * 100) is None  # unknown format
+    with pytest.raises(ValueError):  # zero-dimension GIF is malformed, not ok
+        image_header(b"GIF89a" + b"\x00" * 8)
     with pytest.raises(ValueError):
         image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)  # truncated PNG
 

@@ -639,7 +639,7 @@ def test_compact_hourly_partitions(spark, tmp_path):
     before = spark.read.parquet(root)
     rows_before = sorted(r["id"] for r in before.collect())
 
-    stats = compact_partitions(spark, root, target_file_bytes=1 << 30)
+    stats = compact_partitions(spark, root, target_file_bytes=1 << 30, quiesce_seconds=0.0)
     assert stats["partitions_compacted"] == 2
     assert stats["files_after"] == 2  # one file per hour at a 1GB target
 
@@ -653,5 +653,56 @@ def test_compact_hourly_partitions(spark, tmp_path):
     assert pruned.count() == 1800  # 6 appends x 300 rows/hour
 
     # second run: nothing left to do
-    stats2 = compact_partitions(spark, root, target_file_bytes=1 << 30)
+    stats2 = compact_partitions(spark, root, target_file_bytes=1 << 30, quiesce_seconds=0.0)
     assert stats2["partitions_compacted"] == 0
+
+
+def test_compact_skips_live_partition(spark, tmp_path):
+    """A partition written within the quiesce window is never compacted —
+    the hour the collector is still writing stays untouched."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.streaming.compact import compact_partitions
+
+    root = str(tmp_path / "live")
+    df = spark.range(0, 100).select(F.col("id"), F.lit("00").alias("hour"))
+    for _ in range(3):
+        df.repartition(4).write.mode("append").partitionBy("hour").parquet(root)
+    stats = compact_partitions(
+        spark, root, target_file_bytes=1 << 30, quiesce_seconds=3600
+    )
+    assert stats["partitions_compacted"] == 0
+    assert stats["partitions_skipped_live"] == 1
+
+
+def test_compact_crash_recovery_restores_retired(spark, tmp_path):
+    """A run killed between the two swap renames leaves the partition only
+    under _compaction/retired; the next run restores it before compacting."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.streaming.compact import compact_partitions
+
+    root = str(tmp_path / "crash")
+    df = spark.range(0, 100).select(F.col("id"), F.lit("00").alias("hour"))
+    for _ in range(3):
+        df.repartition(2).write.mode("append").partitionBy("hour").parquet(root)
+    part = f"{root}/hour=00"
+    rows = sorted(r["id"] for r in spark.read.parquet(root).collect())
+
+    # simulate the crash: partition moved to retired, live dir gone
+    retired = f"{root}/_compaction/retired/hour=00"
+    os.makedirs(os.path.dirname(retired), exist_ok=True)
+    os.rename(part, retired)
+    assert not os.path.exists(part)
+
+    stats = compact_partitions(
+        spark, root, target_file_bytes=1 << 30, quiesce_seconds=0.0
+    )
+    assert stats["partitions_recovered"] == 1
+    assert stats["partitions_compacted"] == 1  # then compacted normally
+    assert sorted(r["id"] for r in spark.read.parquet(root).collect()) == rows
+    assert not os.path.exists(f"{root}/_compaction")
+    shutil.rmtree(root)
