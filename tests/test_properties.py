@@ -244,3 +244,35 @@ def test_redact_pii_counts_equal_placeholders(spark, frags):
                 r["text"],
                 red,
             )
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=400),
+    max_tokens=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=10, deadline=None)
+def test_chunk_documents_reconstruction(spark, n_tokens, max_tokens, overlap_frac):
+    """chunk_documents invariants for arbitrary (doc length, budget,
+    overlap): every chunk fits the budget, chunk 0 starts at token 0,
+    consecutive chunks overlap by exactly `overlap` (except a short tail),
+    and dropping each chunk's first `overlap` tokens (after chunk 0)
+    reconstructs the document exactly — no token lost or duplicated."""
+    from mempool_dumpster_spark.ml.text import chunk_documents
+
+    overlap = min(int(max_tokens * overlap_frac), max_tokens - 1)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    stride = max_tokens - overlap
+    rebuilt: list[str] = []
+    for i, r in enumerate(rows):
+        chunk = r["chunk_text"].split(" ")
+        assert len(chunk) <= max_tokens
+        assert len(chunk) == r["n_chunk_tokens"]
+        assert chunk[0] == toks[i * stride]
+        rebuilt.extend(chunk if i == 0 else chunk[overlap:])
+    assert rebuilt == toks
