@@ -41,10 +41,13 @@ def asof_join(
     suffix: str = "_right",
     tolerance: Column | None = None,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with equal `on` keys
     and right_ts <= left_ts (backward as-of; left rows with no earlier match
-    keep nulls, like a LEFT ASOF JOIN).
+    keep nulls, like a LEFT ASOF JOIN). With direction="forward", the
+    EARLIEST right row with right_ts >= left_ts instead (pandas
+    merge_asof(direction=...) parity; both directions are ts-inclusive).
 
     right_cols: right-side payload columns to attach (default: everything
     except the keys and timestamp), each renamed with `suffix`. The matched
@@ -56,6 +59,9 @@ def asof_join(
     the greatest wins. Without it, equal-ts right rows resolve
     nondeterministically (fine when (key, ts) is unique on the right).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     rc = right_cols or [c for c in right.columns if c not in [*on, right_ts]]
     out_cols = [c + suffix for c in rc]
     # Fail fast on output-name collisions: if `left` already carries a
@@ -93,18 +99,29 @@ def asof_join(
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
 
-    order = [F.col("__ats").asc(), F.col("__side").asc()]
+    # Backward scans the past with last() over (unbounded, current); forward
+    # mirrors it: first() over (current, unbounded). Side ordering keeps the
+    # equal-ts right row INSIDE the frame in both directions (right-before-
+    # left for backward, left-before-right for forward); the tiebreak keeps
+    # "greatest wins" among equal-(key, ts) right rows — for last() that is
+    # ascending (greatest scans last), for first() descending (greatest
+    # scans first).
+    order = [F.col("__ats").asc(), F.col("__side").desc() if fwd else F.col("__side").asc()]
     if right_tiebreak:
-        order.append(F.col("__tie").asc_nulls_last())
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        order.append(
+            F.col("__tie").desc_nulls_last() if fwd else F.col("__tie").asc_nulls_last()
+        )
+    frame = (
+        (Window.currentRow, Window.unboundedFollowing)
+        if fwd
+        else (Window.unboundedPreceding, Window.currentRow)
     )
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
+    pick = F.first if fwd else F.last
     attached = u.select(
         *[c for c in u.columns if not c.startswith("__")],
         F.col("__side").alias("__side"),
-        F.last("__pkt", ignorenulls=True).over(w).alias("__hit"),
+        pick("__pkt", ignorenulls=True).over(w).alias("__hit"),
     )
     out = (
         attached.filter(F.col("__side") == 1)
@@ -116,7 +133,11 @@ def asof_join(
     )
 
     if tolerance is not None:
-        fresh = F.col(f"asof_ts{suffix}") >= F.col(left_ts) - tolerance
+        fresh = (
+            F.col(f"asof_ts{suffix}") <= F.col(left_ts) + tolerance
+            if fwd
+            else F.col(f"asof_ts{suffix}") >= F.col(left_ts) - tolerance
+        )
         for c in [f"asof_ts{suffix}", *out_cols]:
             out = out.withColumn(c, F.when(fresh, F.col(c)))
     return out

@@ -1127,3 +1127,45 @@ def q16_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "events_asof_next_error",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           e.ts AS err_ts,
+           e.event_id AS err_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts <= e.ts
+    """,
+    doc="FORWARD as-of join (operators.asof.asof_join direction='forward'): "
+    "for every click, the NEXT error by the same user at or after it — "
+    "time-to-failure enrichment, the mirror of events_asof_click. Same "
+    "union+window single-shuffle plan with the frame flipped to "
+    "(current, unbounded following) and first() instead of last(). The "
+    "oracle is DuckDB's native ASOF LEFT JOIN with the inequality "
+    "reversed.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        right_cols=["event_id"],
+        suffix="_err",
+        right_tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts_err").alias("err_ts"),
+        F.col("event_id_err").alias("err_event_id"),
+    )

@@ -755,3 +755,64 @@ def test_distinct_users_approx_tolerance(spark):
     assert exact.keys() == approx.keys()
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.06 * n), (et, n, approx[et])
+
+
+def test_asof_join_forward(spark):
+    """Forward as-of: EARLIEST right row with right_ts >= left_ts per key;
+    equal timestamps match (inclusive); keys with only-earlier right rows
+    get nulls; tolerance bounds the look-ahead; greatest tiebreak wins at
+    equal (key, ts)."""
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 70, "p3"), (3, 10, "p4")],
+        "user_id long, ts long, probe string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 300, "c"), (2, 60, "d")],
+        "user_id long, ts long, tag string",
+    )
+    out = {
+        (r["user_id"], r["ts"]): r
+        for r in asof_join(
+            left, right, on=["user_id"], direction="forward"
+        ).collect()
+    }
+    assert out[(1, 100)]["tag_right"] == "a"  # inclusive: equal ts matches
+    assert out[(1, 205)]["tag_right"] == "c"  # earliest later, not "b"
+    assert out[(2, 70)]["tag_right"] is None  # right row is earlier only
+    assert out[(3, 10)]["tag_right"] is None  # key absent on the right
+    assert out[(1, 205)]["asof_ts_right"] == 300
+
+    # tolerance: (1, 205) -> 300 is 95 away; a 50-tick budget nulls it but
+    # keeps (1, 100) -> 100 (0 away)
+    tol = {
+        (r["user_id"], r["ts"]): r
+        for r in asof_join(
+            left,
+            right,
+            on=["user_id"],
+            direction="forward",
+            tolerance=F.lit(50),
+        ).collect()
+    }
+    assert tol[(1, 205)]["tag_right"] is None
+    assert tol[(1, 100)]["tag_right"] == "a"
+
+    # equal-(key, ts) right duplicates: greatest tiebreak wins, both directions
+    dup = spark.createDataFrame(
+        [(1, 100, "x", 1), (1, 100, "y", 2)],
+        "user_id long, ts long, tag string, seq long",
+    )
+    fwd = asof_join(
+        left, dup, on=["user_id"], direction="forward", right_tiebreak="seq"
+    ).collect()
+    bwd = asof_join(
+        left, dup, on=["user_id"], right_tiebreak="seq"
+    ).collect()
+    f100 = next(r for r in fwd if r["ts"] == 100)
+    b100 = next(r for r in bwd if r["ts"] == 100)
+    assert f100["tag_right"] == "y" and b100["tag_right"] == "y"
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on=["user_id"], direction="sideways")
