@@ -46,8 +46,10 @@ def asof_join(
     """For each left row, attach the latest right row with equal `on` keys
     and right_ts <= left_ts (backward as-of; left rows with no earlier match
     keep nulls, like a LEFT ASOF JOIN). With direction="forward", the
-    EARLIEST right row with right_ts >= left_ts instead (pandas
-    merge_asof(direction=...) parity; both directions are ts-inclusive).
+    EARLIEST right row with right_ts >= left_ts instead; with
+    direction="nearest", whichever of the two is closer in time (ties go
+    backward) — full pandas merge_asof(direction=...) parity; all
+    directions are ts-inclusive.
 
     right_cols: right-side payload columns to attach (default: everything
     except the keys and timestamp), each renamed with `suffix`. The matched
@@ -59,8 +61,10 @@ def asof_join(
     the greatest wins. Without it, equal-ts right rows resolve
     nondeterministically (fine when (key, ts) is unique on the right).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     fwd = direction == "forward"
     rc = right_cols or [c for c in right.columns if c not in [*on, right_ts]]
     out_cols = [c + suffix for c in rc]
@@ -106,23 +110,65 @@ def asof_join(
     # "greatest wins" among equal-(key, ts) right rows — for last() that is
     # ascending (greatest scans last), for first() descending (greatest
     # scans first).
-    order = [F.col("__ats").asc(), F.col("__side").desc() if fwd else F.col("__side").asc()]
-    if right_tiebreak:
-        order.append(
-            F.col("__tie").desc_nulls_last() if fwd else F.col("__tie").asc_nulls_last()
+    def hit(forward: bool) -> Column:
+        order = [
+            F.col("__ats").asc(),
+            F.col("__side").desc() if forward else F.col("__side").asc(),
+        ]
+        if right_tiebreak:
+            order.append(
+                F.col("__tie").desc_nulls_last()
+                if forward
+                else F.col("__tie").asc_nulls_last()
+            )
+        frame = (
+            (Window.currentRow, Window.unboundedFollowing)
+            if forward
+            else (Window.unboundedPreceding, Window.currentRow)
         )
-    frame = (
-        (Window.currentRow, Window.unboundedFollowing)
-        if fwd
-        else (Window.unboundedPreceding, Window.currentRow)
-    )
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
-    pick = F.first if fwd else F.last
-    attached = u.select(
-        *[c for c in u.columns if not c.startswith("__")],
-        F.col("__side").alias("__side"),
-        pick("__pkt", ignorenulls=True).over(w).alias("__hit"),
-    )
+        w = Window.partitionBy(*on).orderBy(*order).rowsBetween(*frame)
+        pick = F.first if forward else F.last
+        return pick("__pkt", ignorenulls=True).over(w)
+
+    base_cols = [c for c in u.columns if not c.startswith("__")]
+    if direction == "nearest":
+        # Both scans share one partitioning (one exchange, two sorts); the
+        # closer match wins per row, ties go backward (pandas semantics).
+        # Distance compares epoch numbers for temporal types so interval
+        # arithmetic never enters the abs().
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        temporal = isinstance(
+            left.schema[left_ts].dataType,
+            (TimestampType, TimestampNTZType, DateType),
+        )
+        num = (
+            (lambda c: F.unix_micros(c.cast("timestamp")))
+            if temporal
+            else (lambda c: c.cast("double"))
+        )
+        attached = u.select(
+            *base_cols,
+            F.col("__side").alias("__side"),
+            hit(False).alias("__hb"),
+            hit(True).alias("__hf"),
+        )
+        lts = num(F.col(left_ts))
+        db = F.abs(lts - num(F.col("__hb.__match_ts")))
+        df_ = F.abs(lts - num(F.col("__hf.__match_ts")))
+        attached = attached.withColumn(
+            "__hit",
+            F.when(F.col("__hf").isNull(), F.col("__hb"))
+            .when(F.col("__hb").isNull(), F.col("__hf"))
+            .when(db <= df_, F.col("__hb"))
+            .otherwise(F.col("__hf")),
+        ).drop("__hb", "__hf")
+    else:
+        attached = u.select(
+            *base_cols,
+            F.col("__side").alias("__side"),
+            hit(fwd).alias("__hit"),
+        )
     out = (
         attached.filter(F.col("__side") == 1)
         .select(
@@ -133,11 +179,14 @@ def asof_join(
     )
 
     if tolerance is not None:
-        fresh = (
-            F.col(f"asof_ts{suffix}") <= F.col(left_ts) + tolerance
-            if fwd
-            else F.col(f"asof_ts{suffix}") >= F.col(left_ts) - tolerance
-        )
+        if direction == "nearest":
+            fresh = F.col(f"asof_ts{suffix}").between(
+                F.col(left_ts) - tolerance, F.col(left_ts) + tolerance
+            )
+        elif fwd:
+            fresh = F.col(f"asof_ts{suffix}") <= F.col(left_ts) + tolerance
+        else:
+            fresh = F.col(f"asof_ts{suffix}") >= F.col(left_ts) - tolerance
         for c in [f"asof_ts{suffix}", *out_cols]:
             out = out.withColumn(c, F.when(fresh, F.col(c)))
     return out

@@ -816,3 +816,55 @@ def test_asof_join_forward(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, on=["user_id"], direction="sideways")
+
+
+def test_asof_join_nearest(spark):
+    """Nearest as-of: the closer of backward/forward wins; equidistant ties
+    go BACKWARD (pandas merge_asof semantics); tolerance bounds both sides."""
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 150, "p1"), (1, 290, "p2"), (1, 201, "p3"), (2, 10, "p4")],
+        "user_id long, ts long, probe string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 300, "c")],
+        "user_id long, ts long, tag string",
+    )
+    out = {
+        (r["user_id"], r["ts"]): r
+        for r in asof_join(
+            left, right, on=["user_id"], direction="nearest"
+        ).collect()
+    }
+    assert out[(1, 150)]["tag_right"] == "a"  # equidistant 100/200 -> backward
+    assert out[(1, 290)]["tag_right"] == "c"  # 300 (10 away) beats 200 (90)
+    assert out[(1, 201)]["tag_right"] == "b"  # 200 (1 away) beats 300 (99)
+    assert out[(2, 10)]["tag_right"] is None  # key absent on the right
+
+    tol = {
+        (r["user_id"], r["ts"]): r
+        for r in asof_join(
+            left, right, on=["user_id"], direction="nearest",
+            tolerance=F.lit(15),
+        ).collect()
+    }
+    assert tol[(1, 290)]["tag_right"] == "c"  # 10 away: inside tolerance
+    assert tol[(1, 150)]["tag_right"] is None  # 50 away: outside
+
+
+def test_asof_join_nearest_timestamp_type(spark):
+    """Nearest distance works on temporal columns (epoch comparison, no
+    interval arithmetic in the abs)."""
+    import datetime as dt
+
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2023, 9, 4, 0, 0, s)
+    left = spark.createDataFrame([(1, t(30))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(0), "a"), (1, t(40), "b")],
+        "user_id long, ts timestamp, tag string",
+    )
+    rows = asof_join(left, right, on=["user_id"], direction="nearest").collect()
+    assert rows[0]["tag_right"] == "b"  # 10s forward beats 30s backward
