@@ -1169,3 +1169,37 @@ def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts_err").alias("err_ts"),
         F.col("event_id_err").alias("err_event_id"),
     )
+
+
+@register(
+    "events_value_ranks",
+    oracle="""
+    SELECT event_id, event_type,
+           percent_rank() OVER w                      AS pct_rank,
+           CAST(ntile(4) OVER w AS BIGINT)            AS quartile,
+           cume_dist() OVER w                         AS cume,
+           CAST(rank() OVER w AS BIGINT)              AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT)        AS drnk
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="Ranking-window surface (SURVEY §2.8): percent_rank / ntile / "
+    "cume_dist / rank / dense_rank in one window pass per event type. The "
+    "ordering carries an event_id tiebreak so every rank function is a "
+    "total deterministic function of the data (percent_rank/cume_dist "
+    "round to 6dp for cross-engine float text parity). One shuffle on the "
+    "partition key; all five functions share a single sort.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
