@@ -105,6 +105,20 @@ def cmd_collect(args, spark: SparkSession | None = None) -> int:
     return 0
 
 
+def cmd_compact(args, spark: SparkSession | None = None) -> int:
+    from mempool_dumpster_spark.streaming.compact import compact_partitions
+
+    spark = _session(spark)
+    stats = compact_partitions(
+        spark,
+        args.root,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        quiesce_seconds=args.quiesce_seconds,
+    )
+    print(stats)
+    return 0
+
+
 def cmd_website(args, spark: SparkSession | None = None) -> int:
     from mempool_dumpster_spark.plans.site_index import build_site
 
@@ -151,6 +165,19 @@ def build_parser() -> argparse.ArgumentParser:
         "(0 = ephemeral; reference: api/server.go SSE API)",
     )
     c.set_defaults(fn=cmd_collect)
+
+    k = sub.add_parser(
+        "compact", help="compact small files in a bucketed archive (hourly cron)"
+    )
+    k.add_argument("--root", required=True, help="archive root (date=/hour= dirs)")
+    k.add_argument(
+        "--target-mb", type=int, default=128, help="target output file size (MB)"
+    )
+    k.add_argument(
+        "--quiesce-seconds", type=float, default=300.0,
+        help="skip partitions written to within this window (the live hour)",
+    )
+    k.set_defaults(fn=cmd_compact)
 
     w = sub.add_parser("website", help="build the archive file-index site")
     w.add_argument("--root", required=True, help="archive root (month dirs)")

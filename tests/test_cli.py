@@ -80,3 +80,20 @@ def test_cli_website(spark, tmp_path):
     assert rc == 0
     assert (site / "index.html").exists()
     assert (site / "ethereum" / "mainnet" / "2023-09" / "index.html").exists()
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "arch")
+    df = spark.range(0, 50).select(F.col("id"), F.lit("07").alias("hour"))
+    for _ in range(4):
+        df.repartition(3).write.mode("append").partitionBy("hour").parquet(root)
+    rc = main(
+        ["compact", "--root", root, "--quiesce-seconds", "0"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'partitions_compacted': 1" in out
+    assert spark.read.parquet(root).count() == 200
