@@ -276,3 +276,54 @@ def test_chunk_documents_reconstruction(spark, n_tokens, max_tokens, overlap_fra
         assert chunk[0] == toks[i * stride]
         rebuilt.extend(chunk if i == 0 else chunk[overlap:])
     assert rebuilt == toks
+
+
+@given(
+    pts=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=15),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=10, deadline=None)
+def test_range_join_matches_bruteforce(spark, pts, ivs, width):
+    """range_join ≡ the brute-force point-in-interval product for arbitrary
+    points, intervals (inclusive bounds), and bucket widths — inner pair
+    set exact, left output keeps every point exactly max(1, matches)
+    times."""
+    from mempool_dumpster_spark.operators.range_join import range_join
+
+    p = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(pts)], "pid long, x long"
+    )
+    iv = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(ivs)],
+        "iid long, lo long, hi long",
+    )
+    expect = {
+        (i, j)
+        for i, x in enumerate(pts)
+        for j, (lo, w) in enumerate(ivs)
+        if lo <= x <= lo + w
+    }
+    inner = {
+        (r["pid"], r["iid"])
+        for r in range_join(p, iv, "x", "lo", "hi", bucket_width=width).collect()
+    }
+    assert inner == expect
+    left = range_join(
+        p, iv, "x", "lo", "hi", bucket_width=width, how="left"
+    ).collect()
+    per_point = {}
+    for r in left:
+        per_point[r["pid"]] = per_point.get(r["pid"], 0) + 1
+        if r["iid"] is None:
+            assert (r["pid"] not in {i for i, _ in expect})
+    for i in range(len(pts)):
+        matches = sum(1 for a, _ in expect if a == i)
+        assert per_point[i] == max(1, matches)
