@@ -327,3 +327,56 @@ def test_range_join_matches_bruteforce(spark, pts, ivs, width):
     for i in range(len(pts)):
         matches = sum(1 for a, _ in expect if a == i)
         assert per_point[i] == max(1, matches)
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=12,
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_bruteforce(spark, lefts, rights, direction):
+    """asof_join ≡ the brute-force nearest-match scan in all three
+    directions, with the greatest-tiebreak contract at equal (key, ts) and
+    backward-preferred nearest ties (pandas semantics)."""
+    from mempool_dumpster_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, ts long",
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(rights)],
+        "rid long, k long, ts long",
+    )
+
+    def brute(k, t):
+        back = [(rt, j) for j, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
+        fwd = [(rt, j) for j, (rk, rt) in enumerate(rights) if rk == k and rt >= t]
+        # backward: max ts, greatest rid tiebreak; forward: min ts, greatest rid
+        b = max(back, key=lambda p: (p[0], p[1])) if back else None
+        f = min(fwd, key=lambda p: (p[0], -p[1])) if fwd else None
+        if direction == "backward":
+            return b and b[1]
+        if direction == "forward":
+            return f and f[1]
+        if b is None or f is None:
+            pick = b or f
+            return pick and pick[1]
+        return b[1] if (t - b[0]) <= (f[0] - t) else f[1]
+
+    out = {
+        r["lid"]: r["rid_right"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], right_cols=["rid"],
+            right_tiebreak="rid", direction=direction,
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        assert out[i] == brute(k, t), (direction, i, k, t, out[i], brute(k, t))
