@@ -43,11 +43,14 @@ def cmd_merge(args, spark: SparkSession | None = None) -> int:
     from mempool_dumpster_spark.sources.sinks import write_sorted_csv
 
     spark = _session(spark)
+    blocks = spark.read.parquet(args.blocks) if args.blocks else None
     result = merge_transactions(
         spark,
         tx_paths=args.tx,
         sourcelog_paths=args.sourcelog or None,
         blacklist_paths=args.tx_blacklist or None,
+        blocks=blocks,
+        collect_stats=args.stats,
     )
     write_merge_outputs(result, args.out)
     if args.sourcelog and result.sourcelog is not None:
@@ -56,6 +59,8 @@ def cmd_merge(args, spark: SparkSession | None = None) -> int:
         report = sprint_summary(analyze(result.transactions))
         with open(f"{args.out}/summary.txt", "w") as f:
             f.write(report)
+    if args.stats:
+        print(f"stats: {result.stats}")
     return 0
 
 
@@ -143,6 +148,14 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument(
         "--write-summary", action="store_true",
         help="run the analyzer and write summary.txt",
+    )
+    m.add_argument(
+        "--blocks", default=None,
+        help="parquet with (hash, block_number, block_timestamp_ms) for the "
+        "inclusion check (J3 join path); omit to skip enrichment",
+    )
+    m.add_argument(
+        "--stats", action="store_true", help="print reject/parse stats"
     )
     m.set_defaults(fn=cmd_merge)
 

@@ -23,6 +23,11 @@ def test_cli_merge_and_analyze(spark, tmp_path):
     sl = tmp_path / "sourcelog.csv"
     sl.write_text(f"{TS + 100},{ha},alchemy\n{TS + 150},{hb},local\n")
     out = tmp_path / "out"
+    blocks = tmp_path / "blocks.parquet"
+    spark.createDataFrame(
+        [(ha, 18_000_000, TS + 1_000)],
+        "hash string, block_number long, block_timestamp_ms long",
+    ).write.parquet(str(blocks))
 
     rc = main(
         [
@@ -30,12 +35,17 @@ def test_cli_merge_and_analyze(spark, tmp_path):
             "--out", str(out),
             "--sourcelog", str(sl),
             "--write-summary",
+            "--blocks", str(blocks),
+            "--stats",
         ],
         spark=spark,
     )
     assert rc == 0
     merged = spark.read.parquet(str(out / "transactions.parquet"))
     assert {r["hash"] for r in merged.select("hash").collect()} == {ha, hb}
+    incl = {r["hash"]: r for r in merged.collect()}
+    assert incl[ha]["includedAtBlockHeight"] == 18_000_000  # J3 blocks path
+    assert incl[hb]["includedAtBlockHeight"] == 0
     assert (out / "summary.txt").exists()
     assert glob.glob(str(out / "transactions.csv" / "*.csv"))
     assert glob.glob(str(out / "sourcelog.csv" / "*.csv"))
