@@ -1203,3 +1203,33 @@ def events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
     )
+
+
+@register(
+    "events_daily_pivot",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot surface: day x event_type count matrix via groupBy().pivot() "
+    "with an EXPLICIT value list — the explicit list matters at scale "
+    "(implicit pivot runs a distinct-values job over the fact before "
+    "planning, an extra full scan). Compiles to one hash aggregate with a "
+    "conditional-count expression per pivot value; the oracle is the "
+    "equivalent FILTER aggregation.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    kinds = ["click", "view", "purchase", "error"]
+    return (
+        ev.select(F.to_date("ts").cast("string").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )

@@ -40,6 +40,7 @@ GUARDED = [
     "docs_prep_pipeline",
     "docs_tfidf_terms",
     "events_asof_click",
+    "events_asof_next_error",
     "events_type_topk",
     "sources_attach",
     "blacklist_anti",

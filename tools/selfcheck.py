@@ -4,11 +4,17 @@ sf directory, compare row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted, values normalized).
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Set SELFCHECK_JSON=path to also write a per-query result artifact
+({name: {"status": "ok"|"okR"|"FAIL", "rows": n, "sec": t}}, plus a
+"__meta__" header with the sf dir and totals) — committed per round as
+sweep evidence.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 import traceback
@@ -59,6 +65,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -74,6 +81,8 @@ def main() -> int:
         if name not in oracles:
             print(f"okR  {name}: rows-only, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
+            results[name] = {"status": "okR", "rows": len(srows),
+                             "sec": round(time.time() - t0, 2)}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -101,8 +110,27 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: {sn} rows match ({time.time()-t0:.1f}s)")
+        results[name] = {
+            "status": "FAIL" if name in failures else "ok",
+            "rows": sn,
+            "sec": round(time.time() - t0, 2),
+        }
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passing")
+    artifact = os.environ.get("SELFCHECK_JSON")
+    if artifact:
+        payload = {
+            "__meta__": {
+                "sf_dir": sf_dir,
+                "total": len(qs),
+                "passing": len(qs) - len(failures),
+                "failures": failures,
+            },
+            **results,
+        }
+        with open(artifact, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {artifact}")
     spark.stop()
     return 1 if failures else 0
 
