@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
         ml_queries,
         queries,
         text_queries,
+        tpch_queries,
     )
     # The driver's correctness harness records at most the first 50 registry
     # entries in iteration order (observed r4: 51 registered, artifact had

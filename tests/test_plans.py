@@ -52,6 +52,18 @@ GUARDED = [
     "shipments_in_order_window",
     "docs_decontaminate",
     "emb_semantic_dedup",
+    # round-6 extended TPC-H shapes (q22_idle_customers is deliberately
+    # absent: its average-gate is a broadcast of a literal ONE-ROW aggregate
+    # — the nested-loop is 1×n by construction, same class as emb_knn)
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_supplier_semijoin",
+    "q21_waiting_supplier",
 ]
 
 
