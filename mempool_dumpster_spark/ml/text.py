@@ -330,3 +330,77 @@ def chunk_documents(
         .withColumn("chunk_id", F.col("chunk_id").cast("long"))
         .drop("__toks", "__n")
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document duplicate word-n-gram fraction — the Gopher-style
+    repetition signal (machine-generated and template text repeats itself;
+    high dup_frac documents are dropped or downweighted before training).
+
+    Output: (id, n_grams, n_distinct, dup_frac) where dup_frac =
+    (n_grams - n_distinct) / n_grams (0.0 for docs shorter than n words).
+
+    ZERO shuffle: the gram array is built once per row and reduced with
+    size/array_distinct — a pure projection that rides whole-stage codegen;
+    at 100 TB this costs exactly one scan, no network. (The two size()
+    references share the materialized `__g` column; worst case Catalyst's
+    project collapse re-inlines it, which doubles CPU on this row-local
+    expression but never adds exchange or memory pressure.)"""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    total = F.size(F.col("__g"))
+    distinct = F.size(F.array_distinct(F.col("__g")))
+    frac = F.when(
+        total > 0,
+        (total - distinct).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("__g", shingles(text_col, k=n))
+        .select(
+            id_col,
+            total.cast("long").alias("n_grams"),
+            distinct.cast("long").alias("n_distinct"),
+            frac.alias("dup_frac"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate mining: word n-grams ranked by how many
+    DISTINCT documents contain them. Headers, footers, license blurbs, and
+    injected benchmark strings surface at the top; the result feeds strip
+    rules or a contamination review (the cross-corpus complement of
+    ml.decontam.contamination's benchmark-vs-corpus direction).
+
+    Output: (shingle, n_docs) for n-grams in >= min_docs documents.
+
+    Plan: within-document dedup happens in the ROW via array_distinct
+    (no pre-shuffle of exploded rows), so each doc emits each gram once
+    and the count(*) after the single groupBy shuffle IS the distinct-doc
+    count. Map-side partial agg collapses popular grams before the wire;
+    shuffle volume is bounded by per-partition distinct grams, not corpus
+    tokens."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, k=n))).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

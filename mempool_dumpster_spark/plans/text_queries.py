@@ -795,3 +795,72 @@ def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, max_tokens=40, overlap=8).select(
         "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"
     )
+
+
+@register(
+    "docs_repetition",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) > 0
+                THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                     / CAST(len(g) AS DOUBLE)
+                ELSE 0.0 END AS dup_frac
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_transform(range(1, len(string_split(text, ' '))),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1])
+             ELSE [] END AS g
+      FROM documents
+    )
+    """,
+    doc="Per-document duplicate-bigram fraction (ml.text.repetition_stats) "
+    "— the Gopher repetition gate's continuous form. ZERO-shuffle "
+    "projection: the gram array reduces to size/array_distinct in the "
+    "row, so the whole query is one codegen'd scan; the dup fraction is "
+    "an integer-derived double quotient, bit-exact across engines.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import repetition_stats
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return repetition_stats(docs, n=2)
+
+
+@register(
+    "docs_boilerplate",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ws) >= 3 THEN
+                 list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+               ELSE [] END)) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY shingle HAVING count(*) >= 2
+    ORDER BY n_docs DESC, shingle
+    LIMIT 25
+    """,
+    doc="Cross-document boilerplate mining (ml.text.boilerplate_ngrams): "
+    "word trigrams ranked by distinct-document frequency — headers, "
+    "license blurbs, and injected benchmark strings surface at the top. "
+    "Within-doc dedup happens in the row via array_distinct (no exploded "
+    "pre-shuffle), so one groupBy shuffle bounded by distinct grams is "
+    "the whole network cost; top-k is tiebroken on the shingle text.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import boilerplate_ngrams
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        boilerplate_ngrams(docs, n=3, min_docs=2)
+        .orderBy(F.col("n_docs").desc(), "shingle")
+        .limit(25)
+    )

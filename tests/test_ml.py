@@ -973,3 +973,45 @@ def test_sample_per_group_deterministic(spark):
         per[s] = per.get(s, 0) + 1
     assert per == {"s0": 7, "s1": 7, "s2": 7}
     assert sample_per_group(df, 0).count() == 0
+
+
+def test_repetition_stats_hand_computed(spark):
+    from mempool_dumpster_spark.ml.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # bigrams: ab ba ab ba -> 4 total, 2 distinct
+            (2, "x y z"),          # xy yz -> 2 total, 2 distinct
+            (3, "solo"),           # < 2 words -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert (rows[1]["n_grams"], rows[1]["n_distinct"]) == (4, 2)
+    assert rows[1]["dup_frac"] == 0.5
+    assert (rows[2]["n_grams"], rows[2]["n_distinct"]) == (2, 2)
+    assert rows[2]["dup_frac"] == 0.0
+    assert (rows[3]["n_grams"], rows[3]["dup_frac"]) == (0, 0.0)
+
+
+def test_boilerplate_ngrams_distinct_doc_counts(spark):
+    from mempool_dumpster_spark.ml.text import boilerplate_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox jumps"),
+            (2, "the quick fox sleeps"),
+            # gram repeated WITHIN one doc must count that doc once
+            (3, "the quick fox the quick fox"),
+            (4, "unrelated words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["shingle"]: r["n_docs"] for r in boilerplate_ngrams(df, n=3).collect()}
+    assert out["the quick fox"] == 3
+    # grams unique to one document are filtered by min_docs=2
+    assert "unrelated words entirely" not in out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        boilerplate_ngrams(df, n=0)

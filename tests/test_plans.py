@@ -137,7 +137,13 @@ def test_projection_prunes_columns(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["docs_redact_pii", "docs_mix_corpus", "docs_pretoken_stats"]
+    "name",
+    [
+        "docs_redact_pii",
+        "docs_mix_corpus",
+        "docs_pretoken_stats",
+        "docs_repetition",
+    ],
 )
 def test_scalar_ml_queries_shuffle_free(spark, name):
     """The scalar LLM-pipeline passes (PII redaction, corpus mixing,
