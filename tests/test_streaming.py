@@ -706,3 +706,99 @@ def test_compact_crash_recovery_restores_retired(spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(root).collect()) == rows
     assert not os.path.exists(f"{root}/_compaction")
     shutil.rmtree(root)
+
+
+def test_stream_stream_inclusion_join(spark, tmp_path):
+    """Watermarked STREAM-STREAM join (streaming/inclusion.py): pending txs
+    joined to block receipts on hash within [received_at - slack,
+    received_at + max_delay]. Matched rows carry block fields and a delay;
+    a tx whose receipt falls outside the window, or never arrives, emits
+    exactly once with NULLs after the watermark closes its window. A tx
+    included BEFORE it was received (P12) matches with negative delay."""
+    import os as _os
+
+    from mempool_dumpster_spark.streaming.inclusion import stream_inclusion_join
+
+    txdir = tmp_path / "tx"
+    rcdir = tmp_path / "rc"
+    txdir.mkdir()
+    rcdir.mkdir()
+    # txs: h1 included 2 min later; h2 never included; h3 receipt too late
+    # (15 min > max_delay 10m); h4 included 10 s BEFORE received (P12)
+    (txdir / "b0.csv").write_text(
+        "2024-01-01 10:00:00,h1,srcA\n"
+        "2024-01-01 10:00:30,h2,srcA\n"
+        "2024-01-01 10:01:00,h3,srcB\n"
+        "2024-01-01 10:02:10,h4,srcB\n"
+    )
+    (rcdir / "b0.csv").write_text(
+        "2024-01-01 10:02:00,100,h1\n"
+        "2024-01-01 10:16:00,101,h3\n"
+        "2024-01-01 10:02:00,100,h4\n"
+    )
+    # sentinel rows far in the future push BOTH watermarks past every
+    # window close so the left-outer NULL rows flush in the final batch
+    (txdir / "b1.csv").write_text("2024-01-01 12:00:00,hzz,srcA\n")
+    (rcdir / "b1.csv").write_text("2024-01-01 12:00:00,999,hzz\n")
+    for d in (txdir, rcdir):
+        for i, f in enumerate(sorted(d.iterdir())):
+            t = 1_700_000_000 + i
+            _os.utime(f, (t, t))
+
+    txs = (
+        spark.readStream.schema("received_at timestamp, hash string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(txdir))
+    )
+    rcs = (
+        spark.readStream.schema("block_ts timestamp, block_number long, hash string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(rcdir))
+    )
+    out = stream_inclusion_join(
+        txs, rcs, max_delay="10 minutes", before_slack="30 seconds",
+        watermark_delay="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("incl_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["hash"]: r
+        for r in spark.sql("select * from incl_tbl").collect()
+    }
+    assert rows["h1"]["included"] == 1
+    assert rows["h1"]["block_number"] == 100
+    assert rows["h1"]["inclusion_delay_ms"] == 120_000
+    assert rows["h2"]["included"] == 0
+    assert rows["h2"]["block_number"] is None
+    assert rows["h3"]["included"] == 0  # receipt exists but outside window
+    assert rows["h4"]["included"] == 1
+    assert rows["h4"]["inclusion_delay_ms"] == -10_000
+    # exactly one output row per tx — no duplicate emission of outer rows
+    from collections import Counter
+
+    c = Counter(r["hash"] for r in spark.sql("select * from incl_tbl").collect())
+    assert all(v == 1 for v in c.values()), c
+
+
+def test_inclusion_join_batch_parity(spark):
+    """The same operator over BATCH inputs compiles to an ordinary interval
+    join and returns the same answer — the parity check that lets the
+    oracle-style assertions above trust the semantics."""
+    from mempool_dumpster_spark.streaming.inclusion import stream_inclusion_join
+
+    txs = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "h1", "s"), ("2024-01-01 10:00:30", "h2", "s")],
+        ["received_at", "hash", "source"],
+    ).withColumn("received_at", F.col("received_at").cast("timestamp"))
+    rcs = spark.createDataFrame(
+        [("2024-01-01 10:02:00", 100, "h1")],
+        ["block_ts", "block_number", "hash"],
+    ).withColumn("block_ts", F.col("block_ts").cast("timestamp"))
+    rows = {r["hash"]: r for r in stream_inclusion_join(txs, rcs).collect()}
+    assert rows["h1"]["included"] == 1 and rows["h2"]["included"] == 0
