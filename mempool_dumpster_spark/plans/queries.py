@@ -993,6 +993,41 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_type_day_cube",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           max(value) AS max_value,
+           CAST(GROUPING(event_type) * 2
+                + GROUPING(CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT) AS lvl
+    FROM events
+    GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+    """,
+    doc="Full-cube marginals (§2.8 companion to events_daily_rollup): the "
+    "CUBE adds the day-only marginal (lvl=2) the rollup hierarchy lacks — "
+    "the shape OLAP dashboards ask for when either dimension can be the "
+    "drill axis. Spark expands ×4 BELOW a partial hash aggregate, so the "
+    "shuffle carries pre-combined cells; grouping_id disambiguates "
+    "subtotal rows from genuinely-NULL keys. All aggregates are exact "
+    "(count / max) for cross-engine hashing.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_type", F.to_date("ts").cast("string").alias("day"), "value"
+    )
+    return base.cube("event_type", "day").agg(
+        F.count("*").alias("n"),
+        F.max("value").alias("max_value"),
+        (F.grouping("event_type") * 2 + F.grouping("day"))
+        .cast("bigint")
+        .alias("lvl"),
+    )
+
+
+@register(
     "q17_small_qty_revenue",
     oracle="""
     SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
