@@ -207,3 +207,83 @@ def test_range_clustered_write_file_disjointness(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_zorder_key_interleaves_and_bounds(spark):
+    """zorder_key: hand-checkable interleave — with 2 cols at 2 bits each
+    over value range [0,3], bucket == value, and the Morton code of
+    (x, y) is the classic bit-interleave. Also validates arg bounds."""
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.sources.clustered import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], ["x", "y"]
+    )
+    out = {
+        (r["x"], r["y"]): r["__zkey"]
+        for r in zorder_key(df, ["x", "y"], bits_per_col=2).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(2):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert out == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits_per_col=0)
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["x"] * 8, bits_per_col=8)
+
+
+def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
+    """write_zorder_clustered: every output file covers a small
+    hyper-rectangle on BOTH cluster columns — per-file min/max span on
+    each dimension is a fraction of the global span (that is the pruning
+    mechanism). A range-clustered write on (a, b) would leave b's
+    per-file span ~equal to the global span."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mempool_dumpster_spark.sources.clustered import write_zorder_clustered
+
+    # two independent uniform dimensions
+    df = spark.range(0, 20_000).select(
+        (F.xxhash64(F.col("id")) % 10_000).alias("a"),
+        (F.xxhash64(F.col("id") + 7) % 10_000).alias("b"),
+        F.col("id"),
+    )
+    path = str(tmp_path / "z")
+    write_zorder_clustered(df, path, ["a", "b"], n_files=16)
+
+    def file_spans(colname):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [
+                i
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == colname
+            ][0]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    for col in ("a", "b"):
+        spans = file_spans(col)
+        assert len(spans) >= 8
+        # global span ~20_000 (values in [-10k, 10k)); a z-ordered file
+        # should cover well under half of it on EACH dimension on average
+        avg = sum(spans) / len(spans)
+        assert avg < 10_000, f"{col}: avg per-file span {avg} not tightened"
+
+    back = spark.read.parquet(path)
+    assert back.count() == 20_000
+    assert set(back.columns) == {"a", "b", "id"}
