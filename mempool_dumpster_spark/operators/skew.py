@@ -62,3 +62,65 @@ def salted_topk(
         survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def two_pass_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    capacity: int = 4096,
+    count_col: str = "n",
+) -> DataFrame:
+    """Top-k most frequent values of `key_col` WITHOUT shuffling the full
+    key cardinality — the heavy-hitters pattern for 10^9+-cardinality keys
+    (URLs, wallets, n-grams) where a plain groupBy().count() shuffle
+    carries every distinct key.
+
+    Pass 1 (candidate generation, bounded memory): each partition streams
+    its rows through a lossy counter (SpaceSaving-style: count per Arrow
+    batch, fold into a dict, truncate to the `capacity` locally-largest
+    whenever it doubles) and emits its local top-`capacity` candidates —
+    shuffle volume is ≤ partitions × capacity rows regardless of key
+    cardinality. Pass 2 (exact recount): the candidate union broadcasts
+    back as a semi-join filter and ONLY candidate rows are counted
+    exactly, then globally top-k'd with a value tiebreak.
+
+    Counts in the output are EXACT (pass 2 recounts from the raw data).
+    The top-k SET is exact whenever every true top-k item lands in some
+    partition's local top-capacity — guaranteed when per-partition
+    distinct keys ≤ capacity (then candidates = all keys), and holds in
+    practice for genuinely heavy hitters (an item missed by every
+    partition's top-4096 is not a heavy hitter); adversarially flat
+    distributions can demote a borderline k-th item. Use
+    `salted_topk`/groupBy when cardinality is small enough to shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} must be >= k {k}")
+    field = df.schema[key_col]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType([field])
+
+    def local_heavy(iterator):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in iterator:
+            for v, c in pdf[key_col].value_counts(dropna=True).items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > 2 * capacity:
+                top = sorted(counts.items(), key=lambda kv: -kv[1])[:capacity]
+                counts = dict(top)
+        top = sorted(counts.items(), key=lambda kv: -kv[1])[:capacity]
+        yield pd.DataFrame({key_col: [t[0] for t in top]})
+
+    candidates = df.select(key_col).mapInPandas(local_heavy, schema=out_schema)
+    return (
+        df.join(F.broadcast(candidates.distinct()), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias(count_col))
+        .orderBy(F.col(count_col).desc(), F.col(key_col).asc())
+        .limit(k)
+    )

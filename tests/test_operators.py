@@ -868,3 +868,30 @@ def test_asof_join_nearest_timestamp_type(spark):
     )
     rows = asof_join(left, right, on=["user_id"], direction="nearest").collect()
     assert rows[0]["tag_right"] == "b"  # 10s forward beats 30s backward
+
+
+def test_two_pass_topk_matches_exact_groupby(spark):
+    """two_pass_topk == the exact groupBy top-k when capacity covers the
+    candidates, including under a skewed distribution and a small capacity
+    that forces lossy truncation of the long tail."""
+    from mempool_dumpster_spark.operators.skew import two_pass_topk
+
+    # zipf-ish: key i appears ~ 2000//(i+1) times -> clear heavy hitters
+    rows = [(f"k{i}",) for i in range(200) for _ in range(2000 // (i + 1))]
+    df = spark.createDataFrame(rows, ["key"]).repartition(8)
+    exact = (
+        df.groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(5)
+        .collect()
+    )
+    got = two_pass_topk(df, "key", k=5, capacity=64).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        two_pass_topk(df, "key", k=0)
+    with _pytest.raises(ValueError):
+        two_pass_topk(df, "key", k=10, capacity=5)
