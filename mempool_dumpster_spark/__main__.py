@@ -133,6 +133,48 @@ def cmd_website(args, spark: SparkSession | None = None) -> int:
     return 0
 
 
+def cmd_prep(args, spark: SparkSession | None = None) -> int:
+    import json
+
+    from mempool_dumpster_spark.ml.prep import (
+        PrepConfig,
+        prep_corpus,
+        write_prep_outputs,
+    )
+
+    spark = _session(spark)
+    docs = spark.read.parquet(*args.docs)
+    benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+    bounds = None
+    if args.splits:
+        parts = [int(x) for x in args.splits.split(",")]
+        if len(parts) != 3 or sum(parts) != 100:
+            print(f"--splits must be three ints summing to 100: {args.splits}")
+            return 2
+        bounds = {
+            "train": parts[0],
+            "val": parts[0] + parts[1],
+            "test": 100,
+        }
+    cfg = PrepConfig(
+        gopher=not args.no_gopher,
+        exact=not args.no_exact_dedup,
+        near_dup=not args.no_near_dedup,
+        decontaminate=benchmark is not None,
+        redact=args.redact_pii,
+        boundaries=bounds,
+    )
+    prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)
+    counts = write_prep_outputs(prepped, args.out)
+    manifest = {"out": args.out, "splits": counts, "config": vars(args)}
+    # underscore prefix: Spark/Hadoop readers ignore _-files during
+    # partition discovery, so the manifest can live beside the split= dirs
+    with open(f"{args.out}/_manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    print(json.dumps(counts))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mempool_dumpster_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -196,6 +238,26 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--root", required=True, help="archive root (month dirs)")
     w.add_argument("--out", required=True, help="site output directory")
     w.set_defaults(fn=cmd_website)
+
+    t = sub.add_parser(
+        "prep",
+        help="training-corpus prep: filter, dedup, decontaminate, split",
+    )
+    t.add_argument("docs", nargs="+", help="documents parquet input paths")
+    t.add_argument("--out", required=True, help="output directory (split= dirs)")
+    t.add_argument(
+        "--benchmark", default=None,
+        help="benchmark documents parquet; enables word-5-gram decontamination",
+    )
+    t.add_argument(
+        "--splits", default=None,
+        help="train,val,test percentages (default 90,5,5)",
+    )
+    t.add_argument("--redact-pii", action="store_true", help="scrub PII patterns")
+    t.add_argument("--no-gopher", action="store_true", help="skip quality gates")
+    t.add_argument("--no-exact-dedup", action="store_true")
+    t.add_argument("--no-near-dedup", action="store_true")
+    t.set_defaults(fn=cmd_prep)
     return p
 
 

@@ -1,0 +1,134 @@
+"""End-to-end corpus preparation: the composition a training-data run
+actually executes, as ONE DataFrame plan.
+
+    raw docs ─▶ [structural filters] ─▶ [exact dedup] ─▶ [near-dup
+    keep-list] ─▶ [decontamination] ─▶ [PII redaction] ─▶ [split
+    assignment] ─▶ train/val/test parquet
+
+Every gate is computed over the corpus once and applied as a doc_id
+LEFT SEMI join (or anti-join for contamination), so the gates are
+independent sibling stages, not a serial filter chain re-scanning text —
+and no gate ever amplifies rows. The only quadratic-risk stage (near-dup
+candidate pairs) goes through the bucketed MinHash-LSH band join with
+connected components, never an all-pairs compare. Split assignment and
+redaction are zero-shuffle projections.
+
+The per-stage queries are individually registered and oracle-checked
+(plans/ml_queries.py: docs_gopher_rules, docs_exact_dedup,
+docs_dedup_keeplist, docs_decontaminate, docs_redact_pii,
+docs_split_assign, docs_prep_pipeline); this module is the composition
+surface the CLI `prep` subcommand and cluster jobs call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.ml.decontam import contamination
+from mempool_dumpster_spark.ml.dedup import (
+    duplicate_components,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_sets,
+)
+from mempool_dumpster_spark.ml.splits import assign_split
+from mempool_dumpster_spark.ml.text import gopher_rules, redact_pii
+
+
+@dataclass(frozen=True)
+class PrepConfig:
+    gopher: bool = True
+    exact: bool = True
+    near_dup: bool = True
+    decontaminate: bool = True  # applied only when a benchmark df is given
+    redact: bool = False
+    shingle_k: int = 3
+    decontam_n: int = 5
+    boundaries: dict[str, int] | None = None  # assign_split default 90/5/5
+
+
+def near_dup_keeplist(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup keep-list: candidate pairs via the bucketed
+    band join, connected components (checkpointed label propagation),
+    keep each cluster's min-id head plus every untouched singleton."""
+    sh = shingle_sets(docs, text_col=text_col, id_col=id_col, k=k)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    comp = duplicate_components(pairs)
+    heads = comp.filter(F.col("doc_id") == F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    singletons = docs.join(
+        comp.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    ).select(id_col)
+    return heads.unionByName(singletons)
+
+
+def prep_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: PrepConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the configured gates over `docs` and return the kept rows with
+    a `split` column added (and `<text_col>_redacted` + per-kind counts
+    when redaction is on). The returned plan is lazy — write it with
+    `write_prep_outputs` or consume it directly."""
+    cfg = config or PrepConfig()
+    gates: list[DataFrame] = []
+    if cfg.gopher:
+        gates.append(
+            gopher_rules(docs, id_col=id_col, text_col=text_col)
+            .filter("keep")
+            .select(id_col)
+        )
+    if cfg.exact:
+        gates.append(exact_dedup(docs, text_col=text_col, id_col=id_col).select(id_col))
+    if cfg.near_dup:
+        gates.append(
+            near_dup_keeplist(docs, id_col=id_col, text_col=text_col, k=cfg.shingle_k)
+        )
+    out = docs
+    for g in gates:
+        out = out.join(g, id_col, "left_semi")
+    if cfg.decontaminate and benchmark is not None:
+        dirty = (
+            contamination(
+                docs, benchmark, n=cfg.decontam_n, id_col=id_col, text_col=text_col
+            )
+            .filter(F.col("contaminated") == 1)
+            .select(id_col)
+        )
+        out = out.join(dirty, id_col, "left_anti")
+    if cfg.redact:
+        out = redact_pii(out, text_col=text_col)
+    return assign_split(out, id_col=id_col, boundaries=cfg.boundaries)
+
+
+def write_prep_outputs(
+    prepped: DataFrame, out_dir: str, compression: str = "gzip"
+) -> dict[str, int]:
+    """Write the prepped corpus partitioned by split and return per-split
+    doc counts (the manifest a training run records). One pass: the
+    counts come from a post-write read of the partition directories'
+    footers, not a second scan of the input plan."""
+    (
+        prepped.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("split")
+        .parquet(out_dir)
+    )
+    back = prepped.sparkSession.read.parquet(out_dir)
+    return {
+        r["split"]: r["n"]
+        for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }

@@ -107,3 +107,53 @@ def test_cli_compact(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "'partitions_compacted': 1" in out
     assert spark.read.parquet(root).count() == 200
+
+
+def test_cli_prep(spark, tmp_path, capsys):
+    """prep: filters + dedups + decontaminates + splits a documents parquet
+    into split= partitioned output with a manifest. Uses docs long enough
+    to pass the Gopher word-count gate, one exact duplicate pair, and one
+    doc sharing a 5-gram with the benchmark."""
+    import json
+
+    # distinct word-streams per doc so only the INTENDED relations hold:
+    # 1==2 exactly; 3 shares a 5-gram with the benchmark; 4 independent
+    def stream(salt, n=40):
+        return " ".join(f"{salt}w{i % 17} {salt}t{i % 31}" for i in range(n))
+
+    rows = [
+        (1, stream("a"), "en", "web", 100),
+        (2, stream("a"), "en", "web", 100),   # exact dup of 1
+        (3, stream("c") + " beta gamma delta eps zeta", "en", "web", 100),
+        (4, stream("d"), "en", "books", 100),
+    ]
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(docs))
+    bench = tmp_path / "bench.parquet"
+    spark.createDataFrame(
+        [(99, "beta gamma delta eps zeta", "en", "bench", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(bench))
+
+    out = tmp_path / "prep_out"
+    rc = main(
+        [
+            "prep", str(docs),
+            "--out", str(out),
+            "--benchmark", str(bench),
+            "--redact-pii",
+            "--no-gopher",  # synthetic vocab fails mean-word-len gates
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    manifest = json.loads((out / "_manifest.json").read_text())
+    back = spark.read.parquet(str(out))
+    kept = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert 2 not in kept            # exact dup removed (min id kept)
+    assert 3 not in kept            # contaminated vs benchmark
+    assert 1 in kept and 4 in kept
+    assert "split" in back.columns and "text_redacted" in back.columns
+    assert sum(manifest["splits"].values()) == len(kept)
