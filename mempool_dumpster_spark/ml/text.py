@@ -404,3 +404,37 @@ def boilerplate_ngrams(
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent character-pair frequencies within BPE pre-tokens — the
+    statistic behind the FIRST merge round of byte-pair-encoding vocab
+    training (and the corpus-side input to any subsequent round: replace
+    the winning pair, recount). Computing it over 100 TB is the canonical
+    "tokenizer induction" job.
+
+    Pipeline: regexp_extract_all with the GPT-2-style pre-tokenizer
+    (PRETOKEN_PATTERN, leading-space convention preserved so ' t'+'he'
+    style merges are learnable) → per-token adjacent pairs via a
+    sequence/transform slice (tokens shorter than 2 chars emit nothing —
+    guarded BEFORE sequence(), whose descending form would throw) → one
+    map-side-combined count per pair. All JVM codegen; the only shuffle
+    carries (pair, partial_count) rows bounded by alphabet², not corpus
+    size."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0)
+        ).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count("*").alias("n"))

@@ -864,3 +864,42 @@ def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "shingle")
         .limit(25)
     )
+
+
+@register(
+    "docs_bpe_merges",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(
+               text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+             )) AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> tok[i:i+1])) AS pair
+      FROM toks WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="BPE vocabulary induction, round 1 (ml.text.bpe_pair_counts): the "
+    "20 most frequent adjacent character pairs inside GPT-2-style "
+    "pre-tokens — the corpus-scale statistic a tokenizer-training job "
+    "computes each merge round. Both engines run the IDENTICAL "
+    "pre-tokenizer regex (Java and RE2 agree on this subset: \\p classes, "
+    "alternation, no lookaround), so counts are exact integers; top-k is "
+    "tiebroken on the pair text.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import bpe_pair_counts
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        bpe_pair_counts(docs)
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

@@ -1015,3 +1015,13 @@ def test_boilerplate_ngrams_distinct_doc_counts(spark):
 
     with _pytest.raises(ValueError):
         boilerplate_ngrams(df, n=0)
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from mempool_dumpster_spark.ml.text import bpe_pair_counts
+
+    # pretokens of "aa bb aa": ["aa", " bb", " aa"] — pairs:
+    # "aa": aa ; " bb": ' b', bb ; " aa": ' a', aa
+    df = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
+    assert got == {"aa": 2, " b": 1, "bb": 1, " a": 1}
