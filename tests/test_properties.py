@@ -380,3 +380,32 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights, direction):
     }
     for i, (k, t) in enumerate(lefts):
         assert out[i] == brute(k, t), (direction, i, k, t, out[i], brute(k, t))
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=25), min_size=1, max_size=300
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    nparts=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=10, deadline=None)
+def test_two_pass_topk_properties(spark, keys, k, nparts):
+    """two_pass_topk: (1) with capacity >= distinct keys it equals the
+    exact groupBy top-k under any partitioning; (2) even with a tiny
+    capacity, every emitted count is the TRUE frequency of that key
+    (pass 2 recounts from raw data) and the output is count-desc sorted."""
+    from collections import Counter
+
+    from mempool_dumpster_spark.operators.skew import two_pass_topk
+
+    df = spark.createDataFrame([(x,) for x in keys], ["key"]).repartition(nparts)
+    truth = Counter(keys)
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    got = [(r["key"], r["n"]) for r in two_pass_topk(df, "key", k=k, capacity=64).collect()]
+    assert got == expect
+
+    tiny = [(r["key"], r["n"]) for r in two_pass_topk(df, "key", k=k, capacity=k).collect()]
+    assert all(truth[key] == n for key, n in tiny)
+    assert [n for _, n in tiny] == sorted((n for _, n in tiny), reverse=True)
