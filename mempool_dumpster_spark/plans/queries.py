@@ -1294,3 +1294,47 @@ def events_user_topk_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return two_pass_topk(ev, "user_id", k=10)
+
+
+@register(
+    "events_sliding_counts",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             unnest([CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - 300)
+                          AS TIMESTAMP),
+                     CAST(to_timestamp(floor(epoch(ts) / 300) * 300)
+                          AS TIMESTAMP)]) AS win_start
+      FROM events
+    )
+    SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM w
+    WHERE win_start >= TIMESTAMP '2024-01-02 00:00:00'
+      AND win_start <  TIMESTAMP '2024-01-02 06:00:00'
+    GROUP BY 1, 2
+    """,
+    doc="HOPPING event-time windows in batch (§2.8/ST3's sliding form): "
+    "10-minute windows sliding every 5 — each event lands in exactly two "
+    "windows, so trend dashboards get half-overlapped smoothing. Spark's "
+    "F.window(slide=...) expands the row per window BELOW a partial hash "
+    "aggregate (shuffle carries pre-combined (window, type) cells, not "
+    "x2 input rows). The oracle derives the same two window starts "
+    "arithmetically (floor(epoch/slide)*slide and its predecessor — "
+    "every event is within 600 s of both starts by construction). A "
+    "6-hour start-time band keeps the registered result compact; the "
+    "window filter prunes BEFORE the aggregate in both engines.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    win = F.window("ts", "10 minutes", "5 minutes")
+    lo = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-02 06:00:00").cast("timestamp")
+    return (
+        ev.select("event_type", win.alias("w"))
+        .select("event_type", F.col("w.start").alias("win_start"))
+        .filter((F.col("win_start") >= lo) & (F.col("win_start") < hi))
+        .groupBy("win_start", "event_type")
+        .agg(F.count("*").alias("n"))
+        .select("win_start", "event_type", "n")
+    )

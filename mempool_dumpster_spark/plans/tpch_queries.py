@@ -81,7 +81,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
         spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation"]
     )
-    n = t["nation"].select("n_nationkey", "n_name")
+    # push the pair predicate's per-side residue (nation ∈ {1,2}) INTO each
+    # dim before broadcast — only the two nations' customers/suppliers ship
+    # to the executors, not the whole dimension
+    n = t["nation"].filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+        "n_nationkey", "n_name"
+    )
     s = t["supplier"].join(
         F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
         F.col("n_nationkey") == F.col("s_nationkey"),

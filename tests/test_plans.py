@@ -102,6 +102,26 @@ def test_tpch_dimension_joins_broadcast(spark):
         assert plan.count("SortMergeJoin") <= 1, f"{name} shuffles a dimension"
 
 
+@pytest.mark.parametrize(
+    "name,max_smj",
+    [
+        ("q7_nation_volume", 1),
+        ("q9_product_profit", 1),
+        # q10 keeps customer's wide descriptive row through the aggregate:
+        # customer is NOT broadcastable at scale, so its orders join is the
+        # one extra legitimate shuffle
+        ("q10_returned_items", 2),
+    ],
+)
+def test_extended_tpch_single_fact_shuffle(spark, name, max_smj):
+    """The round-6 multi-way joins: dimension sides must broadcast — only
+    the fact-fact joins (lineitem↔orders, and for q10 orders↔customer) may
+    sort-merge; one more would mean a dimension started shuffling."""
+    plan = _plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast joins"
+    assert plan.count("SortMergeJoin") <= max_smj, f"{name} shuffles a dimension"
+
+
 def test_q6_pushes_filters_and_prunes(spark):
     """Q6: the selective conjunctive predicate must reach the parquet reader
     (PushedFilters on shipdate/discount/quantity) and the scan must read only
