@@ -1338,3 +1338,93 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select("win_start", "event_type", "n")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'view' AS stage,
+             CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+      UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    ) ORDER BY stage_no
+    """,
+    doc="Ordered conversion funnel (view → click → purchase, strictly "
+    "increasing timestamps): how many users reach each stage — the "
+    "sequential-pattern shape (MATCH_RECOGNIZE-lite) every product "
+    "analytics stack needs. Plan: one shuffle on user_id, then each stage "
+    "is a conditional min over the SAME partitioning (per-stage aggregate "
+    "+ self-join on user_id reuses the exchange; AQE coalesces); stage "
+    "frontiers never amplify rows. At 100 TB the funnel is bounded by "
+    "distinct users, not events.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        v.agg(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"),
+              F.count("*").alias("n_users")),
+        c.agg(F.lit(2).alias("stage_no"), F.lit("click").alias("stage"),
+              F.count("*").alias("n_users")),
+        p.agg(F.lit(3).alias("stage_no"), F.lit("purchase").alias("stage"),
+              F.count("*").alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_no")
+
+
+@register(
+    "events_click_and_purchase",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+    doc="INTERSECT surface (§2 set ops, complement of the EXCEPT/anti-join "
+    "in blacklist_anti): users who both clicked and purchased. Spark "
+    "compiles intersect() to a left-semi join over distincts — one "
+    "shuffle on user_id, no row amplification.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys).orderBy("user_id")

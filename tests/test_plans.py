@@ -64,6 +64,8 @@ GUARDED = [
     "q19_disjunctive_revenue",
     "q20_supplier_semijoin",
     "q21_waiting_supplier",
+    "events_funnel",
+    "events_click_and_purchase",
 ]
 
 
