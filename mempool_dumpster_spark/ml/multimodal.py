@@ -366,3 +366,161 @@ def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# --- video ------------------------------------------------------------------
+
+VIDEO_FEATURES_SCHEMA = (
+    "media_id long, mime string, n_bytes long, format string, "
+    "width int, height int, duration_s double, n_tracks int, "
+    "decode_ok boolean"
+)
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in buf[start:end) as (type, body_off, box_end).
+    Handles 64-bit largesize (size==1) and to-end boxes (size==0); raises
+    ValueError on impossible sizes so callers can flag malformed files."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i : i + 4], "big")
+        btype = buf[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = int.from_bytes(buf[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end + 0:
+            # size may exceed a header-probe buffer for mdat; clamp there,
+            # but a size smaller than the header itself is malformed
+            if size < 8:
+                raise ValueError(f"bad box size {size}")
+        yield btype, body, min(i + size, end)
+        i += size
+
+
+def video_header(payload: bytes) -> tuple[str, int, int, float, int] | None:
+    """Parse (format, width, height, duration_s, n_tracks) from a video
+    container header — pure Python, no codec library. REAL for MP4/MOV
+    (ISO BMFF: mvhd carries timescale+duration, tkhd carries 16.16
+    fixed-point track dimensions; presentation size = max over tracks,
+    audio tracks being 0x0). Returns None for unrecognized containers
+    (MKV/WebM need an EBML walk — the documented stub path); raises
+    ValueError for a recognized-but-malformed header.
+
+    The parse only touches the byte ranges it addresses, so feeding it a
+    HEADER PROBE (first N bytes, moov-before-mdat "faststart" files) works
+    as long as moov is inside the probe."""
+    n = len(payload)
+    if n >= 12 and payload[4:8] == b"ftyp":
+        fmt = "mov" if payload[8:12] == b"qt  " else "mp4"
+        timescale = duration = None
+        width = height = 0
+        n_tracks = 0
+        for btype, body, bend in _mp4_boxes(payload, 0, n):
+            if btype != b"moov":
+                continue
+            for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
+                if ctype == b"mvhd":
+                    v = payload[cbody]
+                    if v == 1:
+                        if cbody + 32 > n:
+                            raise ValueError("truncated mvhd v1")
+                        timescale = int.from_bytes(
+                            payload[cbody + 20 : cbody + 24], "big"
+                        )
+                        duration = int.from_bytes(
+                            payload[cbody + 24 : cbody + 32], "big"
+                        )
+                    else:
+                        if cbody + 20 > n:
+                            raise ValueError("truncated mvhd v0")
+                        timescale = int.from_bytes(
+                            payload[cbody + 12 : cbody + 16], "big"
+                        )
+                        duration = int.from_bytes(
+                            payload[cbody + 16 : cbody + 20], "big"
+                        )
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    for ttype, tbody, _tend in _mp4_boxes(payload, cbody, cend):
+                        if ttype != b"tkhd":
+                            continue
+                        v = payload[tbody]
+                        off = tbody + (88 if v == 1 else 76)
+                        if off + 8 > n:
+                            raise ValueError("truncated tkhd")
+                        w = int.from_bytes(payload[off : off + 4], "big") >> 16
+                        h = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
+                        width, height = max(width, w), max(height, h)
+            if timescale is None:
+                raise ValueError("moov without mvhd")
+            if not timescale:
+                raise ValueError("mvhd with zero timescale")
+            return (fmt, width, height, (duration or 0) / timescale, n_tracks)
+        raise ValueError("MP4 ftyp without moov in probe")
+    return None
+
+
+def video_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Feature-extract a video media table → VIDEO_FEATURES_SCHEMA — the
+    video leg of the decode_images / audio_features triad. MP4/MOV headers
+    decode for real (`video_header`); unrecognized containers emit NULL
+    features with decode_ok=False, or raise NotImplementedError in strict
+    mode. Same 100 TB plumbing: Arrow-batched mapInPandas, payload bytes
+    never re-emitted, output rows are small fixed-width metadata that
+    `frame_sample_plan` can consume for duration-driven frame expansion."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": media_id,
+                    "mime": mime,
+                    "n_bytes": len(payload),
+                    "format": None,
+                    "width": None,
+                    "height": None,
+                    "duration_s": None,
+                    "n_tracks": None,
+                    "decode_ok": False,
+                }
+                try:
+                    hdr = video_header(payload)
+                except ValueError:
+                    hdr = None
+                else:
+                    if hdr is None and strict:
+                        raise NotImplementedError(
+                            "no pure-Python header parse for this video "
+                            "container; install a demuxer or run strict=False"
+                        )
+                if hdr is not None:
+                    fmt, w, h, dur, ntr = hdr
+                    row.update(
+                        format=fmt,
+                        width=w,
+                        height=h,
+                        duration_s=float(dur),
+                        n_tracks=ntr,
+                        decode_ok=True,
+                    )
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "mime", "n_bytes", "format", "width",
+                    "height", "duration_s", "n_tracks", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FEATURES_SCHEMA)

@@ -1025,3 +1025,81 @@ def test_bpe_pair_counts_hand_computed(spark):
     df = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
     got = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
     assert got == {"aa": 2, " b": 1, "bb": 1, " a": 1}
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+
+def _mini_mp4(w=640, h=360, timescale=600, duration=3000, audio_track=True):
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"            # version 0 + flags
+        + (0).to_bytes(4, "big") * 2    # ctime, mtime
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + b"\x00" * 80,                 # rate/volume/matrix/next_track
+    )
+
+    def tkhd(tw, th):
+        return _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + b"\x00" * 72
+            + (tw << 16).to_bytes(4, "big") + (th << 16).to_bytes(4, "big"),
+        )
+
+    traks = [_mp4_box(b"trak", tkhd(w, h))]
+    if audio_track:
+        traks.append(_mp4_box(b"trak", tkhd(0, 0)))
+    moov = _mp4_box(b"moov", mvhd + b"".join(traks))
+    return ftyp + moov
+
+
+def test_video_header_mp4_hand_built(spark):
+    from mempool_dumpster_spark.ml.multimodal import video_features, video_header
+
+    good = _mini_mp4()
+    fmt, w, h, dur, ntr = video_header(good)
+    assert (fmt, w, h, ntr) == ("mp4", 640, 360, 2)
+    assert dur == 5.0  # 3000 / 600
+
+    assert video_header(b"\x1a\x45\xdf\xa3 webm-ish") is None  # EBML: stub path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        # ftyp present but no moov in the probe: recognized-but-malformed
+        video_header(_mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom"))
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good), "video/mp4", {}),
+            (2, bytearray(b"\x1a\x45\xdf\xa3 unknown"), "video/webm", {}),
+        ],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in video_features(df).collect()}
+    assert rows[1]["decode_ok"] and rows[1]["width"] == 640
+    assert rows[1]["duration_s"] == 5.0 and rows[1]["n_tracks"] == 2
+    assert not rows[2]["decode_ok"] and rows[2]["format"] is None
+
+
+def test_video_features_feed_frame_sample_plan(spark):
+    """Real parsed duration drives the frame expansion: a 5 s video at
+    every_n_seconds=2 yields frames at t=0,2 (and a minimum of one)."""
+    from mempool_dumpster_spark.ml.multimodal import (
+        frame_sample_plan,
+        video_features,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_mini_mp4()), "video/mp4", {})],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    feats = video_features(df).select(
+        "media_id", F.create_map(F.lit("duration_s"),
+                                 F.col("duration_s").cast("string")).alias("meta"),
+    )
+    frames = frame_sample_plan(feats, every_n_seconds=2).collect()
+    assert [(r["frame_idx"], r["frame_ts_s"]) for r in frames] == [(0, 0), (1, 2)]
