@@ -802,3 +802,66 @@ def test_inclusion_join_batch_parity(spark):
     ).withColumn("block_ts", F.col("block_ts").cast("timestamp"))
     rows = {r["hash"]: r for r in stream_inclusion_join(txs, rcs).collect()}
     assert rows["h1"]["included"] == 1 and rows["h2"]["included"] == 0
+
+
+def test_incremental_rollup_only_touches_changed_partitions(spark, tmp_path):
+    """incremental_rollup: first run aggregates every partition; appending
+    to ONE hour recomputes exactly that hour; deleting a partition drops
+    its rollup rows; the maintained rollup always equals a from-scratch
+    aggregate of the archive."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.streaming.rollup import incremental_rollup
+
+    root = tmp_path / "archive"
+    roll = tmp_path / "rollup"
+
+    def write_hour(date, hour, vals, mode="overwrite"):
+        spark.createDataFrame([(v,) for v in vals], "v long").write.mode(
+            mode
+        ).parquet(str(root / f"date={date}" / f"hour={hour:02d}"))
+
+    write_hour("2024-01-01", 0, [1, 2, 3])
+    write_hour("2024-01-01", 1, [10])
+    write_hour("2024-01-02", 0, [5, 5])
+
+    def agg(df):
+        return df.agg(
+            F.count("*").alias("n"), F.sum("v").cast("long").alias("sum_v")
+        )
+
+    stats = incremental_rollup(spark, str(root), str(roll), agg)
+    assert stats == {"changed": 3, "removed": 0, "unchanged": 0}
+
+    def rollup_rows():
+        # partition-path inference types date=… as DateType, hour=… as int
+        return {
+            (str(r["date"]), r["hour"], r["n"], r["sum_v"])
+            for r in spark.read.parquet(str(roll)).collect()
+        }
+
+    assert rollup_rows() == {
+        ("2024-01-01", 0, 3, 6),
+        ("2024-01-01", 1, 1, 10),
+        ("2024-01-02", 0, 2, 10),
+    }
+
+    # steady state: nothing changed -> nothing recomputed
+    assert incremental_rollup(spark, str(root), str(roll), agg)["changed"] == 0
+
+    # late data lands in ONE hour -> exactly one partition recomputed
+    write_hour("2024-01-01", 1, [20], mode="append")
+    stats = incremental_rollup(spark, str(root), str(roll), agg)
+    assert stats["changed"] == 1 and stats["unchanged"] == 2
+    assert ("2024-01-01", 1, 2, 30) in rollup_rows()
+
+    # retention deletes a day -> its rollup rows disappear
+    import shutil as _sh
+
+    _sh.rmtree(root / "date=2024-01-02")
+    stats = incremental_rollup(spark, str(root), str(roll), agg)
+    assert stats["removed"] == 1
+    assert rollup_rows() == {
+        ("2024-01-01", 0, 3, 6),
+        ("2024-01-01", 1, 2, 30),
+    }
