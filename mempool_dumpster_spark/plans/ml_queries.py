@@ -817,3 +817,34 @@ def docs_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return sample_per_group(docs, 25).select("doc_id", "source")
+
+
+@register(
+    "emb_pca_project",
+    oracle=None,  # no SQL twin — pinned to a numpy reference in tests/test_ml.py
+    doc="Distributed PCA (ml.pca): fit from ONE pass of per-partition "
+    "sufficient statistics (count, sum, Gram matrix — d+d² floats per "
+    "Arrow batch cross the wire, never rows), eigendecompose the d×d "
+    "covariance on the driver, project via literal-vector dot products "
+    "in pure JVM column algebra. Output: vec_id, the 4-dim projection, "
+    "and the model's explained-variance spectrum (constant columns) — "
+    "deterministic via sorted partial combination and a "
+    "largest-coordinate sign convention; verified against numpy to 1e-8 "
+    "in tests (the driver records a rows-only check).",
+    overflow=True,
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.pca import pca_fit, pca_transform
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    model = pca_fit(emb, k=4)
+    out = pca_transform(emb, model)
+    ev = model.explained_variance
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+        F.lit(round(ev[0], 6)).alias("var1"),
+        F.lit(round(ev[1], 6)).alias("var2"),
+    )

@@ -1103,3 +1103,51 @@ def test_video_features_feed_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(feats, every_n_seconds=2).collect()
     assert [(r["frame_idx"], r["frame_ts_s"]) for r in frames] == [(0, 0), (1, 2)]
+
+
+def test_pca_matches_numpy_reference(spark):
+    """pca_fit/pca_transform vs a straight numpy PCA on the collected data:
+    same covariance eigenvalues, same projections (signs fixed by the
+    largest-coordinate convention on both sides)."""
+    import numpy as np
+
+    from mempool_dumpster_spark.ml.pca import pca_fit, pca_transform
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: variance concentrated in a few directions
+    basis = rng.randn(6, 6)
+    x = rng.randn(200, 6) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1]) @ basis
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+
+    model = pca_fit(df, k=3)
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / x.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    assert np.allclose(model.explained_variance, evals[order], rtol=1e-8)
+
+    ref_comps = []
+    for i in order:
+        v = evecs[:, i]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        ref_comps.append(v)
+    assert np.allclose(model.components, ref_comps, atol=1e-8)
+
+    out = {
+        r["vec_id"]: r["pca"]
+        for r in pca_transform(df, model).select("vec_id", "pca").collect()
+    }
+    ref_proj = (x - mean) @ np.array(ref_comps).T
+    got = np.array([out[i] for i in range(len(x))])
+    assert np.allclose(got, ref_proj, atol=1e-8)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pca_fit(df, k=0)
+    with _pytest.raises(ValueError):
+        pca_fit(df, k=99)
