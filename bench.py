@@ -174,6 +174,39 @@ def _bench_ann_recall(spark) -> dict[str, float] | None:
     return out
 
 
+def _bench_prep(spark, sf_dir: str) -> dict | None:
+    """Time the end-to-end training-corpus prep composition (ml.prep:
+    Gopher ∧ exact-dedup ∧ LSH keep-list ∧ decontamination ∧ splits) at
+    the bench SF — the throughput figure for the 100 TB pipeline story."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.ml.prep import PrepConfig, prep_corpus
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    try:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        bench_docs = docs.filter(F.col("source") == "src0")
+        corpus = docs.filter(F.col("source") != "src0")
+        n_in = corpus.count()
+        t0 = time.time()
+        out = prep_corpus(corpus, benchmark=bench_docs, config=PrepConfig())
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        sec = round(time.time() - t0, 3)
+        n_out = sum(counts.values())
+        return {
+            "sec": sec,
+            "docs_in": n_in,
+            "docs_kept": n_out,
+            "docs_per_sec": round(n_in / sec, 1) if sec else None,
+            "splits": counts,
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -248,6 +281,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     merge_stats = _bench_merge(spark)
     ann_recall = _bench_ann_recall(spark)
+    prep_stats = _bench_prep(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -258,6 +292,7 @@ def main() -> None:
                 "queries_dispersion": dispersion,
                 "merge_pipeline": merge_stats,
                 "ann_recall_at3": ann_recall,
+                "prep_pipeline": prep_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
