@@ -393,11 +393,11 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
             body = i + 16
         elif size == 0:
             size = end - i
-        if size < 8 or i + size > end + 0:
-            # size may exceed a header-probe buffer for mdat; clamp there,
-            # but a size smaller than the header itself is malformed
-            if size < 8:
-                raise ValueError(f"bad box size {size}")
+        # a declared size may exceed a header-probe buffer (mdat tail) —
+        # clamp the body end; a size smaller than the box header itself is
+        # structurally malformed
+        if size < 8:
+            raise ValueError(f"bad box size {size}")
         yield btype, body, min(i + size, end)
         i += size
 
