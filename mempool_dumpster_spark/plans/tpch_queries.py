@@ -20,6 +20,7 @@ Shapes covered here beyond plans/queries.py (Q1/3/4/5/6/13/14/16/17/18):
 - Q20: two-level semi-join chain (agg HAVING → semi → semi)
 - Q21: EXISTS + NOT EXISTS on the same fact under different predicates
 - Q22: anti-join + scalar-subquery average gate
+- Q11: per-group sum gated by a scalar fraction of the grand total
 
 All are registered `overflow=True`: oracle-checked by tools/selfcheck.py
 at sf0.01 and sf0.1 every round, deliberately after the 50 driver-recorded
@@ -682,4 +683,55 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.col("s_acctbal").desc(), "p_partkey")
         .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey AS p_key,
+             sum({_REV_SQL}) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_6', 'NATION_7')
+      GROUP BY 1
+    )
+    SELECT p_key AS l_partkey, CAST(val AS DOUBLE) AS value
+    FROM pv, (SELECT sum(val) AS total FROM pv)
+    WHERE val > total * 0.002
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 (adapted: no partsupp — 'stock value' becomes shipped "
+    "revenue from two nations' suppliers; the SHAPE — per-group sum "
+    "gated by a SCALAR FRACTION of the grand total, the "
+    "HAVING sum(...) > (SELECT sum(...)*f) form — is unchanged): parts "
+    "that concentrate the value. The per-part aggregate is computed ONCE "
+    "and reused for both the groups and the grand total (self-aggregate "
+    "of the small result, broadcast back as a one-row gate) — no second "
+    "fact scan. Comparisons stay in DECIMAL (exact) until the final "
+    "output cast, so the threshold cannot flip between engines.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    nat = t["nation"].filter(F.col("n_name").isin("NATION_6", "NATION_7")).select(
+        "n_nationkey"
+    )
+    s = t["supplier"].join(
+        F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey")
+    pv = (
+        t["lineitem"]
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey"))
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    total = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("total") * F.lit(0.002).cast("decimal(6,4)"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
     )
