@@ -1,0 +1,115 @@
+"""Manifest-committed parquet publishing — atomic dataset versions.
+
+`df.write.mode("overwrite")` is NOT atomic: it deletes the target then
+writes files one task at a time, so a concurrent reader sees an empty or
+half-written directory, and a mid-write crash loses the PREVIOUS version
+too. Table formats (Iceberg/Delta) fix this with a metadata pointer
+swapped atomically over immutable data files; this module is that
+mechanism at its minimum viable size, for the outputs this engine
+publishes repeatedly (daily merge results, rollups, prep corpora):
+
+    path/
+      _manifest.json        <- the only mutable thing: one atomic rename
+      _versions/v000001/    <- immutable, complete parquet datasets
+      _versions/v000002/
+
+- `commit_write` stages the full dataset into a NEW version directory,
+  then swaps `_manifest.json` via os.replace (atomic on POSIX). A crash
+  before the swap leaves an orphan staging dir and the previous version
+  intact and live.
+- `read_committed` reads whatever version the manifest points at —
+  never a partial write. Readers holding the old version's file list
+  keep working through a concurrent commit (files are immutable until
+  vacuum).
+- `vacuum` removes version dirs older than the newest `keep`, never the
+  live one.
+
+Underscore-prefixed names keep the machinery invisible to plain
+`spark.read.parquet(path)` partition discovery (which would otherwise
+union every version). On object stores the os.replace becomes a
+conditional PUT; everything else is unchanged — the same note as
+streaming/compact.py and streaming/rollup.py, now implemented rather
+than deferred.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+VERSIONS_DIR = "_versions"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def current_version(path: str) -> dict | None:
+    """The live manifest, or None when nothing has been committed."""
+    try:
+        with open(_manifest_path(path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def commit_write(
+    df: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write `df` as the next version of the dataset at `path` and
+    atomically publish it. Returns the new manifest dict."""
+    prev = current_version(path)
+    version = (prev["version"] + 1) if prev else 1
+    vdir = os.path.join(path, VERSIONS_DIR, f"v{version:06d}")
+    os.makedirs(os.path.join(path, VERSIONS_DIR), exist_ok=True)
+
+    w = df.write.mode("errorifexists").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(vdir)
+
+    manifest = {
+        "version": version,
+        "data_dir": os.path.join(VERSIONS_DIR, f"v{version:06d}"),
+        "partition_by": partition_by or [],
+    }
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(path))  # the atomic publish
+    return manifest
+
+
+def read_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Read the currently-committed version — never a partial write."""
+    m = current_version(path)
+    if m is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return spark.read.parquet(os.path.join(path, m["data_dir"]))
+
+
+def vacuum(path: str, keep: int = 2) -> list[str]:
+    """Delete version directories older than the newest `keep` (the live
+    version is always retained). Returns the removed dir names. Run this
+    with a `keep` horizon longer than your longest reader — a reader that
+    resolved the manifest before a commit keeps reading its (immutable)
+    version until vacuum passes it."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    vroot = os.path.join(path, VERSIONS_DIR)
+    if not os.path.isdir(vroot):
+        return []
+    live = current_version(path)
+    live_name = os.path.basename(live["data_dir"]) if live else None
+    versions = sorted(d for d in os.listdir(vroot) if d.startswith("v"))
+    doomed = [d for d in versions[:-keep] if d != live_name]
+    for d in doomed:
+        shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+    return doomed

@@ -324,3 +324,47 @@ def test_bloom_filter_option_writes_bloom_bytes(spark, tmp_path):
         back.hash == df.selectExpr("md5('123') h").collect()[0]["h"]
     )
     assert probe.count() in (0, 1)
+
+
+def test_manifest_commit_atomic_versions(spark, tmp_path):
+    """sources/manifest.py: readers only ever see fully-committed versions
+    — a staged-but-uncommitted write is invisible; commits advance the
+    version atomically; vacuum retains the live version."""
+    import os
+
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.sources.manifest import (
+        commit_write,
+        current_version,
+        read_committed,
+        vacuum,
+    )
+
+    path = str(tmp_path / "ds")
+    with _pytest.raises(FileNotFoundError):
+        read_committed(spark, path)
+
+    m1 = commit_write(spark.range(0, 10).toDF("v"), path)
+    assert m1["version"] == 1
+    assert read_committed(spark, path).count() == 10
+
+    # simulate a crash mid-commit: a staged version dir WITHOUT the
+    # manifest swap must leave readers on v1
+    os.makedirs(os.path.join(path, "_versions", "v000099"))
+    assert current_version(path)["version"] == 1
+    assert read_committed(spark, path).count() == 10
+
+    m2 = commit_write(spark.range(0, 25).toDF("v"), path)
+    assert m2["version"] == 2
+    assert read_committed(spark, path).count() == 25
+
+    m3 = commit_write(spark.range(0, 3).toDF("v"), path)
+    removed = vacuum(path, keep=1)
+    assert "v000001" in removed and "v000002" in removed
+    assert os.path.basename(m3["data_dir"]) not in removed
+    assert read_committed(spark, path).count() == 3
+
+    # plain partition-discovery readers never see the machinery
+    with _pytest.raises(Exception):
+        spark.read.parquet(path).count()
