@@ -165,11 +165,13 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         boundaries=bounds,
     )
     prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)
-    counts = write_prep_outputs(prepped, args.out)
+    counts = write_prep_outputs(prepped, args.out, atomic=args.atomic)
     manifest = {"out": args.out, "splits": counts, "config": vars(args)}
     # underscore prefix: Spark/Hadoop readers ignore _-files during
     # partition discovery, so the manifest can live beside the split= dirs
-    with open(f"{args.out}/_manifest.json", "w") as f:
+    # (named distinctly from sources/manifest.py's _manifest.json version
+    # pointer, which --atomic writes in the same directory)
+    with open(f"{args.out}/_prep_manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, default=str)
     print(json.dumps(counts))
     return 0
@@ -254,6 +256,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="train,val,test percentages (default 90,5,5)",
     )
     t.add_argument("--redact-pii", action="store_true", help="scrub PII patterns")
+    t.add_argument(
+        "--atomic", action="store_true",
+        help="publish via a manifest-committed version (sources/manifest.py) "
+        "so concurrent readers never see a partial corpus",
+    )
     t.add_argument("--no-gopher", action="store_true", help="skip quality gates")
     t.add_argument("--no-exact-dedup", action="store_true")
     t.add_argument("--no-near-dedup", action="store_true")

@@ -115,19 +115,38 @@ def prep_corpus(
 
 
 def write_prep_outputs(
-    prepped: DataFrame, out_dir: str, compression: str = "gzip"
+    prepped: DataFrame,
+    out_dir: str,
+    compression: str = "gzip",
+    atomic: bool = False,
 ) -> dict[str, int]:
     """Write the prepped corpus partitioned by split and return per-split
     doc counts (the manifest a training run records). One pass: the
-    counts come from a post-write read of the partition directories'
-    footers, not a second scan of the input plan."""
-    (
-        prepped.write.mode("overwrite")
-        .option("compression", compression)
-        .partitionBy("split")
-        .parquet(out_dir)
-    )
-    back = prepped.sparkSession.read.parquet(out_dir)
+    counts come from a post-write read of the written files' footers, not
+    a second scan of the input plan.
+
+    atomic=True publishes through sources/manifest.py commit_write — a
+    training run that re-preps while the previous corpus is being read
+    never exposes a half-written dataset; readers use
+    `manifest.read_committed` (or the returned version path)."""
+    if atomic:
+        from mempool_dumpster_spark.sources.manifest import (
+            commit_write,
+            read_committed,
+        )
+
+        commit_write(
+            prepped, out_dir, compression=compression, partition_by=["split"]
+        )
+        back = read_committed(prepped.sparkSession, out_dir)
+    else:
+        (
+            prepped.write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy("split")
+            .parquet(out_dir)
+        )
+        back = prepped.sparkSession.read.parquet(out_dir)
     return {
         r["split"]: r["n"]
         for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()

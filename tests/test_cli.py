@@ -149,7 +149,7 @@ def test_cli_prep(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 0
-    manifest = json.loads((out / "_manifest.json").read_text())
+    manifest = json.loads((out / "_prep_manifest.json").read_text())
     back = spark.read.parquet(str(out))
     kept = {r["doc_id"] for r in back.select("doc_id").collect()}
     assert 2 not in kept            # exact dup removed (min id kept)
@@ -157,3 +157,41 @@ def test_cli_prep(spark, tmp_path, capsys):
     assert 1 in kept and 4 in kept
     assert "split" in back.columns and "text_redacted" in back.columns
     assert sum(manifest["splits"].values()) == len(kept)
+
+
+def test_cli_prep_atomic(spark, tmp_path):
+    """prep --atomic: the corpus publishes through a manifest-committed
+    version; read_committed sees it, plain discovery of the version dir
+    works, and re-running advances the version without a partial window."""
+    import json
+
+    from mempool_dumpster_spark.sources.manifest import (
+        current_version,
+        read_committed,
+    )
+
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(i, f"doc {i} body text here now", "en", "web", 20) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(docs))
+
+    out = tmp_path / "prep_atomic"
+    rc = main(
+        ["prep", str(docs), "--out", str(out), "--no-gopher",
+         "--no-near-dedup", "--atomic"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert current_version(str(out))["version"] == 1
+    assert read_committed(spark, str(out)).count() == 8
+    manifest = json.loads((out / "_prep_manifest.json").read_text())
+    assert sum(manifest["splits"].values()) == 8
+
+    rc = main(
+        ["prep", str(docs), "--out", str(out), "--no-gopher",
+         "--no-near-dedup", "--atomic"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert current_version(str(out))["version"] == 2
