@@ -31,7 +31,10 @@ Correctness contract: `agg` must be an ALGEBRAIC per-partition aggregate
 (counts, sums, min/max, or anything whose global answer is derived by
 re-aggregating partition results — the same contract as Spark's partial
 aggregation). Non-decomposable aggregates (exact global distinct) need
-the sketch twins (HLL in plans/queries.py) or a full pass.
+the sketch twins or a full pass — store a mergeable sketch IN the rollup
+(`hll_sketch_agg` per partition, `hll_union_agg` at query time; tested
+in tests/test_streaming.py::test_incremental_rollup_mergeable_hll_sketches)
+and the global distinct stays incremental too.
 
 On object stores, the per-partition overwrite becomes a table-format
 commit (Iceberg/Delta); the change-detection plan above it is unchanged —

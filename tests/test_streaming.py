@@ -865,3 +865,50 @@ def test_incremental_rollup_only_touches_changed_partitions(spark, tmp_path):
         ("2024-01-01", 0, 3, 6),
         ("2024-01-01", 1, 2, 30),
     }
+
+
+def test_incremental_rollup_mergeable_hll_sketches(spark, tmp_path):
+    """The non-decomposable-aggregate path the rollup contract names:
+    per-partition HLL sketches (hll_sketch_agg) stored IN the rollup,
+    merged at query time (hll_union_agg) for a global distinct count —
+    incremental updates refresh one partition's sketch, never rescanning
+    the archive. Estimate asserted within 5% of the exact distinct."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.streaming.rollup import incremental_rollup
+
+    root = tmp_path / "arch"
+    roll = tmp_path / "roll"
+
+    def write_hour(hour, users, mode="overwrite"):
+        spark.createDataFrame([(u,) for u in users], "user_id long").write.mode(
+            mode
+        ).parquet(str(root / f"hour={hour:02d}"))
+
+    # overlapping user sets across hours: naive per-partition count sums
+    # would overcount; only a mergeable sketch (or full rescan) is right
+    write_hour(0, range(0, 600))
+    write_hour(1, range(300, 900))
+
+    def agg(df):
+        return df.agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count("*").alias("n"),
+        )
+
+    incremental_rollup(spark, str(root), str(roll), agg)
+
+    def global_distinct():
+        return (
+            spark.read.parquet(str(roll))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("d"))
+            .collect()[0]["d"]
+        )
+
+    assert abs(global_distinct() - 900) / 900 < 0.05
+
+    # late data in hour 1 only: one partition's sketch refreshes
+    write_hour(1, range(900, 1200), mode="append")
+    stats = incremental_rollup(spark, str(root), str(roll), agg)
+    assert stats["changed"] == 1
+    assert abs(global_distinct() - 1200) / 1200 < 0.05
