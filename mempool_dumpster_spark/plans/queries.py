@@ -1428,3 +1428,57 @@ def events_click_and_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clicks.intersect(buys).orderBy("user_id")
+
+
+@register(
+    "events_views_minus_clicks_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'click'
+    ORDER BY user_id
+    """,
+    doc="EXCEPT ALL surface — MULTISET difference, the form the reference's "
+    "set ops never need but real attribution queries do: each user_id "
+    "survives (views - clicks) times, so a user with 7 views and 4 clicks "
+    "appears 3 times (DISTINCT except would say zero). Spark's exceptAll "
+    "compiles to a count-balancing aggregate + generate, one shuffle on "
+    "the key, no row amplification beyond the surviving multiplicity.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_views_minus_clicks_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    return views.exceptAll(clicks).orderBy("user_id")
+
+
+@register(
+    "events_moving_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(event_id) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS moving_sum
+    FROM events
+    """,
+    doc="Explicit ROWS-frame window (§2.8's sliding-frame form, distinct "
+    "from the default RANGE frame every other window query uses): per "
+    "user, the sum over the current and two preceding events in (ts, "
+    "event_id) order. Integer measure → exact cross-engine; one shuffle "
+    "on user_id, frame evaluated in a single sorted pass.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def events_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("event_id").over(w).cast("bigint").alias("moving_sum"),
+    )
