@@ -124,6 +124,26 @@ def cmd_compact(args, spark: SparkSession | None = None) -> int:
     return 0
 
 
+def cmd_rollup(args, spark: SparkSession | None = None) -> int:
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.streaming.rollup import incremental_rollup
+
+    spark = _session(spark)
+
+    def archive_stats(df):
+        aggs = [F.count("*").alias("n_rows")]
+        if args.distinct_col and args.distinct_col in df.columns:
+            # mergeable sketch: the rollup consumer unions with
+            # hll_union_agg for cross-partition distincts
+            aggs.append(F.hll_sketch_agg(args.distinct_col).alias("distinct_sk"))
+        return df.agg(*aggs)
+
+    stats = incremental_rollup(spark, args.root, args.out, archive_stats)
+    print(stats)
+    return 0
+
+
 def cmd_website(args, spark: SparkSession | None = None) -> int:
     from mempool_dumpster_spark.plans.site_index import build_site
 
@@ -235,6 +255,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip partitions written to within this window (the live hour)",
     )
     k.set_defaults(fn=cmd_compact)
+
+    r = sub.add_parser(
+        "rollup",
+        help="maintain per-partition archive stats incrementally (hourly cron)",
+    )
+    r.add_argument("--root", required=True, help="archive root (date=/hour= dirs)")
+    r.add_argument("--out", required=True, help="rollup output root")
+    r.add_argument(
+        "--distinct-col", default=None,
+        help="also keep a mergeable HLL sketch of this column per partition",
+    )
+    r.set_defaults(fn=cmd_rollup)
 
     w = sub.add_parser("website", help="build the archive file-index site")
     w.add_argument("--root", required=True, help="archive root (month dirs)")

@@ -195,3 +195,38 @@ def test_cli_prep_atomic(spark, tmp_path):
     )
     assert rc == 0
     assert current_version(str(out))["version"] == 2
+
+
+def test_cli_rollup(spark, tmp_path, capsys):
+    """rollup: incremental per-partition archive stats with an optional
+    mergeable distinct sketch; second run is a no-op until data changes."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path / "arch"
+    for h, users in ((0, range(0, 50)), (1, range(25, 75))):
+        spark.createDataFrame(
+            [(u,) for u in users], "user_id long"
+        ).write.parquet(str(root / f"hour={h:02d}"))
+
+    out = tmp_path / "roll"
+    rc = main(
+        ["rollup", "--root", str(root), "--out", str(out),
+         "--distinct-col", "user_id"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "'changed': 2" in capsys.readouterr().out
+    roll = spark.read.parquet(str(out))
+    assert {r["hour"]: r["n_rows"] for r in roll.collect()} == {0: 50, 1: 50}
+    est = roll.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("distinct_sk")).alias("d")
+    ).collect()[0]["d"]
+    assert abs(est - 75) / 75 < 0.05
+
+    rc = main(
+        ["rollup", "--root", str(root), "--out", str(out),
+         "--distinct-col", "user_id"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "'changed': 0" in capsys.readouterr().out
