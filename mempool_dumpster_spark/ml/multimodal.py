@@ -425,6 +425,8 @@ def video_header(payload: bytes) -> tuple[str, int, int, float, int] | None:
                 continue
             for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
                 if ctype == b"mvhd":
+                    if cbody >= n:
+                        raise ValueError("truncated mvhd header")
                     v = payload[cbody]
                     if v == 1:
                         if cbody + 32 > n:
@@ -449,6 +451,8 @@ def video_header(payload: bytes) -> tuple[str, int, int, float, int] | None:
                     for ttype, tbody, _tend in _mp4_boxes(payload, cbody, cend):
                         if ttype != b"tkhd":
                             continue
+                        if tbody >= n:
+                            raise ValueError("truncated tkhd header")
                         v = payload[tbody]
                         off = tbody + (88 if v == 1 else 76)
                         if off + 8 > n:

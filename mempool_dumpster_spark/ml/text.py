@@ -287,7 +287,6 @@ def redact_pii(
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     max_tokens: int = 512,
     overlap: int = 0,
     chunk_col: str = "chunk_text",

@@ -59,8 +59,10 @@ def write_range_clustered(
 ) -> None:
     """Write `df` to parquet range-clustered by `cluster_cols`.
 
-    `n_files` is the target file count per write (per partition-value set
-    when `partition_by` is given); size it as total_bytes / 128 MB.
+    `n_files` is the target file count for the WHOLE write (with
+    `partition_by`, the range tasks lead on the partition columns so each
+    output task lands in ~one partition directory — n_files total across
+    all directories, not per directory); size it as total_bytes / 128 MB.
     `bloom_cols` ({col: expected_ndv}) adds bloom filters for point-lookup
     columns ORTHOGONAL to the sort key — the range clustering prunes range
     scans via min/max, the blooms prune point probes on everything else.

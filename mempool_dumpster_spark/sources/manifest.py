@@ -15,8 +15,9 @@ publishes repeatedly (daily merge results, rollups, prep corpora):
 
 - `commit_write` stages the full dataset into a NEW version directory,
   then swaps `_manifest.json` via os.replace (atomic on POSIX). A crash
-  before the swap leaves an orphan staging dir and the previous version
-  intact and live.
+  before the swap leaves an orphan version dir and the previous version
+  intact and live; the next commit numbers PAST the orphan (never reuses
+  a dir), and vacuum sweeps orphans once enough versions pass them.
 - `read_committed` reads whatever version the manifest points at —
   never a partial write. Readers holding the old version's file list
   keep working through a concurrent commit (files are immutable until
@@ -66,9 +67,20 @@ def commit_write(
     """Write `df` as the next version of the dataset at `path` and
     atomically publish it. Returns the new manifest dict."""
     prev = current_version(path)
-    version = (prev["version"] + 1) if prev else 1
-    vdir = os.path.join(path, VERSIONS_DIR, f"v{version:06d}")
-    os.makedirs(os.path.join(path, VERSIONS_DIR), exist_ok=True)
+    vroot = os.path.join(path, VERSIONS_DIR)
+    os.makedirs(vroot, exist_ok=True)
+    # Version = 1 + max(published, any dir on disk): a commit that crashed
+    # mid-write leaves an orphan dir ABOVE the published version, and
+    # reusing its number would hit the errorifexists write forever.
+    # Numbering past orphans keeps commits available under the module's
+    # single-writer contract; `vacuum` sweeps dead dirs later.
+    on_disk = [
+        int(d[1:])
+        for d in os.listdir(vroot)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    version = max([prev["version"] if prev else 0, *on_disk], default=0) + 1
+    vdir = os.path.join(vroot, f"v{version:06d}")
 
     w = df.write.mode("errorifexists").option("compression", compression)
     if partition_by:

@@ -40,6 +40,7 @@ deployment would replace the renames with a manifest/table-format commit
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -84,13 +85,30 @@ def _recover(root: str) -> int:
             continue
         live = os.path.join(root, os.path.relpath(dirpath, retired_root))
         if not os.path.exists(live):
+            # crash BETWEEN the two swap renames: the retired dir IS the
+            # partition — restore it wholesale
             os.makedirs(os.path.dirname(live), exist_ok=True)
             os.rename(dirpath, live)
         else:
+            # live dir exists → the swap COMPLETED and the crash hit after
+            # it. The snapshot marker lists the basenames the compacted
+            # output already represents: restoring those would DUPLICATE
+            # every row, so only non-snapshot files (appends that raced in
+            # after the snapshot) are rescued. A marker is always written
+            # before the swap; a missing marker (pre-marker leftovers only)
+            # falls back to merging everything — the lossless side, since
+            # the recovery sweep deletes whatever stays behind.
+            snapshot: set[str] = set()
+            try:
+                with open(dirpath + ".snapshot.json") as mf:
+                    snapshot = set(json.load(mf))
+            except FileNotFoundError:
+                pass
             for f in filenames:
-                dst = os.path.join(live, f)
-                if not os.path.exists(dst):
-                    os.rename(os.path.join(dirpath, f), dst)
+                if f.endswith(".parquet") and f not in snapshot:
+                    dst = os.path.join(live, f)
+                    if not os.path.exists(dst):
+                        os.rename(os.path.join(dirpath, f), dst)
         restored += 1
     shutil.rmtree(retired_root, ignore_errors=True)
     return restored
@@ -151,6 +169,16 @@ def compact_partitions(
             continue
         os.makedirs(os.path.dirname(retired), exist_ok=True)
         shutil.rmtree(retired, ignore_errors=True)
+        # Snapshot marker BEFORE the swap (atomic sibling file): it records
+        # which basenames the compacted output REPLACES, so a crash after
+        # the swap but before the retired dir is deleted cannot make
+        # recovery merge the old snapshot back in (which would duplicate
+        # every row). _recover restores only non-snapshot files (raced
+        # appends) when the live dir exists.
+        marker_tmp = retired + ".snapshot.json.tmp"
+        with open(marker_tmp, "w") as mf:
+            json.dump(sorted(os.path.basename(f) for f in files), mf)
+        os.replace(marker_tmp, retired + ".snapshot.json")
         os.rename(part_dir, retired)
         try:
             os.rename(staging, part_dir)
@@ -168,6 +196,7 @@ def compact_partitions(
             if os.path.basename(f) not in snapshot_names:
                 os.rename(f, os.path.join(part_dir, os.path.basename(f)))
         shutil.rmtree(retired)
+        os.remove(retired + ".snapshot.json")
         compacted += 1
         files_before += len(files)
         files_after += len(_partition_files(part_dir))

@@ -350,18 +350,21 @@ def test_manifest_commit_atomic_versions(spark, tmp_path):
     assert read_committed(spark, path).count() == 10
 
     # simulate a crash mid-commit: a staged version dir WITHOUT the
-    # manifest swap must leave readers on v1
+    # manifest swap must leave readers on v1 — and must NOT brick future
+    # commits (the next commit numbers PAST the orphan, never reusing it)
     os.makedirs(os.path.join(path, "_versions", "v000099"))
     assert current_version(path)["version"] == 1
     assert read_committed(spark, path).count() == 10
 
     m2 = commit_write(spark.range(0, 25).toDF("v"), path)
-    assert m2["version"] == 2
+    assert m2["version"] == 100  # 99-orphan skipped, commit still lands
     assert read_committed(spark, path).count() == 25
 
     m3 = commit_write(spark.range(0, 3).toDF("v"), path)
+    assert m3["version"] == 101
     removed = vacuum(path, keep=1)
-    assert "v000001" in removed and "v000002" in removed
+    # everything below the live version goes, the orphan included
+    assert {"v000001", "v000099", "v000100"} <= set(removed)
     assert os.path.basename(m3["data_dir"]) not in removed
     assert read_committed(spark, path).count() == 3
 

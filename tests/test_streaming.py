@@ -912,3 +912,59 @@ def test_incremental_rollup_mergeable_hll_sketches(spark, tmp_path):
     stats = incremental_rollup(spark, str(root), str(roll), agg)
     assert stats["changed"] == 1
     assert abs(global_distinct() - 1200) / 1200 < 0.05
+
+
+def test_compact_post_swap_crash_does_not_duplicate_rows(spark, tmp_path):
+    """Regression: a crash AFTER the staging swap but BEFORE the retired dir
+    is deleted must not make recovery merge the old snapshot back in — that
+    would silently double every row. The snapshot marker written before the
+    swap tells recovery which files the compacted output already
+    represents; only genuinely-new (raced-append) files are rescued."""
+    import json as _json
+    import os
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.streaming.compact import compact_partitions
+
+    root = str(tmp_path / "crash2")
+    df = spark.range(0, 100).select(F.col("id"), F.lit("00").alias("hour"))
+    for _ in range(3):
+        df.repartition(2).write.mode("append").partitionBy("hour").parquet(root)
+    part = f"{root}/hour=00"
+    old_files = sorted(os.listdir(part))
+    old_parquet = [f for f in old_files if f.endswith(".parquet")]
+
+    # simulate the post-swap crash state: live dir holds the COMPACTED
+    # output (distinct names), retired holds the full old snapshot + one
+    # raced append, and the snapshot marker lists the snapshot basenames
+    retired = f"{root}/_compaction/retired/hour=00"
+    os.makedirs(os.path.dirname(retired), exist_ok=True)
+    os.rename(part, retired)
+    spark.read.parquet(retired).coalesce(1).write.parquet(part)
+    for m in ("_SUCCESS",):
+        p = os.path.join(part, m)
+        if os.path.exists(p):
+            os.remove(p)
+    with open(retired + ".snapshot.json", "w") as f:
+        _json.dump(old_parquet, f)
+    raced = spark.range(1000, 1010).select(
+        F.col("id"), F.lit("00").alias("hour")
+    )
+    raced_dir = f"{root}/_raced"
+    raced.coalesce(1).select("id").write.parquet(raced_dir)
+    raced_file = [
+        f for f in os.listdir(raced_dir) if f.endswith(".parquet")
+    ][0]
+    os.rename(
+        os.path.join(raced_dir, raced_file),
+        os.path.join(retired, "raced-append.parquet"),
+    )
+    _sh.rmtree(raced_dir)
+
+    stats = compact_partitions(spark, root, quiesce_seconds=0)
+    assert stats["partitions_recovered"] == 1
+    got = sorted(r["id"] for r in spark.read.parquet(root).collect())
+    # 300 snapshot rows exactly once + the 10 raced rows — no duplication
+    assert got == sorted(list(range(0, 100)) * 3 + list(range(1000, 1010)))

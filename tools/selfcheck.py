@@ -77,6 +77,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
             failures.append(name)
+            results[name] = {
+                "status": "FAIL",
+                "rows": None,
+                "sec": round(time.time() - t0, 2),
+                "err": "spark",
+            }
             continue
         if name not in oracles:
             print(f"okR  {name}: rows-only, {len(srows)} rows "
@@ -92,6 +98,12 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
             failures.append(name)
+            results[name] = {
+                "status": "FAIL",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 2),
+                "err": "duckdb",
+            }
             continue
         sn, scols, sdata = canonical(srows)
         dn, dcols, ddata = canonical(drows)
