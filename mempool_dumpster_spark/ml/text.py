@@ -437,3 +437,95 @@ def bpe_pair_counts(
         ).alias("pair")
     )
     return pairs.groupBy("pair").agg(F.count("*").alias("n"))
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Learn `n_merges` BPE merges from the corpus — the full iterative
+    tokenizer-induction loop on top of `bpe_pair_counts`' single-round
+    statistic. Returns [(left, right, pair_count), ...] in merge order.
+
+    Round structure (the standard BPE trainer, distributed):
+      1. pair counts over the CURRENT symbol arrays — pure column algebra
+         (transform over index sequence + explode + count), shuffle bounded
+         by the live pair vocabulary;
+      2. argmax pair to the driver (one tiny row; ties broken
+         lexicographically so training is deterministic);
+      3. apply the merge to every document's symbol array — a greedy
+         leftmost fold, genuinely stateful per array, so it runs as ONE
+         Arrow-batched mapInPandas pass (same doctrine as packing: state
+         that column algebra can't express goes to a vectorized linear
+         pass, never a row-at-a-time UDF in a join/agg path).
+
+    Each round's symbol frame is cached and the previous round evicted;
+    every `checkpoint_every` rounds the lineage is truncated
+    (localCheckpoint) — without this the plan doubles per round and the
+    driver dies at ~30 rounds (the duplicate_components lesson). Cost per
+    round is one corpus scan; vocab-sized state never leaves the driver.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0)
+        ).alias("tok")
+    )
+    symbols = toks.select(F.split("tok", "(?!^)").alias("syms"))
+    symbols = symbols.cache()
+    merges: list[tuple[str, str, int]] = []
+    for round_no in range(n_merges):
+        pairs = (
+            symbols.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i.cast("int")).alias("a"),
+                            F.element_at("syms", (i + 1).cast("int")).alias("b"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b, n = pairs[0]["a"], pairs[0]["b"], pairs[0]["n"]
+        merges.append((a, b, n))
+
+        def apply_merge(batches, _a=a, _b=b):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    res: list[str] = []
+                    for s in syms:
+                        if res and res[-1] == _a and s == _b:
+                            res[-1] = _a + _b
+                        else:
+                            res.append(s)
+                    out.append(res)
+                pdf = pdf.copy()
+                pdf["syms"] = out
+                yield pdf
+
+        nxt = symbols.mapInPandas(apply_merge, schema="syms array<string>")
+        if (round_no + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+            nxt.count()  # materialize before evicting the parent
+        symbols.unpersist()
+        symbols = nxt
+    symbols.unpersist()
+    return merges

@@ -1151,3 +1151,65 @@ def test_pca_matches_numpy_reference(spark):
         pca_fit(df, k=0)
     with _pytest.raises(ValueError):
         pca_fit(df, k=99)
+
+
+def test_bpe_learn_matches_pure_python_reference(spark):
+    """bpe_learn vs a 15-line reference BPE trainer over the identical
+    pre-tokens: same merges in the same order with the same counts
+    (argmax ties broken lexicographically in both)."""
+    import re
+
+    from mempool_dumpster_spark.ml.text import PRETOKEN_PATTERN, bpe_learn
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest news",
+        "low newer low",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+
+    # reference: identical pre-tokenization (re2-compatible pattern works
+    # under Python re with \p classes translated)
+    pat = PRETOKEN_PATTERN.replace(r"\p{L}", "[a-zA-Z]").replace(
+        r"\p{N}", "[0-9]"
+    )
+    corpus = [
+        list(tok)
+        for t in texts
+        for tok in re.findall(pat, t)
+    ]
+
+    def ref_round(corp):
+        from collections import Counter
+
+        c = Counter()
+        for syms in corp:
+            for x, y in zip(syms, syms[1:]):
+                c[(x, y)] += 1
+        if not c:
+            return None, corp
+        (a, b), n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out = []
+        for syms in corp:
+            res = []
+            for s in syms:
+                if res and res[-1] == a and s == b:
+                    res[-1] = a + b
+                else:
+                    res.append(s)
+            out.append(res)
+        return (a, b, n), out
+
+    expected = []
+    corp = corpus
+    for _ in range(6):
+        m, corp = ref_round(corp)
+        expected.append(m)
+
+    got = bpe_learn(df, n_merges=6, checkpoint_every=3)
+    assert got == expected
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_learn(df, n_merges=-1)
