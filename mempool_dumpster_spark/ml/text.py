@@ -529,3 +529,74 @@ def bpe_learn(
         symbols = nxt
     symbols.unpersist()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode text with a learned merge list (`bpe_learn` output): apply
+    merges RANK-ORDERED within each pre-token — the standard BPE encoder,
+    so train-then-encode round-trips the training corpus. Adds `out_col`
+    (array<string> of subword tokens) and `n_bpe_tokens`.
+
+    One Arrow-batched mapInPandas pass; the merge table rides the task
+    closure (merge lists are KBs — broadcast-by-closure is the right
+    size). Encoding cost is O(symbols × applicable merges) per doc, the
+    same as any BPE encoder; no shuffle at any scale."""
+    ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
+
+    def encode(batches):
+        import re
+
+        import pandas as pd
+
+        # translate the RE2/Java pattern's \p classes for Python re
+        pat = re.compile(
+            PRETOKEN_PATTERN.replace(r"\p{L}", r"[^\W\d_]").replace(
+                r"\p{N}", r"\d"
+            )
+        )
+
+        def enc_tok(tok: str) -> list[str]:
+            syms = list(tok)
+            while len(syms) >= 2:
+                best = None
+                for i, pair in enumerate(zip(syms, syms[1:])):
+                    r = ranks.get(pair)
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, i)
+                if best is None:
+                    break
+                _, i = best
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            return syms
+
+        for pdf in batches:
+            toks = [
+                [s for tok in pat.findall(t or "") for s in enc_tok(tok)]
+                for t in pdf[text_col]
+            ]
+            out = pdf.copy()
+            out[out_col] = toks
+            out["n_bpe_tokens"] = [len(t) for t in toks]
+            yield out
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(out_col, ArrayType(StringType()), False),
+            StructField("n_bpe_tokens", LongType(), False),
+        ]
+    )
+    return df.mapInPandas(encode, schema=schema)

@@ -1213,3 +1213,34 @@ def test_bpe_learn_matches_pure_python_reference(spark):
 
     with _pytest.raises(ValueError):
         bpe_learn(df, n_merges=-1)
+
+
+def test_bpe_encode_roundtrips_training_corpus(spark):
+    """Learn merges on a corpus, encode the same corpus: concatenating each
+    doc's subword tokens reconstructs the original text exactly, and
+    frequent words collapse into fewer tokens than characters."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.ml.text import bpe_encode, bpe_learn
+
+    texts = ["low low low lower lowest", "new newer newest news"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    merges = bpe_learn(df, n_merges=8, checkpoint_every=4)
+    enc = bpe_encode(df, merges)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    for i, t in enumerate(texts):
+        assert "".join(rows[i]["bpe_tokens"]) == t
+        assert rows[i]["n_bpe_tokens"] == len(rows[i]["bpe_tokens"])
+        assert rows[i]["n_bpe_tokens"] < len(t)  # merges actually compress
+
+    # the token-count column feeds pack_sequences directly
+    from mempool_dumpster_spark.ml.packing import pack_sequences
+
+    packed = pack_sequences(
+        enc.select("doc_id", "n_bpe_tokens"),
+        max_tokens=16,
+        token_col="n_bpe_tokens",
+        n_shards=1,
+    )
+    assert packed.count() == 2
