@@ -553,11 +553,18 @@ def bpe_encode(
 
         import pandas as pd
 
-        # translate the RE2/Java pattern's \p classes for Python re
+        # Python re has no \p classes; this is the semantic translation of
+        # PRETOKEN_PATTERN (Unicode-aware, matching Java/RE2 behavior):
+        # letters = \w minus digits minus underscore; the punctuation run
+        # "not space, not letter, not digit" = non-\s-non-\w OR underscore.
+        # A naive string-replace of \p{L} inside the NEGATED class would
+        # nest character classes and silently drop punctuation tokens.
         pat = re.compile(
-            PRETOKEN_PATTERN.replace(r"\p{L}", r"[^\W\d_]").replace(
-                r"\p{N}", r"\d"
-            )
+            r"'(?:s|t|re|ve|m|ll|d)"
+            r"| ?[^\W\d_]+"
+            r"| ?\d+"
+            r"| ?(?:[^\s\w]|_)+"
+            r"|\s+"
         )
 
         def enc_tok(tok: str) -> list[str]:

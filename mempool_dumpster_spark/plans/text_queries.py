@@ -903,3 +903,27 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "docs_bpe_train",
+    oracle=None,  # iterative argmax loop — no SQL twin; pinned merge-for-merge
+    # against a pure-Python reference trainer in tests/test_ml.py
+    doc="Iterative BPE vocabulary training (ml.text.bpe_learn, 6 rounds on "
+    "the corpus): per round one column-algebra pair-count pass (shuffle "
+    "bounded by pair vocabulary), driver argmax with lexicographic "
+    "tiebreak, one Arrow-batched merge-apply pass; lineage checkpointed "
+    "so plans stay flat across rounds. Returns the learned merges in "
+    "order with their pair counts (the driver records a rows-only "
+    "check; exact training behavior is reference-pinned in pytest).",
+    overflow=True,
+)
+def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import bpe_learn
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    merges = bpe_learn(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )

@@ -409,3 +409,31 @@ def test_two_pass_topk_properties(spark, keys, k, nparts):
     tiny = [(r["key"], r["n"]) for r in two_pass_topk(df, "key", k=k, capacity=k).collect()]
     assert all(truth[key] == n for key, n in tiny)
     assert [n for _, n in tiny] == sorted((n for _, n in tiny), reverse=True)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(max_codepoint=0x24F, blacklist_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_bpe_encode_always_reconstructs(spark, texts, n_merges):
+    """BPE invariant: for ANY corpus and any number of learned merges,
+    concatenating a document's encoded subwords reconstructs the original
+    text byte-for-byte (the pre-tokenizer partitions the string; merges
+    only ever concatenate adjacent symbols)."""
+    from mempool_dumpster_spark.ml.text import bpe_encode, bpe_learn
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe_learn(df, n_merges=n_merges, checkpoint_every=3)
+    rows = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        assert "".join(rows[i]["bpe_tokens"]) == t
