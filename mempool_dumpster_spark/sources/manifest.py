@@ -125,3 +125,61 @@ def vacuum(path: str, keep: int = 2) -> list[str]:
     for d in doomed:
         shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
     return doomed
+
+
+def upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    compression: str = "gzip",
+) -> dict:
+    """MERGE INTO for the manifest-committed dataset: rows in `updates`
+    replace committed rows sharing their key; new keys append. Publishes
+    one new atomic version (read-modify-commit; single-writer, like every
+    commit here). The merge plan is one left-anti join on the keys —
+    current rows whose key is NOT updated survive, the whole updates
+    frame lands as-is — so cost is one shuffle of the current version
+    against the (usually much smaller) update keys; at scale AQE
+    broadcasts the update side."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    try:
+        current = read_committed(spark, path)
+    except FileNotFoundError:
+        return commit_write(updates, path, compression=compression)
+    missing = set(key_cols) - set(updates.columns)
+    if missing or set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"updates schema mismatch: missing keys {sorted(missing)} or "
+            f"columns differ ({sorted(current.columns)} vs "
+            f"{sorted(updates.columns)})"
+        )
+    survivors = current.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    return commit_write(merged, path, compression=compression)
+
+
+def diff_versions(
+    spark: SparkSession, path: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Change-data-capture between two committed versions: full rows added
+    by / removed since `v_old`, labeled in a `__change` column ('added' /
+    'removed'). Multiset semantics (exceptAll both ways), so duplicate-row
+    count changes surface too. Both versions must still be on disk (vacuum
+    horizon)."""
+
+    def load(v: int) -> DataFrame:
+        d = os.path.join(path, VERSIONS_DIR, f"v{v:06d}")
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"version {v} not on disk (vacuumed?)")
+        return spark.read.parquet(d)
+
+    old, new = load(v_old), load(v_new)
+    from pyspark.sql import functions as F
+
+    added = new.exceptAll(old).withColumn("__change", F.lit("added"))
+    removed = old.exceptAll(new).withColumn("__change", F.lit("removed"))
+    return added.unionByName(removed)

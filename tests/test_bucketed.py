@@ -371,3 +371,42 @@ def test_manifest_commit_atomic_versions(spark, tmp_path):
     # plain partition-discovery readers never see the machinery
     with _pytest.raises(Exception):
         spark.read.parquet(path).count()
+
+
+def test_manifest_upsert_and_diff(spark, tmp_path):
+    """upsert: updated keys replaced, new keys appended, untouched rows
+    survive — all as one new atomic version; diff_versions labels the
+    exact multiset delta between two committed versions."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.sources.manifest import (
+        diff_versions,
+        read_committed,
+        upsert,
+    )
+
+    path = str(tmp_path / "upsert_ds")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    m1 = upsert(spark, path, base, ["k"])  # first upsert == initial commit
+    assert m1["version"] == 1
+
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"])
+    m2 = upsert(spark, path, updates, ["k"])
+    assert m2["version"] == 2
+    got = {r["k"]: r["v"] for r in read_committed(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    delta = {
+        (r["k"], r["v"], r["__change"])
+        for r in diff_versions(spark, path, 1, 2).collect()
+    }
+    assert delta == {(2, "B", "added"), (4, "d", "added"), (2, "b", "removed")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert(spark, path, updates.withColumnRenamed("v", "x"), ["k"])
+    with _pytest.raises(ValueError):
+        upsert(spark, path, updates, [])
