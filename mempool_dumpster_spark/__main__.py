@@ -144,6 +144,29 @@ def cmd_rollup(args, spark: SparkSession | None = None) -> int:
     return 0
 
 
+def cmd_query(args, spark: SparkSession | None = None) -> int:
+    from mempool_dumpster_spark.plans.registry import REGISTRY, all_queries
+
+    qs = all_queries()
+    if args.list or not args.name:
+        for name in qs:
+            doc = REGISTRY[name].doc.split(". ")[0][:100]
+            oracle = "oracle" if REGISTRY[name].oracle else "rows-only"
+            print(f"{name:36s} [{oracle}] {doc}")
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; run with --list to see all")
+        return 2
+    spark = _session(spark)
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    for row in df.limit(args.limit).collect():
+        print(row.asDict())
+    return 0
+
+
 def cmd_website(args, spark: SparkSession | None = None) -> int:
     from mempool_dumpster_spark.plans.site_index import build_site
 
@@ -255,6 +278,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip partitions written to within this window (the live hour)",
     )
     k.set_defaults(fn=cmd_compact)
+
+    q = sub.add_parser(
+        "query", help="run or explain any registered query from the catalog"
+    )
+    q.add_argument("name", nargs="?", default=None, help="query name")
+    q.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", help="testdata directory"
+    )
+    q.add_argument("--limit", type=int, default=20, help="max rows to print")
+    q.add_argument(
+        "--explain", action="store_true", help="print the physical plan only"
+    )
+    q.add_argument("--list", action="store_true", help="list registered queries")
+    q.set_defaults(fn=cmd_query)
 
     r = sub.add_parser(
         "rollup",

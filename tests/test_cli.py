@@ -230,3 +230,31 @@ def test_cli_rollup(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "'changed': 0" in capsys.readouterr().out
+
+
+def test_cli_query(spark, capsys):
+    """query: --list enumerates the catalog; running a name prints rows;
+    --explain prints a plan; unknown names exit 2."""
+    rc = main(["query", "--list"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "[oracle]" in out
+
+    rc = main(
+        ["query", "q1_pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+         "--limit", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out
+
+    rc = main(
+        ["query", "q1_pricing_summary", "--sf-dir", "/root/testdata/sf0.001",
+         "--explain"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "AdaptiveSparkPlan" in capsys.readouterr().out
+
+    assert main(["query", "nope_not_real"], spark=spark) == 2
