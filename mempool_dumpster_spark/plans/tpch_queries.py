@@ -412,12 +412,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
         )
         GROUP BY l_suppkey, l_partkey
-        HAVING sum(l_quantity) > 100
+        HAVING sum(l_quantity) > 80
       )
     ORDER BY s_name, s_acctbal
     """,
     doc="TPC-H Q20 (adapted: no partsupp/availqty — 'has excess stock' "
-    "becomes 'shipped > 100 units of some small% part', keeping the "
+    "becomes 'shipped > 80 units of some small% part', keeping the "
     "two-level nested-IN SHAPE: part-name semi-filter → per-(supplier, "
     "part) HAVING aggregate → supplier semi-join → nation filter). In "
     "Spark the inner INs compile to broadcast semi-joins (left_semi), so "
@@ -434,7 +434,7 @@ def q20_supplier_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("__qty"))
-        .filter(F.col("__qty") > 100)
+        .filter(F.col("__qty") > 80)
         .select("l_suppkey")
         .distinct()
     )
