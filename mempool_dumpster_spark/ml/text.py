@@ -469,6 +469,11 @@ def bpe_learn(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every} "
+            "(skipping checkpoints reintroduces per-round plan doubling)"
+        )
     from pyspark.sql import functions as F
 
     toks = df.select(
@@ -542,31 +547,19 @@ def bpe_encode(
     so train-then-encode round-trips the training corpus. Adds `out_col`
     (array<string> of subword tokens) and `n_bpe_tokens`.
 
-    One Arrow-batched mapInPandas pass; the merge table rides the task
-    closure (merge lists are KBs — broadcast-by-closure is the right
-    size). Encoding cost is O(symbols × applicable merges) per doc, the
-    same as any BPE encoder; no shuffle at any scale."""
+    Pre-tokenization happens ON THE JVM with the literal PRETOKEN_PATTERN
+    — the same engine and pattern `bpe_learn` trained with, so token
+    boundaries can never diverge between train and encode (a Python `re`
+    translation would: Java's \\p{N} spans No/Nl characters like '¾'
+    where \\d does not, and Python's \\s is Unicode-wide where Java's is
+    ASCII). The rank-ordered merge application is the Arrow-batched
+    per-pretoken pass; the merge table rides the task closure (merge
+    lists are KBs — broadcast-by-closure is the right size). Encoding
+    cost is O(symbols × applicable merges) per doc, the same as any BPE
+    encoder; no shuffle at any scale."""
     ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
 
     def encode(batches):
-        import re
-
-        import pandas as pd
-
-        # Python re has no \p classes; this is the semantic translation of
-        # PRETOKEN_PATTERN (Unicode-aware, matching Java/RE2 behavior):
-        # letters = \w minus digits minus underscore; the punctuation run
-        # "not space, not letter, not digit" = non-\s-non-\w OR underscore.
-        # A naive string-replace of \p{L} inside the NEGATED class would
-        # nest character classes and silently drop punctuation tokens.
-        pat = re.compile(
-            r"'(?:s|t|re|ve|m|ll|d)"
-            r"| ?[^\W\d_]+"
-            r"| ?\d+"
-            r"| ?(?:[^\s\w]|_)+"
-            r"|\s+"
-        )
-
         def enc_tok(tok: str) -> list[str]:
             syms = list(tok)
             while len(syms) >= 2:
@@ -583,10 +576,10 @@ def bpe_encode(
 
         for pdf in batches:
             toks = [
-                [s for tok in pat.findall(t or "") for s in enc_tok(tok)]
-                for t in pdf[text_col]
+                [s for tok in pretoks for s in enc_tok(tok)]
+                for pretoks in pdf["__pretoks"]
             ]
-            out = pdf.copy()
+            out = pdf.drop(columns=["__pretoks"])
             out[out_col] = toks
             out["n_bpe_tokens"] = [len(t) for t in toks]
             yield out
@@ -606,4 +599,8 @@ def bpe_encode(
             StructField("n_bpe_tokens", LongType(), False),
         ]
     )
-    return df.mapInPandas(encode, schema=schema)
+    with_pretoks = df.withColumn(
+        "__pretoks",
+        F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0),
+    )
+    return with_pretoks.mapInPandas(encode, schema=schema)

@@ -91,6 +91,11 @@ def commit_write(
         "version": version,
         "data_dir": os.path.join(VERSIONS_DIR, f"v{version:06d}"),
         "partition_by": partition_by or [],
+        # every version ever PUBLISHED — the membership test that lets
+        # readers (diff_versions) distinguish committed data from orphan
+        # dirs a crashed commit left behind
+        "published": (prev.get("published", [prev["version"]]) if prev else [])
+        + [version],
     }
     tmp = _manifest_path(path) + ".tmp"
     with open(tmp, "w") as f:
@@ -144,16 +149,20 @@ def upsert(
     broadcasts the update side."""
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    missing = set(key_cols) - set(updates.columns)
+    if missing:
+        # validated BEFORE the initial-commit branch too: a first upsert
+        # without its declared keys would otherwise commit a dataset that
+        # every later (correctly-keyed) upsert fails against
+        raise ValueError(f"updates missing key columns {sorted(missing)}")
     try:
         current = read_committed(spark, path)
     except FileNotFoundError:
         return commit_write(updates, path, compression=compression)
-    missing = set(key_cols) - set(updates.columns)
-    if missing or set(current.columns) != set(updates.columns):
+    if set(current.columns) != set(updates.columns):
         raise ValueError(
-            f"updates schema mismatch: missing keys {sorted(missing)} or "
-            f"columns differ ({sorted(current.columns)} vs "
-            f"{sorted(updates.columns)})"
+            f"updates schema mismatch: {sorted(current.columns)} vs "
+            f"{sorted(updates.columns)}"
         )
     survivors = current.join(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -168,10 +177,20 @@ def diff_versions(
     """Change-data-capture between two committed versions: full rows added
     by / removed since `v_old`, labeled in a `__change` column ('added' /
     'removed'). Multiset semantics (exceptAll both ways), so duplicate-row
-    count changes surface too. Both versions must still be on disk (vacuum
-    horizon)."""
+    count changes surface too. Both versions must have been PUBLISHED
+    (per the manifest's version history — a crashed commit's orphan dir
+    is never readable data) and still be on disk (vacuum horizon)."""
+    live = current_version(path)
+    if live is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    published = set(live.get("published", [live["version"]]))
 
     def load(v: int) -> DataFrame:
+        if v not in published:
+            raise ValueError(
+                f"version {v} was never published (orphan of a crashed "
+                f"commit?); published: {sorted(published)}"
+            )
         d = os.path.join(path, VERSIONS_DIR, f"v{v:06d}")
         if not os.path.isdir(d):
             raise FileNotFoundError(f"version {v} not on disk (vacuumed?)")

@@ -410,3 +410,15 @@ def test_manifest_upsert_and_diff(spark, tmp_path):
         upsert(spark, path, updates.withColumnRenamed("v", "x"), ["k"])
     with _pytest.raises(ValueError):
         upsert(spark, path, updates, [])
+    # a FIRST upsert missing its declared key must not commit a dataset
+    # that every later correctly-keyed upsert would fail against
+    fresh = str(tmp_path / "fresh_ds")
+    with _pytest.raises(ValueError):
+        upsert(spark, fresh, updates.withColumnRenamed("k", "x"), ["k"])
+    import os as _os
+
+    assert not _os.path.exists(f"{fresh}/_manifest.json")
+    # an orphan version dir from a crashed commit is never diffable data
+    _os.makedirs(f"{path}/_versions/v000055")
+    with _pytest.raises(ValueError):
+        diff_versions(spark, path, 55, 2).collect()

@@ -1162,22 +1162,31 @@ def test_bpe_learn_matches_pure_python_reference(spark):
     from mempool_dumpster_spark.ml.text import PRETOKEN_PATTERN, bpe_learn
 
     texts = [
-        "low low low lower lowest",
-        "new newer newest news",
-        "low newer low",
+        "low low, low lower!! lowest",
+        "new newer... newest news, news",
+        "low newer!! low 42 42",
     ]
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
 
-    # reference: identical pre-tokenization (re2-compatible pattern works
-    # under Python re with \p classes translated)
-    pat = PRETOKEN_PATTERN.replace(r"\p{L}", "[a-zA-Z]").replace(
-        r"\p{N}", "[0-9]"
+    # Reference pre-tokenization: explicit ASCII translation of
+    # PRETOKEN_PATTERN with properly-formed classes (a naive
+    # string-replace of \p{L} inside the negated punctuation class nests
+    # character classes and silently drops punctuation — the corpus above
+    # includes punctuation and digits precisely to keep this honest).
+    pat = (
+        r"'(?:s|t|re|ve|m|ll|d)"
+        r"| ?[a-zA-Z]+"
+        r"| ?[0-9]+"
+        r"| ?[^ \t\na-zA-Z0-9]+"
+        r"|\s+"
     )
     corpus = [
         list(tok)
         for t in texts
         for tok in re.findall(pat, t)
     ]
+    # sanity: the reference tokenizer must not drop characters
+    assert "".join("".join(s) for s in corpus) == "".join(texts)
 
     def ref_round(corp):
         from collections import Counter
@@ -1213,6 +1222,8 @@ def test_bpe_learn_matches_pure_python_reference(spark):
 
     with _pytest.raises(ValueError):
         bpe_learn(df, n_merges=-1)
+    with _pytest.raises(ValueError):
+        bpe_learn(df, n_merges=2, checkpoint_every=0)
 
 
 def test_bpe_encode_roundtrips_training_corpus(spark):
