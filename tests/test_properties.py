@@ -437,3 +437,51 @@ def test_bpe_encode_always_reconstructs(spark, texts, n_merges):
     rows = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
     for i, t in enumerate(texts):
         assert "".join(rows[i]["bpe_tokens"]) == t
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_repetition_and_boilerplate_invariants(spark, texts):
+    """repetition_stats: 0 <= n_distinct <= n_grams, dup_frac ==
+    (n_grams - n_distinct)/n_grams (0.0 when empty), and values match a
+    direct python recount. boilerplate_ngrams: every count is between
+    min_docs and the number of documents, and equals the true
+    distinct-document frequency."""
+    from collections import Counter
+
+    from mempool_dumpster_spark.ml.text import (
+        boilerplate_ngrams,
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def grams(t, n):
+        ws = t.split(" ")
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    rows = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    for i, t in enumerate(texts):
+        g = grams(t, 2)
+        r = rows[i]
+        assert (r["n_grams"], r["n_distinct"]) == (len(g), len(set(g)))
+        expect = (len(g) - len(set(g))) / len(g) if g else 0.0
+        assert abs(r["dup_frac"] - expect) < 1e-12
+
+    truth = Counter()
+    for t in texts:
+        for g in set(grams(t, 3)):
+            truth[g] += 1
+    got = {
+        r["shingle"]: r["n_docs"]
+        for r in boilerplate_ngrams(df, n=3, min_docs=2).collect()
+    }
+    assert got == {g: c for g, c in truth.items() if c >= 2}
