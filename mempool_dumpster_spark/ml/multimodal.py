@@ -528,3 +528,83 @@ def video_features(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=VIDEO_FEATURES_SCHEMA)
+
+
+# --- resize ------------------------------------------------------------------
+
+RESIZED_SCHEMA = (
+    "media_id long, mime string, width int, height int, "
+    "payload binary, resize_ok boolean"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize an image media table to (width, height) → RESIZED_SCHEMA —
+    the remaining verb of the decode / feature-extract / resize /
+    frame-sample quartet. Real resampling dispatches to PIL when
+    importable; in codec-less environments (this container) the payload
+    passes through UNCHANGED with resize_ok=False — or strict=True raises
+    — while the Spark-side plumbing is fully real: Arrow batch shapes,
+    output schema, and the bounded-memory contract (each batch holds
+    `spark.sql.execution.arrow.maxRecordsPerBatch` payloads; output
+    payload bytes are proportional to the TARGET size under a real codec,
+    so resize is the standard first step that makes a 100 TB image corpus
+    tractable downstream)."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be positive, got {width}x{height}")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        try:
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except Exception:
+            have_pil = False
+        if strict and not have_pil:
+            raise NotImplementedError(
+                "image resize needs a codec library (PIL); run strict=False "
+                "for pass-through plumbing"
+            )
+        for pdf in batches:
+            out = []
+            for media_id, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": media_id,
+                    "mime": mime,
+                    "width": width,
+                    "height": height,
+                    "payload": raw,
+                    "resize_ok": False,
+                }
+                if have_pil:
+                    import io as _io
+
+                    try:
+                        img = Image.open(_io.BytesIO(raw))
+                        buf = _io.BytesIO()
+                        img.resize((width, height)).save(
+                            buf, format=img.format or "PNG"
+                        )
+                        row.update(payload=buf.getvalue(), resize_ok=True)
+                    except Exception:
+                        pass  # undecodable payload: pass through, ok=False
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "mime", "width", "height", "payload",
+                    "resize_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

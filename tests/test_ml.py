@@ -1255,3 +1255,34 @@ def test_bpe_encode_roundtrips_training_corpus(spark):
         n_shards=1,
     )
     assert packed.count() == 2
+
+
+def test_resize_images_plumbing(spark):
+    """resize_images: schema/batch plumbing is real; without PIL in the
+    container the payload passes through unchanged with resize_ok=False,
+    strict mode raises, and target-size validation rejects nonsense."""
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.multimodal import resize_images
+
+    payload = b"\x89PNG\r\n\x1a\nfakebody"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), "image/png", {})],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    rows = resize_images(df, 32, 32).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (32, 32)
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except Exception:
+        have_pil = False
+    if not have_pil:
+        assert bytes(r["payload"]) == payload and not r["resize_ok"]
+        with _pytest.raises(Exception):
+            resize_images(df, 32, 32, strict=True).collect()
+    with _pytest.raises(ValueError):
+        resize_images(df, 0, 32)
