@@ -209,6 +209,23 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
     )
     prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)
     counts = write_prep_outputs(prepped, args.out, atomic=args.atomic)
+    if args.pack_tokens:
+        from mempool_dumpster_spark.ml.prep import pack_prepped
+
+        # pack from the WRITTEN corpus, not the lazy gate plan — packing
+        # re-reads cheap parquet instead of recomputing every dedup gate
+        if args.atomic:
+            from mempool_dumpster_spark.sources.manifest import read_committed
+
+            corpus = read_committed(spark, args.out)
+        else:
+            corpus = spark.read.parquet(args.out)
+        (
+            pack_prepped(corpus, max_tokens=args.pack_tokens)
+            .write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(f"{args.out}_packed")
+        )
     manifest = {"out": args.out, "splits": counts, "config": vars(args)}
     # underscore prefix: Spark/Hadoop readers ignore _-files during
     # partition discovery, so the manifest can live beside the split= dirs
@@ -325,6 +342,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="train,val,test percentages (default 90,5,5)",
     )
     t.add_argument("--redact-pii", action="store_true", help="scrub PII patterns")
+    t.add_argument(
+        "--pack-tokens", type=int, default=None,
+        help="also write OUT_packed: sequences greedily packed to this "
+        "token budget, sharded within each split",
+    )
     t.add_argument(
         "--atomic", action="store_true",
         help="publish via a manifest-committed version (sources/manifest.py) "

@@ -151,3 +151,32 @@ def write_prep_outputs(
         r["split"]: r["n"]
         for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+
+
+def pack_prepped(
+    prepped: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Pack a prepped corpus (output of `prep_corpus`, carrying `split`)
+    into fixed-token-budget training sequences — sharded WITHIN each
+    split, so no sequence ever mixes train/val/test rows and parallelism
+    is split × shard. Token counts are whitespace words (swap in
+    `ml.text.bpe_encode`'s n_bpe_tokens upstream for tokenizer-exact
+    budgets); sequence identity is (split, shard, seq_id)."""
+    from mempool_dumpster_spark.ml.packing import pack_sequences
+    from mempool_dumpster_spark.ml.splits import split_bucket
+    from mempool_dumpster_spark.ml.text import token_count
+
+    df = prepped.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "shard", split_bucket(id_col, n_buckets=n_shards).cast("long")
+    )
+    return pack_sequences(
+        df,
+        max_tokens=max_tokens,
+        token_col="n_tokens",
+        id_col=id_col,
+        partition_cols=["split", "shard"],
+    )

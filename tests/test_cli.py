@@ -258,3 +258,24 @@ def test_cli_query(spark, capsys):
     assert "AdaptiveSparkPlan" in capsys.readouterr().out
 
     assert main(["query", "nope_not_real"], spark=spark) == 2
+
+
+def test_cli_prep_pack(spark, tmp_path):
+    """prep --pack-tokens: the packed companion dataset lands beside the
+    corpus with (split, shard, seq_id) sequence keys within budget."""
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(i, f"doc{i} " + "tok " * (4 + i % 5), "en", "web", 20)
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(docs))
+    out = tmp_path / "prep_pack"
+    rc = main(
+        ["prep", str(docs), "--out", str(out), "--no-gopher",
+         "--no-near-dedup", "--pack-tokens", "16"],
+        spark=spark,
+    )
+    assert rc == 0
+    packed = spark.read.parquet(str(out) + "_packed")
+    assert packed.count() == 30
+    assert {"split", "shard", "seq_id", "n_tokens"} <= set(packed.columns)

@@ -1286,3 +1286,31 @@ def test_resize_images_plumbing(spark):
             resize_images(df, 32, 32, strict=True).collect()
     with _pytest.raises(ValueError):
         resize_images(df, 0, 32)
+
+
+def test_pack_prepped_never_mixes_splits(spark):
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.ml.prep import pack_prepped
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (5 + i % 7), ["train", "val", "test"][i % 3])
+         for i in range(60)],
+        "doc_id long, text string, split string",
+    )
+    packed = pack_prepped(docs, max_tokens=16, n_shards=4)
+    # every (split, shard, seq_id) group holds rows of exactly one split,
+    # and no sequence exceeds the budget (oversize rows sit alone)
+    seqs = (
+        packed.groupBy("split", "shard", "seq_id")
+        .agg(
+            F.countDistinct("split").alias("nsplits"),
+            F.sum("n_tokens").alias("tot"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert seqs and all(r["nsplits"] == 1 for r in seqs)
+    for r in seqs:
+        assert r["tot"] <= 16 or r["n"] == 1
+    assert packed.count() == 60
