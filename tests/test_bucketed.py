@@ -422,3 +422,24 @@ def test_manifest_upsert_and_diff(spark, tmp_path):
     _os.makedirs(f"{path}/_versions/v000055")
     with _pytest.raises(ValueError):
         diff_versions(spark, path, 55, 2).collect()
+
+
+def test_manifest_upsert_idempotent(spark, tmp_path):
+    """Re-applying the same updates produces an identical table (new
+    version number, same contents) — the retry story for a failed
+    downstream consumer that re-runs its upsert."""
+    from mempool_dumpster_spark.sources.manifest import (
+        current_version,
+        read_committed,
+        upsert,
+    )
+
+    path = str(tmp_path / "idem_ds")
+    upsert(spark, path, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), ["k"])
+    ups = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    upsert(spark, path, ups, ["k"])
+    first = sorted(map(tuple, read_committed(spark, path).collect()))
+    upsert(spark, path, ups, ["k"])
+    second = sorted(map(tuple, read_committed(spark, path).collect()))
+    assert first == second == [(1, "a"), (2, "B"), (3, "c")]
+    assert current_version(path)["version"] == 3
