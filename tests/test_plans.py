@@ -217,3 +217,24 @@ def test_partitioned_archive_prunes(spark, tmp_path):
     pf = plan[plan.index("PartitionFilters") :].split("\n", 1)[0]
     assert "date" in pf and "hour" in pf, pf
     assert [r["hash"] for r in q.collect()] == ["h2"]
+
+
+def test_registry_driver_contract_invariants():
+    """The driver records only the FIRST 50 registry entries: every one of
+    those slots must carry an exact oracle (a rows-only entry there would
+    burn a hash-checked slot), queries() and oracle_sql() keys must align,
+    and the column-alias discipline holds — each oracle's SELECT output is
+    compared by sorted column NAME, so a Spark/oracle alias mismatch fails
+    at selfcheck; here we pin the cheap structural half."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = list(qs)
+    assert len(names) == len(set(names))
+    first50 = names[:50]
+    missing = [n for n in first50 if n not in oracles]
+    assert not missing, f"rows-only entries occupy driver slots: {missing}"
+    assert set(oracles) <= set(qs)
+    # the designated least-marginal entry stays dead last
+    assert names[-1] == "emb_knn_ivf_pretrained"
