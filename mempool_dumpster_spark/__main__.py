@@ -207,25 +207,14 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         redact=args.redact_pii,
         boundaries=bounds,
     )
+    if args.pack_tokens is not None and args.pack_tokens < 1:
+        print(f"--pack-tokens must be positive, got {args.pack_tokens}")
+        return 2
     prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)
     counts = write_prep_outputs(prepped, args.out, atomic=args.atomic)
-    if args.pack_tokens:
-        from mempool_dumpster_spark.ml.prep import pack_prepped
-
-        # pack from the WRITTEN corpus, not the lazy gate plan — packing
-        # re-reads cheap parquet instead of recomputing every dedup gate
-        if args.atomic:
-            from mempool_dumpster_spark.sources.manifest import read_committed
-
-            corpus = read_committed(spark, args.out)
-        else:
-            corpus = spark.read.parquet(args.out)
-        (
-            pack_prepped(corpus, max_tokens=args.pack_tokens)
-            .write.mode("overwrite")
-            .partitionBy("split")
-            .parquet(f"{args.out}_packed")
-        )
+    # the prep manifest records the corpus write; it lands BEFORE the
+    # optional packing step so a pack failure can't orphan a fully-valid
+    # written corpus from downstream tooling that keys off the manifest
     manifest = {"out": args.out, "splits": counts, "config": vars(args)}
     # underscore prefix: Spark/Hadoop readers ignore _-files during
     # partition discovery, so the manifest can live beside the split= dirs
@@ -233,6 +222,33 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
     # pointer, which --atomic writes in the same directory)
     with open(f"{args.out}/_prep_manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, default=str)
+    if args.pack_tokens:
+        from mempool_dumpster_spark.ml.prep import pack_prepped
+
+        # pack from the WRITTEN corpus, not the lazy gate plan — packing
+        # re-reads cheap parquet instead of recomputing every dedup gate
+        if args.atomic:
+            from mempool_dumpster_spark.sources.manifest import (
+                commit_write,
+                read_committed,
+            )
+
+            corpus = read_committed(spark, args.out)
+            # the packed companion gets the SAME atomicity as the corpus:
+            # a re-prep never clobbers sequences a training job is reading
+            commit_write(
+                pack_prepped(corpus, max_tokens=args.pack_tokens),
+                f"{args.out}_packed",
+                partition_by=["split"],
+            )
+        else:
+            corpus = spark.read.parquet(args.out)
+            (
+                pack_prepped(corpus, max_tokens=args.pack_tokens)
+                .write.mode("overwrite")
+                .partitionBy("split")
+                .parquet(f"{args.out}_packed")
+            )
     print(json.dumps(counts))
     return 0
 

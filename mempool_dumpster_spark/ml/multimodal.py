@@ -559,6 +559,8 @@ def resize_images(
         raise ValueError(f"target size must be positive, got {width}x{height}")
 
     def run(batches: Iterator) -> Iterator:
+        import io as _io
+
         import pandas as pd
 
         try:
@@ -587,8 +589,6 @@ def resize_images(
                     "resize_ok": False,
                 }
                 if have_pil:
-                    import io as _io
-
                     try:
                         img = Image.open(_io.BytesIO(raw))
                         buf = _io.BytesIO()
@@ -597,7 +597,13 @@ def resize_images(
                         )
                         row.update(payload=buf.getvalue(), resize_ok=True)
                     except Exception:
-                        pass  # undecodable payload: pass through, ok=False
+                        # undecodable payload: pass through with ok=False —
+                        # unless strict, which must fail fast REGARDLESS of
+                        # whether PIL is installed (same contract as
+                        # decode_images; otherwise installing a codec would
+                        # silently flip strict pipelines to pass-through)
+                        if strict:
+                            raise
                 out.append(row)
             yield pd.DataFrame(
                 out,

@@ -157,19 +157,33 @@ def pack_prepped(
     prepped: DataFrame,
     max_tokens: int,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: str | None = None,
     n_shards: int = 64,
 ) -> DataFrame:
     """Pack a prepped corpus (output of `prep_corpus`, carrying `split`)
     into fixed-token-budget training sequences — sharded WITHIN each
     split, so no sequence ever mixes train/val/test rows and parallelism
-    is split × shard. Token counts are whitespace words (swap in
+    is split × shard. Token counts are whitespace words over the text a
+    training run actually consumes: `text_redacted` when the redaction
+    pass produced it, else `text` (override with text_col=; swap in
     `ml.text.bpe_encode`'s n_bpe_tokens upstream for tokenizer-exact
-    budgets); sequence identity is (split, shard, seq_id)."""
+    budgets). Sequence identity is (split, shard, seq_id)."""
     from mempool_dumpster_spark.ml.packing import pack_sequences
     from mempool_dumpster_spark.ml.splits import split_bucket
     from mempool_dumpster_spark.ml.text import token_count
 
+    if text_col is None:
+        text_col = (
+            "text_redacted" if "text_redacted" in prepped.columns else "text"
+        )
+    if "shard" in prepped.columns:
+        # same contract as pack_sequences' auto-shard: never silently
+        # clobber a caller's shard column
+        raise ValueError(
+            "input already has a 'shard' column; pack with "
+            "ml.packing.pack_sequences(partition_cols=['split', 'shard']) "
+            "directly to use it"
+        )
     df = prepped.withColumn("n_tokens", token_count(text_col)).withColumn(
         "shard", split_bucket(id_col, n_buckets=n_shards).cast("long")
     )

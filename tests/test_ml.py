@@ -1284,6 +1284,27 @@ def test_resize_images_plumbing(spark):
         assert bytes(r["payload"]) == payload and not r["resize_ok"]
         with _pytest.raises(Exception):
             resize_images(df, 32, 32, strict=True).collect()
+    else:
+        # real codec present: a genuine image resizes for real (header of
+        # the output carries the target dims), and an undecodable payload
+        # still fails fast under strict
+        import io as _io
+
+        from PIL import Image
+
+        from mempool_dumpster_spark.ml.multimodal import image_header
+
+        buf = _io.BytesIO()
+        Image.new("RGB", (64, 48)).save(buf, format="PNG")
+        real = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()), "image/png", {})],
+            "media_id long, payload binary, mime string, meta map<string,string>",
+        )
+        rr = resize_images(real, 16, 12).collect()[0]
+        assert rr["resize_ok"]
+        assert image_header(bytes(rr["payload"])) == ("png", 16, 12)
+        with _pytest.raises(Exception):
+            resize_images(df, 32, 32, strict=True).collect()  # fake payload
     with _pytest.raises(ValueError):
         resize_images(df, 0, 32)
 
