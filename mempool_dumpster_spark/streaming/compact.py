@@ -73,44 +73,78 @@ def _recover(root: str) -> int:
     """Restore partitions stranded by a crash mid-swap: anything under
     `retired/` whose live partition dir vanished is renamed back; files the
     live dir does have already are merged in (never overwritten). Staging
-    leftovers are always discarded — staging holds a re-derivable copy."""
+    leftovers for a partition mean the fallback merge never finished, so
+    the partition is rolled BACK to the retired originals (the live dir's
+    partially-moved compacted files are dropped) — only then is staging
+    discarded as the re-derivable copy it is."""
     restored = 0
     staging_root = os.path.join(root, WORK_DIR, "staging")
     retired_root = os.path.join(root, WORK_DIR, "retired")
+    if os.path.isdir(retired_root):
+        for dirpath, _dirnames, filenames in os.walk(retired_root):
+            if not any(f.endswith(".parquet") for f in filenames):
+                continue
+            rel = os.path.relpath(dirpath, retired_root)
+            live = os.path.join(root, rel)
+            staging = os.path.join(staging_root, rel)
+            staging_leftovers = os.path.isdir(staging) and any(
+                f.endswith(".parquet") for f in os.listdir(staging)
+            )
+            if not os.path.exists(live):
+                # crash BETWEEN the two swap renames: the retired dir IS the
+                # partition — restore it wholesale
+                os.makedirs(os.path.dirname(live), exist_ok=True)
+                os.rename(dirpath, live)
+            elif staging_leftovers:
+                # crash MID-MERGE in the fallback branch: the live dir holds
+                # only SOME of the compacted files — treating the swap as
+                # complete would lose the rows in the files still sitting in
+                # staging. Roll back: drop the partially-moved compacted
+                # files (named in the staging manifest) and merge every
+                # retired original back in; staging is a re-derivable copy,
+                # the next compaction pass simply redoes this partition.
+                # A missing manifest (pre-manifest leftovers) drops nothing
+                # and merges everything back — lossless, possibly
+                # duplicating already-moved compacted rows, the safe side.
+                compacted: set[str] = set()
+                try:
+                    with open(staging + ".files.json") as mf:
+                        compacted = set(json.load(mf))
+                except FileNotFoundError:
+                    pass
+                for f in _partition_files(live):
+                    if os.path.basename(f) in compacted:
+                        os.remove(f)
+                for f in filenames:
+                    if f.endswith(".parquet"):
+                        dst = os.path.join(live, f)
+                        if not os.path.exists(dst):
+                            os.rename(os.path.join(dirpath, f), dst)
+            else:
+                # live dir exists and staging is drained → the swap (or its
+                # fallback merge) COMPLETED and the crash hit after it. The
+                # snapshot marker lists the basenames the compacted output
+                # already represents: restoring those would DUPLICATE every
+                # row, so only non-snapshot files (appends that raced in
+                # after the snapshot) are rescued. A marker is always
+                # written before the swap; a missing marker (pre-marker
+                # leftovers only) falls back to merging everything — the
+                # lossless side, since the recovery sweep deletes whatever
+                # stays behind.
+                snapshot: set[str] = set()
+                try:
+                    with open(dirpath + ".snapshot.json") as mf:
+                        snapshot = set(json.load(mf))
+                except FileNotFoundError:
+                    pass
+                for f in filenames:
+                    if f.endswith(".parquet") and f not in snapshot:
+                        dst = os.path.join(live, f)
+                        if not os.path.exists(dst):
+                            os.rename(os.path.join(dirpath, f), dst)
+            restored += 1
+        shutil.rmtree(retired_root, ignore_errors=True)
     shutil.rmtree(staging_root, ignore_errors=True)
-    if not os.path.isdir(retired_root):
-        return 0
-    for dirpath, _dirnames, filenames in os.walk(retired_root):
-        if not any(f.endswith(".parquet") for f in filenames):
-            continue
-        live = os.path.join(root, os.path.relpath(dirpath, retired_root))
-        if not os.path.exists(live):
-            # crash BETWEEN the two swap renames: the retired dir IS the
-            # partition — restore it wholesale
-            os.makedirs(os.path.dirname(live), exist_ok=True)
-            os.rename(dirpath, live)
-        else:
-            # live dir exists → the swap COMPLETED and the crash hit after
-            # it. The snapshot marker lists the basenames the compacted
-            # output already represents: restoring those would DUPLICATE
-            # every row, so only non-snapshot files (appends that raced in
-            # after the snapshot) are rescued. A marker is always written
-            # before the swap; a missing marker (pre-marker leftovers only)
-            # falls back to merging everything — the lossless side, since
-            # the recovery sweep deletes whatever stays behind.
-            snapshot: set[str] = set()
-            try:
-                with open(dirpath + ".snapshot.json") as mf:
-                    snapshot = set(json.load(mf))
-            except FileNotFoundError:
-                pass
-            for f in filenames:
-                if f.endswith(".parquet") and f not in snapshot:
-                    dst = os.path.join(live, f)
-                    if not os.path.exists(dst):
-                        os.rename(os.path.join(dirpath, f), dst)
-        restored += 1
-    shutil.rmtree(retired_root, ignore_errors=True)
     return restored
 
 
@@ -167,6 +201,17 @@ def compact_partitions(
             shutil.rmtree(staging)
             aborted += 1
             continue
+        # Staging manifest BEFORE the swap: the compacted output basenames.
+        # If the fallback merge below crashes half-done, recovery uses this
+        # to drop exactly the partially-moved compacted files from the live
+        # dir and roll the partition back to the retired originals.
+        files_tmp = staging + ".files.json.tmp"
+        with open(files_tmp, "w") as mf:
+            json.dump(
+                sorted(os.path.basename(f) for f in _partition_files(staging)),
+                mf,
+            )
+        os.replace(files_tmp, staging + ".files.json")
         os.makedirs(os.path.dirname(retired), exist_ok=True)
         shutil.rmtree(retired, ignore_errors=True)
         # Snapshot marker BEFORE the swap (atomic sibling file): it records

@@ -968,3 +968,75 @@ def test_compact_post_swap_crash_does_not_duplicate_rows(spark, tmp_path):
     got = sorted(r["id"] for r in spark.read.parquet(root).collect())
     # 300 snapshot rows exactly once + the 10 raced rows — no duplication
     assert got == sorted(list(range(0, 100)) * 3 + list(range(1000, 1010)))
+
+
+def test_compact_mid_merge_crash_loses_nothing(spark, tmp_path):
+    """Regression: a crash HALF-WAY through the fallback merge (concurrent
+    writer re-created the live dir, so compacted files are moved in one by
+    one) leaves some compacted files in staging. Recovery must NOT treat
+    'live dir exists' as 'swap completed' — that discards the snapshot
+    originals while the compacted copy is incomplete, silently losing the
+    rows in the unmoved files. The staging manifest lets recovery drop the
+    partially-moved compacted files and roll back to the originals."""
+    import json as _json
+    import os
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.streaming.compact import compact_partitions
+
+    root = str(tmp_path / "crash3")
+    df = spark.range(0, 100).select(F.col("id"), F.lit("00").alias("hour"))
+    for _ in range(3):
+        df.repartition(2).write.mode("append").partitionBy("hour").parquet(root)
+    part = f"{root}/hour=00"
+    old_parquet = sorted(
+        f for f in os.listdir(part) if f.endswith(".parquet")
+    )
+
+    # compacted output in staging: TWO files, so the merge can crash between
+    # moving the first and the second
+    staging = f"{root}/_compaction/staging/hour=00"
+    retired = f"{root}/_compaction/retired/hour=00"
+    spark.read.parquet(part).repartition(2).write.parquet(staging)
+    for m in ("_SUCCESS",):
+        p = os.path.join(staging, m)
+        if os.path.exists(p):
+            os.remove(p)
+    staged = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    assert len(staged) == 2
+    with open(staging + ".files.json", "w") as f:
+        _json.dump(staged, f)
+
+    # swap started: originals retired (marker written), then the concurrent
+    # writer re-created the live dir with a fresh append...
+    os.makedirs(os.path.dirname(retired), exist_ok=True)
+    os.rename(part, retired)
+    with open(retired + ".snapshot.json", "w") as f:
+        _json.dump(old_parquet, f)
+    concurrent_dir = f"{root}/_concurrent"
+    spark.range(1000, 1010).select(
+        F.col("id"), F.lit("00").alias("hour")
+    ).coalesce(1).select("id").write.parquet(concurrent_dir)
+    os.makedirs(part, exist_ok=True)
+    cfile = [f for f in os.listdir(concurrent_dir) if f.endswith(".parquet")][0]
+    os.rename(
+        os.path.join(concurrent_dir, cfile),
+        os.path.join(part, "concurrent-append.parquet"),
+    )
+    _sh.rmtree(concurrent_dir)
+    # ...and the fallback merge crashed after moving only the FIRST
+    # compacted file
+    os.rename(
+        os.path.join(staging, staged[0]), os.path.join(part, staged[0])
+    )
+
+    stats = compact_partitions(spark, root, quiesce_seconds=0)
+    assert stats["partitions_recovered"] == 1
+    got = sorted(r["id"] for r in spark.read.parquet(root).collect())
+    # every original row exactly once + the concurrent append — nothing
+    # lost from the unmoved compacted file, nothing duplicated from the
+    # moved one
+    assert got == sorted(list(range(0, 100)) * 3 + list(range(1000, 1010)))
+    assert not os.path.exists(f"{root}/_compaction")
