@@ -444,28 +444,51 @@ def bpe_learn(
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    merges_per_scan: int = 8,
 ) -> list[tuple[str, str, int]]:
     """Learn `n_merges` BPE merges from the corpus — the full iterative
     tokenizer-induction loop on top of `bpe_pair_counts`' single-round
     statistic. Returns [(left, right, pair_count), ...] in merge order.
 
-    Round structure (the standard BPE trainer, distributed):
+    Scan structure (the standard BATCHED BPE trainer, distributed):
       1. pair counts over the CURRENT symbol arrays — pure column algebra
          (transform over index sequence + explode + count), shuffle bounded
          by the live pair vocabulary;
-      2. argmax pair to the driver (one tiny row; ties broken
-         lexicographically so training is deterministic);
-      3. apply the merge to every document's symbol array — a greedy
-         leftmost fold, genuinely stateful per array, so it runs as ONE
-         Arrow-batched mapInPandas pass (same doctrine as packing: state
-         that column algebra can't express goes to a vectorized linear
-         pass, never a row-at-a-time UDF in a join/agg path).
+      2. the top candidate pairs come to the driver (a few dozen tiny
+         rows; total order `count desc, left, right` so training is
+         deterministic), and up to `merges_per_scan` NON-INTERACTING pairs
+         are selected greedily in rank order. Non-interacting means: no
+         shared symbol with a selected pair, no symbol equal to a selected
+         pair's concatenation, and no concatenation equal to a selected
+         pair's symbol (the `(a,b)` + `(ab,c)` cascade in either
+         direction). That is what keeps the batch exact: applying a merge
+         only creates/destroys pairs that touch its own two symbols or its
+         produced symbol, so a non-interacting pair's count — the one
+         recorded in the merge list — is provably identical to what a
+         one-merge-at-a-time trainer would have counted. Interacting
+         candidates defer to the next scan.
+      3. apply ALL selected merges to every document's symbol array in ONE
+         Arrow-batched mapInPandas pass — a greedy leftmost fold over a
+         pair→merged map, equivalent to applying each merge's own fold
+         sequentially BECAUSE the batch is symbol-disjoint (a position
+         matches at most one batch pair, and merging two symbols into one
+         never makes two previously-separated symbols adjacent).
 
-    Each round's symbol frame is cached and the previous round evicted;
-    every `checkpoint_every` rounds the lineage is truncated
-    (localCheckpoint) — without this the plan doubles per round and the
-    driver dies at ~30 rounds (the duplicate_components lesson). Cost per
-    round is one corpus scan; vocab-sized state never leaves the driver.
+    `merges_per_scan=1` reproduces the classic sequential trainer exactly
+    (and is pinned merge-for-merge against a pure-Python reference in
+    tests). Larger values can reorder merges relative to sequential when a
+    freshly-created symbol would have out-ranked a deferred pair — the
+    standard fast-trainer approximation; vocab quality is unaffected and
+    each recorded count is still the true corpus count at apply time.
+
+    Cost: O(n_merges / merges_per_scan) corpus scans instead of
+    O(n_merges) — at the default 8 a 32k-merge production vocabulary is
+    ~4k scans, and the knob scales further (64 → ~500). Each scan's symbol
+    frame is cached and the previous evicted; every `checkpoint_every`
+    scans the lineage is truncated (localCheckpoint) — without this the
+    plan doubles per scan and the driver dies at ~30 scans (the
+    duplicate_components lesson). Vocab-sized state never leaves the
+    driver.
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
@@ -474,6 +497,10 @@ def bpe_learn(
             f"checkpoint_every must be >= 1, got {checkpoint_every} "
             "(skipping checkpoints reintroduces per-round plan doubling)"
         )
+    if merges_per_scan < 1:
+        raise ValueError(
+            f"merges_per_scan must be >= 1, got {merges_per_scan}"
+        )
     from pyspark.sql import functions as F
 
     toks = df.select(
@@ -481,10 +508,21 @@ def bpe_learn(
             F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0)
         ).alias("tok")
     )
-    symbols = toks.select(F.split("tok", "(?!^)").alias("syms"))
+    # split with a non-start lookahead keeps a TRAILING empty string
+    # (Spark's split is Java split(limit=-1)); drop it or the trainer
+    # learns bogus ('x','') merges once real pairs thin out.
+    symbols = toks.select(
+        F.array_remove(F.split("tok", "(?!^)"), "").alias("syms")
+    )
     symbols = symbols.cache()
     merges: list[tuple[str, str, int]] = []
-    for round_no in range(n_merges):
+    scan_no = 0
+    while len(merges) < n_merges:
+        want = min(merges_per_scan, n_merges - len(merges))
+        # Fetch enough ranked candidates that `want` disjoint ones are
+        # usually available even when the top of the distribution shares
+        # symbols (e.g. many ' e'/'e…' pairs early in training).
+        fetch = max(want * 8, 32)
         pairs = (
             symbols.filter(F.size("syms") >= 2)
             .select(
@@ -501,22 +539,42 @@ def bpe_learn(
             .groupBy("p.a", "p.b")
             .agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
+            .limit(fetch)
             .collect()
         )
         if not pairs:
             break
-        a, b, n = pairs[0]["a"], pairs[0]["b"], pairs[0]["n"]
-        merges.append((a, b, n))
+        # Greedy rank-order selection of non-interacting pairs.
+        selected: list[tuple[str, str, int]] = []
+        used: set[str] = set()  # symbols consumed by selected pairs
+        produced: set[str] = set()  # symbols created by selected pairs
+        for row in pairs:
+            a, b = row["a"], row["b"]
+            if (
+                a in used
+                or b in used
+                or a in produced
+                or b in produced
+                or (a + b) in used
+            ):
+                continue
+            selected.append((a, b, row["n"]))
+            used.add(a)
+            used.add(b)
+            produced.add(a + b)
+            if len(selected) >= want:
+                break
+        merges.extend(selected)
+        pair_map = {(a, b): a + b for a, b, _n in selected}
 
-        def apply_merge(batches, _a=a, _b=b):
+        def apply_merges(batches, _pm=pair_map):
             for pdf in batches:
                 out = []
                 for syms in pdf["syms"]:
                     res: list[str] = []
                     for s in syms:
-                        if res and res[-1] == _a and s == _b:
-                            res[-1] = _a + _b
+                        if res and (res[-1], s) in _pm:
+                            res[-1] = res[-1] + s
                         else:
                             res.append(s)
                     out.append(res)
@@ -524,8 +582,9 @@ def bpe_learn(
                 pdf["syms"] = out
                 yield pdf
 
-        nxt = symbols.mapInPandas(apply_merge, schema="syms array<string>")
-        if (round_no + 1) % checkpoint_every == 0:
+        nxt = symbols.mapInPandas(apply_merges, schema="syms array<string>")
+        scan_no += 1
+        if scan_no % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.cache()

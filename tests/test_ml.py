@@ -1215,7 +1215,7 @@ def test_bpe_learn_matches_pure_python_reference(spark):
         m, corp = ref_round(corp)
         expected.append(m)
 
-    got = bpe_learn(df, n_merges=6, checkpoint_every=3)
+    got = bpe_learn(df, n_merges=6, checkpoint_every=3, merges_per_scan=1)
     assert got == expected
 
     import pytest as _pytest
@@ -1224,6 +1224,49 @@ def test_bpe_learn_matches_pure_python_reference(spark):
         bpe_learn(df, n_merges=-1)
     with _pytest.raises(ValueError):
         bpe_learn(df, n_merges=2, checkpoint_every=0)
+    with _pytest.raises(ValueError):
+        bpe_learn(df, n_merges=2, merges_per_scan=0)
+
+
+def test_bpe_learn_batched_matches_sequential_set(spark):
+    """The batched trainer (merges_per_scan=8) learns the SAME merge set —
+    with the same per-pair counts — as the sequential m=1 trainer, in 2
+    corpus scans instead of 10. The fixture has eight independent
+    two-char words (count-ranked 9..2) plus a three-char word whose
+    second merge CHAINS on the first: the batch must select the 8
+    non-interacting pairs, defer ('y','z') (shares a symbol with the
+    top-ranked ('x','y')), and pick up the chained ('xy','z') next scan.
+    Order legally differs — sequential interleaves the chained merge at
+    rank 2 — so the pin is set equality plus exact counts."""
+    from mempool_dumpster_spark.ml.text import bpe_learn
+
+    words = ["ab"] * 9 + ["cd"] * 8 + ["ef"] * 7 + ["gh"] * 6 + \
+        ["ij"] * 5 + ["kl"] * 4 + ["mn"] * 3 + ["op"] * 2 + ["xyz"] * 10
+    df = spark.createDataFrame([(w,) for w in words], ["text"])
+    sequential = bpe_learn(
+        df, n_merges=10, checkpoint_every=4, merges_per_scan=1
+    )
+    batched = bpe_learn(df, n_merges=10, checkpoint_every=4, merges_per_scan=8)
+    assert len(batched) == 10
+    assert set(batched) == set(sequential)
+    # the chained merge arrived with its true post-(x,y) count
+    assert ("xy", "z", 10) in batched
+    # scan 1 deferred (y,z): it never appears (superseded by the chain)
+    assert not any(m[:2] == ("y", "z") for m in batched)
+
+
+def test_bpe_learn_batch_defers_interacting_pairs(spark):
+    """A batch never selects two pairs that interact: 'aaaa...' makes
+    ('a','a') the top pair and ('aa','a*')-style cascades the trap — one
+    scan must take ('a','a') alone (every other candidate shares the
+    symbol), and the recorded counts must match the sequential trainer's
+    exactly, merge for merge."""
+    from mempool_dumpster_spark.ml.text import bpe_learn
+
+    df = spark.createDataFrame([("aaaaaaaa aaaa aa",)], ["text"])
+    sequential = bpe_learn(df, n_merges=3, merges_per_scan=1)
+    batched = bpe_learn(df, n_merges=3, merges_per_scan=8)
+    assert batched == sequential
 
 
 def test_bpe_encode_roundtrips_training_corpus(spark):
