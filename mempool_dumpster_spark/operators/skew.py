@@ -70,6 +70,7 @@ def two_pass_topk(
     k: int,
     capacity: int = 4096,
     count_col: str = "n",
+    broadcast_limit: int = 5_000_000,
 ) -> DataFrame:
     """Top-k most frequent values of `key_col` WITHOUT shuffling the full
     key cardinality — the heavy-hitters pattern for 10^9+-cardinality keys
@@ -93,6 +94,18 @@ def two_pass_topk(
     partition's top-4096 is not a heavy hitter); adversarially flat
     distributions can demote a borderline k-th item. Use
     `salted_topk`/groupBy when cardinality is small enough to shuffle.
+
+    NULL keys count as a group, matching the plain groupBy top-k this
+    approximates: pass 1 counts them (value_counts keeps NaN) and pass 2
+    recounts via a null-safe semi-join.
+
+    The candidate union is ≤ partitions × capacity rows — broadcastable
+    at thousands of partitions, but at 10k+ partitions with the default
+    capacity it can reach tens of millions. It is materialized
+    (localCheckpoint, bounded by the same formula) and counted first;
+    above `broadcast_limit` rows the semi-join runs as a plain shuffled
+    join instead of a broadcast, so the driver/executor broadcast memory
+    is never the scaling ceiling.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -108,17 +121,32 @@ def two_pass_topk(
 
         counts: dict = {}
         for pdf in iterator:
-            for v, c in pdf[key_col].value_counts(dropna=True).items():
+            for v, c in pdf[key_col].value_counts(dropna=False).items():
+                v = None if pd.isna(v) else v
                 counts[v] = counts.get(v, 0) + int(c)
             if len(counts) > 2 * capacity:
-                top = sorted(counts.items(), key=lambda kv: -kv[1])[:capacity]
+                top = sorted(
+                    counts.items(), key=lambda kv: -kv[1]
+                )[:capacity]
                 counts = dict(top)
         top = sorted(counts.items(), key=lambda kv: -kv[1])[:capacity]
-        yield pd.DataFrame({key_col: [t[0] for t in top]})
+        yield pd.DataFrame({key_col: pd.array([t[0] for t in top])})
 
-    candidates = df.select(key_col).mapInPandas(local_heavy, schema=out_schema)
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(local_heavy, schema=out_schema)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if candidates.count() <= broadcast_limit:
+        cand = F.broadcast(candidates)
+    else:
+        cand = candidates
+    cand = cand.withColumnRenamed(key_col, "__cand_key")
     return (
-        df.join(F.broadcast(candidates.distinct()), key_col, "left_semi")
+        df.join(
+            cand, F.col(key_col).eqNullSafe(F.col("__cand_key")), "left_semi"
+        )
         .groupBy(key_col)
         .agg(F.count("*").alias(count_col))
         .orderBy(F.col(count_col).desc(), F.col(key_col).asc())

@@ -895,3 +895,38 @@ def test_two_pass_topk_matches_exact_groupby(spark):
         two_pass_topk(df, "key", k=0)
     with _pytest.raises(ValueError):
         two_pass_topk(df, "key", k=10, capacity=5)
+
+
+def test_two_pass_topk_guarded_no_broadcast_path(spark):
+    """When the candidate union exceeds broadcast_limit the semi-join runs
+    WITHOUT the broadcast hint (shuffled join) and the result is still the
+    exact groupBy top-k — the guard trades plan shape, never answers.
+    Driven the way the advisory described: more distinct keys per
+    partition than capacity, many partitions, and a limit of 1 row."""
+    from mempool_dumpster_spark.operators.skew import two_pass_topk
+
+    rows = [(f"k{i % 500}",) for i in range(5000)] + [("hot",)] * 2000
+    df = spark.createDataFrame(rows, ["key"]).repartition(16)
+    exact = (
+        df.groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(3)
+        .collect()
+    )
+    guarded = two_pass_topk(df, "key", k=3, capacity=600, broadcast_limit=1)
+    # the explicit broadcast hint must be absent from the guarded plan
+    # (AQE may still broadcast-convert on real size stats — that's fine)
+    assert "UnresolvedHint broadcast" not in guarded._jdf.queryExecution().logical().toString()
+    assert [tuple(r) for r in guarded.collect()] == [tuple(r) for r in exact]
+
+
+def test_two_pass_topk_counts_null_keys(spark):
+    """NULL keys form a group exactly like the plain groupBy top-k this
+    operator approximates (the advisory flagged silent NULL exclusion)."""
+    from mempool_dumpster_spark.operators.skew import two_pass_topk
+
+    rows = [("a",)] * 10 + [(None,)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    got = [tuple(r) for r in two_pass_topk(df, "key", k=3, capacity=8).collect()]
+    assert got == [("a", 10), (None, 7), ("b", 3)]
