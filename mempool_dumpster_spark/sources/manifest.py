@@ -113,23 +113,46 @@ def read_committed(spark: SparkSession, path: str) -> DataFrame:
 
 
 def vacuum(path: str, keep: int = 2) -> list[str]:
-    """Delete version directories older than the newest `keep` (the live
-    version is always retained). Returns the removed dir names. Run this
-    with a `keep` horizon longer than your longest reader — a reader that
-    resolved the manifest before a commit keeps reading its (immutable)
-    version until vacuum passes it."""
+    """Delete version directories older than the newest `keep` PUBLISHED
+    versions (the live version is always retained). Orphan dirs from
+    crashed commits are swept separately: below the live version they can
+    never become committed (version numbers only move forward) so they go
+    unconditionally; above it they may be an in-flight commit and are left
+    alone. Counting orphans toward the keep window would let a crashed
+    commit silently shorten the documented reader-retention horizon.
+    Returns the removed dir names. Run this with a `keep` horizon longer
+    than your longest reader — a reader that resolved the manifest before
+    a commit keeps reading its (immutable) version until vacuum passes
+    it."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
     vroot = os.path.join(path, VERSIONS_DIR)
     if not os.path.isdir(vroot):
         return []
     live = current_version(path)
-    live_name = os.path.basename(live["data_dir"]) if live else None
-    versions = sorted(d for d in os.listdir(vroot) if d.startswith("v"))
-    doomed = [d for d in versions[:-keep] if d != live_name]
+    if live is None:
+        # no manifest => nothing is published; every dir might be the
+        # first in-flight commit — delete nothing
+        return []
+    live_name = os.path.basename(live["data_dir"])
+    published = {
+        f"v{v:06d}" for v in live.get("published", [live["version"]])
+    }
+    on_disk = sorted(
+        d
+        for d in os.listdir(vroot)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    pub_dirs = [d for d in on_disk if d in published]
+    doomed = [d for d in pub_dirs[:-keep] if d != live_name]
+    doomed += [
+        d
+        for d in on_disk
+        if d not in published and int(d[1:]) < live["version"]
+    ]
     for d in doomed:
         shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
-    return doomed
+    return sorted(doomed)
 
 
 def upsert(

@@ -94,13 +94,33 @@ def incremental_rollup(
     for rel in removed:
         shutil.rmtree(os.path.join(rollup_root, rel), ignore_errors=True)
         committed.pop(rel, None)
+    # Refresh via hidden work dirs + rename swap, never mode('overwrite')
+    # on the live partition: Spark's overwrite truncates then rewrites
+    # over seconds, during which a concurrent rollup reader sees an
+    # empty/partial partition. The swap window here is two renames
+    # (microseconds), and a crash inside it self-heals: the state file is
+    # only advanced after the swap, so the next run recomputes this
+    # partition from the archive.
+    work_root = os.path.join(rollup_root, "_rollup_work")
+    shutil.rmtree(work_root, ignore_errors=True)
     for rel in changed:
         out = agg(spark.read.parquet(os.path.join(root, rel)))
+        work = os.path.join(work_root, "staging", rel)
+        retired = os.path.join(work_root, "retired", rel)
         (
             out.coalesce(files_per_partition)
             .write.mode("overwrite")
-            .parquet(os.path.join(rollup_root, rel))
+            .parquet(work)
         )
+        live = os.path.join(rollup_root, rel)
+        os.makedirs(os.path.dirname(retired), exist_ok=True)
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(live):
+            os.rename(live, retired)
+        else:
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+        os.rename(work, live)
+        shutil.rmtree(retired, ignore_errors=True)
         committed[rel] = current[rel]
         # persist state after EVERY commit: a crash re-does only the
         # partitions after this one (tiny file, one json dump per changed
@@ -114,6 +134,7 @@ def incremental_rollup(
         with open(tmp, "w") as f:
             json.dump(committed, f)
         os.replace(tmp, state_path)
+    shutil.rmtree(work_root, ignore_errors=True)
     return {
         "changed": len(changed),
         "removed": len(removed),

@@ -373,6 +373,38 @@ def test_manifest_commit_atomic_versions(spark, tmp_path):
         spark.read.parquet(path).count()
 
 
+def test_manifest_vacuum_orphans_dont_shorten_retention(spark, tmp_path):
+    """Advisory regression: the keep window counts PUBLISHED versions only.
+    An orphan dir ABOVE the live version (an in-flight or crashed commit)
+    must neither consume a keep slot — which would delete a published
+    version a reader may still hold — nor be deleted itself (it may be a
+    commit in progress). With no manifest at all, vacuum deletes nothing."""
+    import os
+
+    from mempool_dumpster_spark.sources.manifest import commit_write, vacuum
+
+    path = str(tmp_path / "ds")
+    # no manifest yet: an in-flight first commit's dir must survive
+    os.makedirs(os.path.join(path, "_versions", "v000001"))
+    assert vacuum(path, keep=1) == []
+    assert os.path.isdir(os.path.join(path, "_versions", "v000001"))
+    os.rmdir(os.path.join(path, "_versions", "v000001"))
+
+    commit_write(spark.range(0, 4).toDF("v"), path)  # v1 published
+    commit_write(spark.range(0, 5).toDF("v"), path)  # v2 published, live
+    os.makedirs(os.path.join(path, "_versions", "v000009"))  # above live
+    removed = vacuum(path, keep=2)
+    assert removed == []  # v1 retained: the orphan took no keep slot
+    assert os.path.isdir(os.path.join(path, "_versions", "v000001"))
+    assert os.path.isdir(os.path.join(path, "_versions", "v000009"))
+
+    # once a real commit passes the orphan, it is swept as below-live junk
+    commit_write(spark.range(0, 6).toDF("v"), path)  # v10 published, live
+    removed = vacuum(path, keep=2)
+    assert "v000009" in removed and "v000001" in removed
+    assert os.path.isdir(os.path.join(path, "_versions", "v000002"))
+
+
 def test_manifest_upsert_and_diff(spark, tmp_path):
     """upsert: updated keys replaced, new keys appended, untouched rows
     survive — all as one new atomic version; diff_versions labels the
