@@ -267,18 +267,130 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+# MPEG audio bitrate tables, kbps by bitrate index 1..14; key is
+# (version-group, layer-group): V1 keeps per-layer tables, V2/V2.5 share
+# one table for Layers II+III.
+_MP3_BITRATES = {
+    ("v1", 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("v1", 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("v1", 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("v2", 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("v2", 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample rates by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5) then rate index
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
+    """MPEG-audio (MP3) duration via the frame-header walk: skip an ID3v2
+    tag, parse the first frame header for version/layer/bitrate/rate/mode,
+    then prefer the VBR tables (Xing/Info frame count, or VBRI) and fall
+    back to the CBR byte formula audio_bytes*8/bitrate. Returns None when
+    the payload is not MPEG audio; raises ValueError for recognized-but-
+    malformed framing (ID3 tag with no sync, reserved indices)."""
+    n = len(payload)
+    start = 0
+    tagged = payload[:3] == b"ID3"
+    if tagged:
+        if n < 10:
+            raise ValueError("truncated ID3v2 tag")
+        size = 0
+        for byte in payload[6:10]:
+            if byte & 0x80:
+                raise ValueError("ID3v2 size is not syncsafe")
+            size = (size << 7) | byte
+        start = 10 + size
+    # locate the frame sync: immediately after the tag (allowing a small
+    # padding window), or at byte 0 for a bare stream
+    sync = None
+    for j in range(start, min(n - 3, start + 4096)):
+        if payload[j] == 0xFF and (payload[j + 1] & 0xE0) == 0xE0:
+            sync = j
+            break
+    if sync is None or (not tagged and sync != 0):
+        if tagged:
+            raise ValueError("ID3v2 tag without MPEG frame sync")
+        return None
+    h1, h2, h3 = payload[sync + 1], payload[sync + 2], payload[sync + 3]
+    ver_bits = (h1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer_bits = (h1 >> 1) & 3  # 3=Layer I, 2=Layer II, 1=Layer III
+    if ver_bits == 1 or layer_bits == 0:
+        raise ValueError("reserved MPEG version/layer bits")
+    bitrate_idx = h2 >> 4
+    rate_idx = (h2 >> 2) & 3
+    if bitrate_idx in (0, 15):
+        raise ValueError("free-format/invalid MPEG bitrate index")
+    if rate_idx == 3:
+        raise ValueError("reserved MPEG sample-rate index")
+    layer = 4 - layer_bits  # 1, 2, 3
+    v1 = ver_bits == 3
+    table = _MP3_BITRATES[
+        ("v1" if v1 else "v2", layer if v1 else min(layer, 2))
+    ]
+    bitrate = table[bitrate_idx] * 1000
+    sample_rate = _MP3_RATES[ver_bits][rate_idx]
+    channels = 1 if (h3 >> 6) == 3 else 2
+    if layer == 1:
+        samples_per_frame = 384
+    elif layer == 2 or v1:
+        samples_per_frame = 1152
+    else:
+        samples_per_frame = 576  # MPEG2/2.5 Layer III
+    # VBR: Xing/Info sits after the side info; VBRI at a fixed +32
+    side = (17 if channels == 1 else 32) if v1 else (9 if channels == 1 else 17)
+    frames = None
+    xing_off = sync + 4 + side
+    if payload[xing_off : xing_off + 4] in (b"Xing", b"Info"):
+        if xing_off + 12 > n:
+            raise ValueError("truncated Xing header")
+        flags = int.from_bytes(payload[xing_off + 4 : xing_off + 8], "big")
+        if flags & 0x1:
+            frames = int.from_bytes(payload[xing_off + 8 : xing_off + 12], "big")
+    vbri_off = sync + 4 + 32
+    if frames is None and payload[vbri_off : vbri_off + 4] == b"VBRI":
+        if vbri_off + 20 > n:
+            raise ValueError("truncated VBRI header")
+        frames = int.from_bytes(payload[vbri_off + 14 : vbri_off + 18], "big")
+    if frames is not None:
+        duration = frames * samples_per_frame / sample_rate
+    else:
+        duration = (n - sync) * 8 / bitrate  # CBR byte formula, exact for CBR
+    return ("mp3", sample_rate, channels, 0, duration)
+
+
 def audio_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
     """Parse (format, sample_rate, channels, bits_per_sample, duration_s)
     from an audio payload — pure Python, no codec library. REAL for
     WAV/RIFF (the fmt chunk is self-describing and duration is exactly
-    data_size / byte_rate); returns None for unrecognized containers;
-    raises ValueError for a recognized-but-malformed header (the caller
-    maps that to decode_ok=False, distinct from "unknown format").
-
-    Compressed formats (MP3/OGG/FLAC) need a frame walk or a codec table
-    for exact duration — they fall through to None here and are the
-    documented stub path in `audio_features` (strict mode raises)."""
+    data_size / byte_rate), MP3 (frame-header walk — CBR exact via the
+    byte formula, VBR via the Xing/VBRI frame count), and FLAC (the
+    STREAMINFO block carries rate/channels/bits/total-samples exactly).
+    Returns None for unrecognized containers (OGG needs the last page's
+    granule + codec header — the remaining documented stub path); raises
+    ValueError for a recognized-but-malformed header (the caller maps
+    that to decode_ok=False, distinct from "unknown format")."""
     n = len(payload)
+    if payload[:4] == b"fLaC":
+        if n < 8 + 34:
+            raise ValueError("truncated FLAC STREAMINFO")
+        btype = payload[4] & 0x7F
+        if btype != 0:
+            raise ValueError("FLAC first metadata block is not STREAMINFO")
+        si = payload[8:42]
+        rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+        channels = ((si[12] >> 1) & 0x7) + 1
+        bits = (((si[12] & 0x1) << 4) | (si[13] >> 4)) + 1
+        total = ((si[13] & 0xF) << 32) | int.from_bytes(si[14:18], "big")
+        if rate == 0:
+            raise ValueError("FLAC STREAMINFO with zero sample rate")
+        return ("flac", rate, channels, bits, total / rate)
+    mp3 = _mp3_header(payload)
+    if mp3 is not None:
+        return mp3
     if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate = channels = bits = byte_rate = None
         data_size = None
@@ -402,19 +514,128 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
         i += size
 
 
+def _ebml_vint(buf: bytes, i: int, keep_marker: bool = False):
+    """Read one EBML variable-length integer at buf[i]. Element IDs keep
+    the length-marker bit (keep_marker=True); sizes strip it, and an
+    all-ones size means 'unknown' (returned as None — streamed Segments
+    use it). Raises ValueError on truncation or a zero lead byte."""
+    if i >= len(buf):
+        raise ValueError("truncated EBML vint")
+    b0 = buf[i]
+    if b0 == 0:
+        raise ValueError("invalid EBML vint lead byte 0x00")
+    length, mask = 1, 0x80
+    while not (b0 & mask):
+        mask >>= 1
+        length += 1
+    if i + length > len(buf):
+        raise ValueError("truncated EBML vint body")
+    if keep_marker:
+        return int.from_bytes(buf[i : i + length], "big"), i + length
+    val = b0 & (mask - 1)
+    for j in range(1, length):
+        val = (val << 8) | buf[i + j]
+    if val == (1 << (7 * length)) - 1:
+        return None, i + length  # unknown size
+    return val, i + length
+
+
+def _ebml_elements(buf: bytes, start: int, end: int):
+    """Iterate EBML child elements in buf[start:end) as
+    (element_id, body_off, body_end). An unknown-size element extends to
+    `end` (only legal for the last child at a level, e.g. Segment)."""
+    i = start
+    while i < end:
+        eid, j = _ebml_vint(buf, i, keep_marker=True)
+        size, k = _ebml_vint(buf, j)
+        if size is None:
+            yield eid, k, end
+            return
+        yield eid, k, min(k + size, end)
+        i = k + size
+
+
+def _ebml_header(payload: bytes) -> tuple[str, int, int, float, int]:
+    """Matroska/WebM probe: DocType from the EBML header picks the format;
+    Segment→Info carries TimestampScale (ns/tick, default 1e6) and
+    Duration (float ticks); Segment→Tracks→TrackEntry→Video carries
+    PixelWidth/PixelHeight. Same header-probe contract as the MP4 walk."""
+    n = len(payload)
+    fmt = None
+    width = height = 0
+    n_tracks = 0
+    timescale = 1_000_000  # ns per tick, Matroska default
+    duration_ticks: float | None = None
+    import struct as _struct
+
+    for eid, body, bend in _ebml_elements(payload, 0, n):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, cbody, cend in _ebml_elements(payload, body, bend):
+                if cid == 0x4282:  # DocType
+                    doctype = payload[cbody:cend].rstrip(b"\x00")
+                    fmt = "webm" if doctype == b"webm" else "mkv"
+        elif eid == 0x18538067:  # Segment
+            for cid, cbody, cend in _ebml_elements(payload, body, bend):
+                if cid == 0x1549A966:  # Info
+                    for iid, ib, ie in _ebml_elements(payload, cbody, cend):
+                        if iid == 0x2AD7B1:  # TimestampScale
+                            timescale = int.from_bytes(payload[ib:ie], "big")
+                        elif iid == 0x4489:  # Duration (float)
+                            raw = payload[ib:ie]
+                            if len(raw) == 4:
+                                duration_ticks = _struct.unpack(">f", raw)[0]
+                            elif len(raw) == 8:
+                                duration_ticks = _struct.unpack(">d", raw)[0]
+                            else:
+                                raise ValueError(
+                                    f"EBML Duration of {len(raw)} bytes"
+                                )
+                elif cid == 0x1654AE6B:  # Tracks
+                    for tid, tb, te in _ebml_elements(payload, cbody, cend):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        n_tracks += 1
+                        for vid, vb, ve in _ebml_elements(payload, tb, te):
+                            if vid != 0xE0:  # Video settings
+                                continue
+                            for pid, pb, pe in _ebml_elements(payload, vb, ve):
+                                if pid == 0xB0:  # PixelWidth
+                                    width = max(
+                                        width,
+                                        int.from_bytes(payload[pb:pe], "big"),
+                                    )
+                                elif pid == 0xBA:  # PixelHeight
+                                    height = max(
+                                        height,
+                                        int.from_bytes(payload[pb:pe], "big"),
+                                    )
+    if fmt is None:
+        # every real Matroska/WebM file writes a DocType; EBML magic with
+        # vint-parseable garbage behind it is malformed, not an empty file
+        raise ValueError("EBML stream without DocType")
+    if timescale <= 0:
+        raise ValueError("EBML TimestampScale of zero")
+    duration_s = (duration_ticks or 0.0) * timescale / 1e9
+    return (fmt, width, height, duration_s, n_tracks)
+
+
 def video_header(payload: bytes) -> tuple[str, int, int, float, int] | None:
     """Parse (format, width, height, duration_s, n_tracks) from a video
     container header — pure Python, no codec library. REAL for MP4/MOV
     (ISO BMFF: mvhd carries timescale+duration, tkhd carries 16.16
     fixed-point track dimensions; presentation size = max over tracks,
-    audio tracks being 0x0). Returns None for unrecognized containers
-    (MKV/WebM need an EBML walk — the documented stub path); raises
+    audio tracks being 0x0) and for MKV/WebM (EBML walk: DocType,
+    Segment→Info duration × TimestampScale, Tracks→Video pixel
+    dimensions). Returns None for unrecognized containers; raises
     ValueError for a recognized-but-malformed header.
 
     The parse only touches the byte ranges it addresses, so feeding it a
     HEADER PROBE (first N bytes, moov-before-mdat "faststart" files) works
-    as long as moov is inside the probe."""
+    as long as moov — or the EBML Info/Tracks elements — is inside the
+    probe."""
     n = len(payload)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return _ebml_header(payload)
     if n >= 12 and payload[4:8] == b"ftyp":
         fmt = "mov" if payload[8:12] == b"qt  " else "mp4"
         timescale = duration = None

@@ -900,7 +900,9 @@ def test_audio_header_and_features(spark):
     wav = _wav(8_000, 2, 8, 0.25)
     padded = wav[:12] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + wav[12:]
     assert audio_header(padded) == ("wav", 8_000, 2, 8, 0.25)
-    assert audio_header(b"fLaC" + b"\x00" * 64) is None  # unknown container
+    with pytest.raises(ValueError):  # FLAC is recognized now; zero rate
+        audio_header(b"fLaC" + b"\x00" * 64)  # is malformed, not unknown
+    assert audio_header(b"OggS" + b"\x00" * 64) is None  # remaining stub
     with pytest.raises(ValueError):
         audio_header(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
 
@@ -921,6 +923,140 @@ def test_audio_header_and_features(spark):
 
     with pytest.raises(Exception):  # strict mode surfaces the stub honestly
         audio_features(df, strict=True).collect()
+
+
+def _mp3(n_frames=10, xing_frames=None, id3_pad=0):
+    """Synthetic MPEG1 Layer III 128 kbps 44.1 kHz joint-stereo stream:
+    417-byte frames, optional Xing VBR header in frame 1, optional ID3v2
+    prefix."""
+    frame_size = 144 * 128_000 // 44_100  # 417, no padding bit
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x44])
+    body = b"\x00" * (frame_size - 4)
+    if xing_frames is not None:
+        xing = (
+            b"\x00" * 32  # MPEG1-stereo side info
+            + b"Xing"
+            + (0x1).to_bytes(4, "big")  # flags: frame count present
+            + int(xing_frames).to_bytes(4, "big")
+        )
+        first = hdr + xing + b"\x00" * (frame_size - 4 - len(xing))
+    else:
+        first = hdr + body
+    stream = first + (hdr + body) * (n_frames - 1)
+    if id3_pad:
+        size = id3_pad
+        syncsafe = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        stream = b"ID3\x04\x00\x00" + syncsafe + b"\x00" * size + stream
+    return stream
+
+
+def test_mp3_header_cbr_vbr_and_id3(spark):
+    """MP3 duration decodes for real: CBR via the byte formula (exact for
+    a constant-bitrate stream), VBR via the Xing frame count, with an
+    ID3v2 tag skipped by its syncsafe size. Malformed framing raises."""
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.multimodal import audio_header
+
+    fmt, rate, ch, bits, dur = audio_header(_mp3(n_frames=10))
+    assert (fmt, rate, ch, bits) == ("mp3", 44_100, 2, 0)
+    assert abs(dur - (417 * 10 * 8) / 128_000) < 1e-9  # CBR byte formula
+
+    # Xing VBR: duration comes from the frame count, not the byte count
+    fmt, rate, ch, _, dur = audio_header(_mp3(n_frames=3, xing_frames=100))
+    assert fmt == "mp3" and abs(dur - 100 * 1152 / 44_100) < 1e-9
+
+    # ID3v2-tagged stream: tag skipped, same CBR duration
+    tagged = _mp3(n_frames=10, id3_pad=57)
+    fmt, rate, ch, _, dur = audio_header(tagged)
+    assert fmt == "mp3" and abs(dur - (417 * 10 * 8) / 128_000) < 1e-9
+
+    # ID3 tag with no MPEG sync behind it: recognized but malformed
+    with _pytest.raises(ValueError):
+        audio_header(b"ID3\x04\x00\x00\x00\x00\x00\x04abcd" + b"junk" * 8)
+    # reserved sample-rate index (rate bits 11)
+    bad = bytearray(_mp3(1))
+    bad[2] = 0x9C  # bitrate 9, rate_idx 3 (reserved)
+    with _pytest.raises(ValueError):
+        audio_header(bytes(bad))
+    # bare non-MPEG bytes: unknown, not malformed
+    assert audio_header(b"\xff\x00 not audio") is None
+
+
+def test_flac_streaminfo_header(spark):
+    """FLAC STREAMINFO: rate/channels/bits/total-samples decode exactly
+    (44.1 kHz stereo 16-bit, 441000 samples = 10 s)."""
+    from mempool_dumpster_spark.ml.multimodal import audio_header
+
+    si = bytearray(34)
+    si[10] = 44_100 >> 12
+    si[11] = (44_100 >> 4) & 0xFF
+    si[12] = ((44_100 & 0xF) << 4) | ((2 - 1) << 1) | ((16 - 1) >> 4)
+    si[13] = (((16 - 1) & 0xF) << 4) | 0
+    si[14:18] = (441_000).to_bytes(4, "big")
+    payload = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + bytes(si)
+    assert audio_header(payload) == ("flac", 44_100, 2, 16, 10.0)
+
+
+def _ebml(eid: bytes, body: bytes) -> bytes:
+    assert len(body) < 0x3FFF
+    if len(body) < 0x7F:
+        size = bytes([0x80 | len(body)])
+    else:
+        size = bytes([0x40 | (len(body) >> 8), len(body) & 0xFF])
+    return eid + size + body
+
+
+def test_ebml_video_header(spark):
+    """MKV/WebM headers decode for real: DocType picks the format,
+    Segment→Info gives duration (ticks × TimestampScale), Tracks→Video
+    gives pixel dimensions; an unknown-size Segment (streamed file) and
+    a missing DocType (malformed) both behave."""
+    import struct
+
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.multimodal import video_header
+
+    info = _ebml(
+        b"\x15\x49\xa9\x66",
+        _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml(b"\x44\x89", struct.pack(">d", 42_500.0)),
+    )
+    video_track = _ebml(
+        b"\xae",
+        _ebml(
+            b"\xe0",
+            _ebml(b"\xb0", (640).to_bytes(2, "big"))
+            + _ebml(b"\xba", (360).to_bytes(2, "big")),
+        ),
+    )
+    audio_track = _ebml(b"\xae", _ebml(b"\x86", b"A_OPUS"))
+    tracks = _ebml(b"\x16\x54\xae\x6b", video_track + audio_track)
+    header = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+    webm = header + _ebml(b"\x18\x53\x80\x67", info + tracks)
+    assert video_header(webm) == ("webm", 640, 360, 42.5, 2)
+
+    # matroska DocType + unknown-size Segment (live/streamed remux)
+    mkv_hdr = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"matroska"))
+    mkv = mkv_hdr + b"\x18\x53\x80\x67" + b"\xff" + info + tracks
+    assert video_header(mkv) == ("mkv", 640, 360, 42.5, 2)
+
+    # 4-byte float Duration also decodes
+    info32 = _ebml(
+        b"\x15\x49\xa9\x66", _ebml(b"\x44\x89", struct.pack(">f", 1000.0))
+    )
+    small = header + _ebml(b"\x18\x53\x80\x67", info32)
+    assert video_header(small)[3] == 1.0  # default 1e6 ns scale
+
+    # EBML magic with garbage behind it: malformed (no DocType), not an
+    # empty mkv; truncated vint also malformed
+    with _pytest.raises(ValueError):
+        video_header(b"\x1a\x45\xdf\xa3 webm-ish")
+    with _pytest.raises(ValueError):
+        video_header(b"\x1a\x45\xdf\xa3\x00")
 
 
 def test_budget_fill_no_partial_and_priority(spark):
@@ -1064,7 +1200,7 @@ def test_video_header_mp4_hand_built(spark):
     assert (fmt, w, h, ntr) == ("mp4", 640, 360, 2)
     assert dur == 5.0  # 3000 / 600
 
-    assert video_header(b"\x1a\x45\xdf\xa3 webm-ish") is None  # EBML: stub path
+    assert video_header(b"AVI-ish bytes" * 2) is None  # unknown container
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
