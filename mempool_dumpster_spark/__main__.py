@@ -222,6 +222,25 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
     # pointer, which --atomic writes in the same directory)
     with open(f"{args.out}/_prep_manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, default=str)
+    if args.bucketed:
+        from mempool_dumpster_spark.ml.prep import write_prep_bucketed
+
+        # bucket from the WRITTEN corpus (cheap parquet re-read, not a
+        # gate recompute): doc_id-bucketed catalog table beside the plain
+        # split-partitioned output, so downstream dedup/join/decontam
+        # re-runs plan exchange-free on the corpus side
+        if args.atomic:
+            from mempool_dumpster_spark.sources.manifest import read_committed
+
+            corpus_for_bucket = read_committed(spark, args.out)
+        else:
+            corpus_for_bucket = spark.read.parquet(args.out)
+        write_prep_bucketed(
+            corpus_for_bucket,
+            args.bucketed,
+            path=f"{args.out}_bucketed",
+            n_buckets=args.bucket_count,
+        )
     if args.pack_tokens:
         from mempool_dumpster_spark.ml.prep import pack_prepped
 
@@ -367,6 +386,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--atomic", action="store_true",
         help="publish via a manifest-committed version (sources/manifest.py) "
         "so concurrent readers never see a partial corpus",
+    )
+    t.add_argument(
+        "--bucketed", default=None, metavar="TABLE",
+        help="also land OUT_bucketed: a doc_id-bucketed catalog table "
+        "(partitioned by split) so downstream dedup/join/pack re-runs "
+        "plan exchange-free; read it via spark.table(TABLE)",
+    )
+    t.add_argument(
+        "--bucket-count", type=int, default=32,
+        help="bucket count for --bucketed (match it across the dataset "
+        "family you join against)",
     )
     t.add_argument("--no-gopher", action="store_true", help="skip quality gates")
     t.add_argument("--no-exact-dedup", action="store_true")

@@ -153,6 +153,39 @@ def write_prep_outputs(
     }
 
 
+def write_prep_bucketed(
+    prepped: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> None:
+    """Land the prepped corpus as a doc_id-BUCKETED catalog table
+    (partitioned by split above the buckets) — the 100 TB layout for
+    everything that happens to a corpus after prep: re-running a dedup
+    gate, joining quality/embedding features, decontaminating against a
+    new benchmark, or packing are all doc_id equi-joins/aggregations, and
+    against a bucketed corpus they plan with ZERO Exchange on the corpus
+    side (plan-guarded in tests/test_bucketed.py). The hash shuffle is
+    paid once here, at write time — the same amortization
+    `write_backfill_bucketed` gives the mempool tables.
+
+    Reads must go through the catalog (`spark.table(table)` /
+    `read_bucketed`); `spark.read.parquet(path)` silently drops the
+    bucket spec."""
+    from mempool_dumpster_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        prepped,
+        table,
+        bucket_col=id_col,
+        n_buckets=n_buckets,
+        sort_cols=[id_col],
+        path=path,
+        partition_cols=["split"],
+    )
+
+
 def pack_prepped(
     prepped: DataFrame,
     max_tokens: int,

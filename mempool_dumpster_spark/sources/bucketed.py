@@ -42,6 +42,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     path: str | None = None,
     mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Materialize `df` as a bucketed catalog table.
 
@@ -50,8 +51,14 @@ def write_bucketed(
     count is a layout contract: pick it once per dataset family (both
     join sides must match) and size it so one bucket ≈ one task's worth
     of data at the target scale (e.g. 2048 buckets for a 100 TB fact).
+    `partition_cols` layers directory partitioning ABOVE the buckets
+    (e.g. split=train/val/test dirs, each bucketed by doc_id) — partition
+    pruning and bucket co-location compose.
     """
-    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w = w.bucketBy(n_buckets, bucket_col)
     w = w.sortBy(*(sort_cols or [bucket_col]))
     if path is not None:
         w = w.option("path", path)

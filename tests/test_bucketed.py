@@ -326,6 +326,60 @@ def test_bloom_filter_option_writes_bloom_bytes(spark, tmp_path):
     assert probe.count() in (0, 1)
 
 
+def test_prep_bucketed_output_joins_without_exchange(spark, tmp_path):
+    """write_prep_bucketed lands the prepped corpus doc_id-bucketed under
+    split= partitions; a doc_id equi-join against a co-bucketed features
+    table and a doc_id aggregation (the shape of every downstream dedup /
+    decontam / enrichment re-run) both plan with ZERO Exchange on the
+    corpus side — the prep hash shuffle is paid once at write time."""
+    from mempool_dumpster_spark.ml.prep import (
+        PrepConfig,
+        prep_corpus,
+        write_prep_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc{i:03d}", f"unique text body number {i} with plenty of "
+          f"words to satisfy quality gates {i}") for i in range(60)],
+        "doc_id string, text string",
+    )
+    prepped = prep_corpus(
+        docs, config=PrepConfig(gopher=False, near_dup=False)
+    )
+    write_prep_bucketed(
+        prepped, "prep_b", path=str(tmp_path / "corpus"), n_buckets=N_BUCKETS
+    )
+    feats = docs.select("doc_id", F.length("text").alias("n_chars"))
+    write_bucketed(
+        feats, "feats_b", "doc_id", N_BUCKETS,
+        path=str(tmp_path / "feats"), sort_cols=["doc_id"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("prep_b").join(spark.table("feats_b"), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 60  # every doc kept and enriched
+
+        agg = (
+            spark.table("prep_b")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+        )
+        assert "Exchange" not in _plan(agg), _plan(agg)
+        assert agg.count() == 60
+
+        # split partition pruning composes with the bucket layout
+        pruned = spark.table("prep_b").filter(F.col("split") == "train")
+        assert "PartitionFilters" in _plan(pruned)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS prep_b")
+        spark.sql("DROP TABLE IF EXISTS feats_b")
+
+
 def test_manifest_commit_atomic_versions(spark, tmp_path):
     """sources/manifest.py: readers only ever see fully-committed versions
     — a staged-but-uncommitted write is invisible; commits advance the

@@ -159,6 +159,44 @@ def test_cli_prep(spark, tmp_path, capsys):
     assert sum(manifest["splits"].values()) == len(kept)
 
 
+def test_cli_prep_bucketed(spark, tmp_path):
+    """prep --bucketed TABLE: beside the plain split-partitioned output, a
+    doc_id-bucketed catalog table lands at OUT_bucketed; a doc_id
+    aggregation over it plans exchange-free."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(i, f"body text {i} " * 5, "en", "web", 50) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(docs))
+    out = tmp_path / "prep_out"
+    rc = main(
+        [
+            "prep", str(docs),
+            "--out", str(out),
+            "--no-gopher", "--no-near-dedup",
+            "--bucketed", "prep_cli_b",
+            "--bucket-count", "4",
+        ],
+        spark=spark,
+    )
+    try:
+        assert rc == 0
+        tbl = spark.table("prep_cli_b")
+        assert tbl.count() == spark.read.parquet(str(out)).count()
+        agg = tbl.groupBy("doc_id").agg(F.count("*").alias("n"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            agg.explain("formatted")
+        assert "Exchange" not in buf.getvalue(), buf.getvalue()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS prep_cli_b")
+
+
 def test_cli_prep_atomic(spark, tmp_path):
     """prep --atomic: the corpus publishes through a manifest-committed
     version; read_committed sees it, plain discovery of the version dir

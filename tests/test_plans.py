@@ -238,3 +238,26 @@ def test_registry_driver_contract_invariants():
     assert set(oracles) <= set(qs)
     # the designated least-marginal entry stays dead last
     assert names[-1] == "emb_knn_ivf_pretrained"
+
+    # Slot swaps must be DELIBERATE: the first-50 names must exactly match
+    # the keys the driver recorded last round (the committed CORRECTNESS
+    # artifact). Re-ordering or replacing a slot requires updating the
+    # expectation here with the new artifact — which is the point.
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not artifacts:
+        return  # fresh clone without round artifacts
+    with open(artifacts[-1]) as f:
+        recorded = list(json.load(f))
+    assert first50 == recorded, (
+        "driver slots diverge from the committed artifact "
+        f"({os.path.basename(artifacts[-1])}):\n"
+        f"  added:   {[n for n in first50 if n not in recorded]}\n"
+        f"  dropped: {[n for n in recorded if n not in first50]}\n"
+        "If this swap is deliberate, the next round's artifact will pin "
+        "the new set — re-check ordering intent before shipping."
+    )

@@ -485,3 +485,62 @@ def test_repetition_and_boilerplate_invariants(spark, texts):
         for r in boilerplate_ngrams(df, n=3, min_docs=2).collect()
     }
     assert got == {g: c for g, c in truth.items() if c >= 2}
+
+
+@given(
+    tokens=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=1, max_size=12
+    ),
+    budget=st.integers(min_value=0, max_value=200),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_budget_fill_inclusive_boundary_property(spark, tokens, budget, nparts):
+    """budget_fill contract: the kept set is exactly the longest PREFIX of
+    the priority order whose inclusive cumulative token sum is <= budget —
+    a document straddling the boundary is excluded ENTIRELY (never
+    partially), everything after it too, and a document landing exactly ON
+    the budget is kept (inclusive <=). Partitioning never changes the
+    answer."""
+    from mempool_dumpster_spark.ml.packing import budget_fill
+
+    rows = [
+        (f"d{i:03d}", "s", t, float(len(tokens) - i))
+        for i, t in enumerate(tokens)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tokens long, quality double"
+    ).repartition(nparts)
+    kept = {
+        r["doc_id"]: r["n_tokens"]
+        for r in budget_fill(df, {"s": budget}, order_col="quality").collect()
+    }
+    expected, cum = {}, 0
+    for i, t in enumerate(tokens):
+        cum += t
+        if cum > budget:
+            break
+        expected[f"d{i:03d}"] = t
+    assert kept == expected  # prefix semantics, whole documents only
+    assert sum(kept.values()) <= budget
+
+
+def test_budget_fill_exact_boundary_kept(spark):
+    """The inclusive edge pinned explicitly: cum == budget keeps the doc;
+    one token over drops it (and the straddler contributes nothing)."""
+    from mempool_dumpster_spark.ml.packing import budget_fill
+
+    df = spark.createDataFrame(
+        [("a", "s", 3, 2.0), ("b", "s", 7, 1.0), ("c", "s", 1, 0.5)],
+        "doc_id string, source string, n_tokens long, quality double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in budget_fill(df, {"s": 10}, order_col="quality").collect()
+    }
+    assert kept == {"a", "b"}  # 3 + 7 == 10: exactly on budget, both kept
+    kept9 = {
+        r["doc_id"]
+        for r in budget_fill(df, {"s": 9}, order_col="quality").collect()
+    }
+    assert kept9 == {"a"}  # b straddles: excluded entirely, c after it too

@@ -128,14 +128,17 @@ def main() -> int:
             "sec": round(time.time() - t0, 2),
         }
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passing")
+    n_ran = len(results)
+    print(f"\n{n_ran - len(failures)}/{n_ran} passing"
+          + (f" (of {len(qs)} registered)" if only else ""))
     artifact = os.environ.get("SELFCHECK_JSON")
     if artifact:
         payload = {
             "__meta__": {
                 "sf_dir": sf_dir,
-                "total": len(qs),
-                "passing": len(qs) - len(failures),
+                "total": n_ran,
+                "registered": len(qs),
+                "passing": n_ran - len(failures),
                 "failures": failures,
             },
             **results,
