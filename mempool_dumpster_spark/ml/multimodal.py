@@ -367,13 +367,49 @@ def audio_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
     from an audio payload — pure Python, no codec library. REAL for
     WAV/RIFF (the fmt chunk is self-describing and duration is exactly
     data_size / byte_rate), MP3 (frame-header walk — CBR exact via the
-    byte formula, VBR via the Xing/VBRI frame count), and FLAC (the
-    STREAMINFO block carries rate/channels/bits/total-samples exactly).
-    Returns None for unrecognized containers (OGG needs the last page's
-    granule + codec header — the remaining documented stub path); raises
-    ValueError for a recognized-but-malformed header (the caller maps
-    that to decode_ok=False, distinct from "unknown format")."""
+    byte formula, VBR via the Xing/VBRI frame count), FLAC (the
+    STREAMINFO block carries rate/channels/bits/total-samples exactly),
+    and OGG Vorbis/Opus (codec id packet on the first page for
+    rate/channels; duration from the LAST page's granule position —
+    sample-exact, Opus pre-skip subtracted; note OGG therefore needs the
+    file TAIL, not just a head probe). Returns None for unrecognized
+    containers; raises ValueError for a recognized-but-malformed header
+    (the caller maps that to decode_ok=False, distinct from "unknown
+    format")."""
     n = len(payload)
+    if payload[:4] == b"OggS":
+        if n < 28:
+            raise ValueError("truncated Ogg page header")
+        nsegs = payload[26]
+        body = 27 + nsegs
+        pkt = payload[body : body + 19]
+        if pkt[:7] == b"\x01vorbis":
+            if len(pkt) < 16:
+                raise ValueError("truncated Vorbis id header")
+            fmt = "ogg_vorbis"
+            channels = pkt[11]
+            rate = int.from_bytes(pkt[12:16], "little")
+            granule_rate, preskip = rate, 0
+        elif pkt[:8] == b"OpusHead":
+            if len(pkt) < 19:
+                raise ValueError("truncated OpusHead")
+            fmt = "ogg_opus"
+            channels = pkt[9]
+            preskip = int.from_bytes(pkt[10:12], "little")
+            rate = int.from_bytes(pkt[12:16], "little")  # original input rate
+            granule_rate = 48_000  # Opus granules are always 48 kHz
+        else:
+            raise ValueError("Ogg page without a Vorbis/Opus id header")
+        if rate <= 0 or channels <= 0:
+            raise ValueError("Ogg id header with zero rate/channels")
+        last = payload.rfind(b"OggS")
+        if last + 14 > n:
+            raise ValueError("truncated final Ogg page")
+        granule = int.from_bytes(
+            payload[last + 6 : last + 14], "little", signed=True
+        )
+        duration = max(granule - preskip, 0) / granule_rate
+        return (fmt, rate, channels, 0, duration)
     if payload[:4] == b"fLaC":
         if n < 8 + 34:
             raise ValueError("truncated FLAC STREAMINFO")
@@ -421,8 +457,8 @@ def audio_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
 
 def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Feature-extract an audio media table → AUDIO_FEATURES_SCHEMA, the
-    audio twin of `decode_images`. WAV headers decode for real
-    (`audio_header`); unrecognized formats emit NULL features with
+    audio twin of `decode_images`. WAV/MP3/FLAC/OGG headers decode for
+    real (`audio_header`); unrecognized formats emit NULL features with
     decode_ok=False — or raise NotImplementedError when strict=True —
     keeping the plumbing (schema, Arrow batching, partitioning) identical
     to what a codec-enabled deployment would run."""

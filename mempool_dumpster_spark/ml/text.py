@@ -467,12 +467,12 @@ def bpe_learn(
          recorded in the merge list — is provably identical to what a
          one-merge-at-a-time trainer would have counted. Interacting
          candidates defer to the next scan.
-      3. apply ALL selected merges to every document's symbol array in ONE
-         Arrow-batched mapInPandas pass — a greedy leftmost fold over a
-         pair→merged map, equivalent to applying each merge's own fold
-         sequentially BECAUSE the batch is symbol-disjoint (a position
-         matches at most one batch pair, and merging two symbols into one
-         never makes two previously-separated symbols adjacent).
+      3. apply ALL selected merges to every distinct pretoken's symbol
+         array in ONE Arrow-batched mapInPandas pass — a greedy leftmost
+         fold over a pair→merged map, equivalent to applying each merge's
+         own fold sequentially BECAUSE the batch is non-interacting (a
+         position matches at most one batch pair, and merging two symbols
+         into one never makes two previously-separated symbols adjacent).
 
     `merges_per_scan=1` reproduces the classic sequential trainer exactly
     (and is pinned merge-for-merge against a pure-Python reference in
@@ -481,9 +481,15 @@ def bpe_learn(
     standard fast-trainer approximation; vocab quality is unaffected and
     each recorded count is still the true corpus count at apply time.
 
-    Cost: O(n_merges / merges_per_scan) corpus scans instead of
-    O(n_merges) — at the default 8 a 32k-merge production vocabulary is
-    ~4k scans, and the knob scales further (64 → ~500). Each scan's symbol
+    Cost: the corpus is scanned ONCE — pre-tokens collapse to a
+    (distinct pretoken, count) frame up front (the standard trainer
+    optimization: pair statistics are weighted by the count, which is
+    numerically identical to counting per occurrence), so every
+    subsequent scan touches the DISTINCT-pretoken vocabulary (~10^5-10^7
+    rows for any natural corpus, independent of corpus bytes), and there
+    are O(n_merges / merges_per_scan) of those instead of O(n_merges) —
+    at the default 8 a 32k-merge production vocabulary is ~4k
+    vocabulary-sized scans after one 100 TB scan. Each scan's symbol
     frame is cached and the previous evicted; every `checkpoint_every`
     scans the lineage is truncated (localCheckpoint) — without this the
     plan doubles per scan and the driver dies at ~30 scans (the
@@ -508,11 +514,18 @@ def bpe_learn(
             F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0)
         ).alias("tok")
     )
-    # split with a non-start lookahead keeps a TRAILING empty string
-    # (Spark's split is Java split(limit=-1)); drop it or the trainer
-    # learns bogus ('x','') merges once real pairs thin out.
-    symbols = toks.select(
-        F.array_remove(F.split("tok", "(?!^)"), "").alias("syms")
+    # THE corpus scan: collapse occurrences to (distinct pretoken, count).
+    # Everything after trains on this weighted vocabulary frame. The
+    # split's non-start lookahead keeps a TRAILING empty string (Spark's
+    # split is Java split(limit=-1)); drop it or the trainer learns bogus
+    # ('x','') merges once real pairs thin out.
+    symbols = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("weight"))
+        .select(
+            F.array_remove(F.split("tok", "(?!^)"), "").alias("syms"),
+            "weight",
+        )
     )
     symbols = symbols.cache()
     merges: list[tuple[str, str, int]] = []
@@ -526,6 +539,7 @@ def bpe_learn(
         pairs = (
             symbols.filter(F.size("syms") >= 2)
             .select(
+                "weight",
                 F.explode(
                     F.transform(
                         F.sequence(F.lit(1), F.size("syms") - 1),
@@ -534,10 +548,10 @@ def bpe_learn(
                             F.element_at("syms", (i + 1).cast("int")).alias("b"),
                         ),
                     )
-                ).alias("p")
+                ).alias("p"),
             )
             .groupBy("p.a", "p.b")
-            .agg(F.count("*").alias("n"))
+            .agg(F.sum("weight").alias("n"))
             .orderBy(F.col("n").desc(), "a", "b")
             .limit(fetch)
             .collect()
@@ -582,7 +596,9 @@ def bpe_learn(
                 pdf["syms"] = out
                 yield pdf
 
-        nxt = symbols.mapInPandas(apply_merges, schema="syms array<string>")
+        nxt = symbols.mapInPandas(
+            apply_merges, schema="syms array<string>, weight long"
+        )
         scan_no += 1
         if scan_no % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)

@@ -902,7 +902,9 @@ def test_audio_header_and_features(spark):
     assert audio_header(padded) == ("wav", 8_000, 2, 8, 0.25)
     with pytest.raises(ValueError):  # FLAC is recognized now; zero rate
         audio_header(b"fLaC" + b"\x00" * 64)  # is malformed, not unknown
-    assert audio_header(b"OggS" + b"\x00" * 64) is None  # remaining stub
+    with pytest.raises(ValueError):  # Ogg with no codec id packet
+        audio_header(b"OggS" + b"\x00" * 64)
+    assert audio_header(b"AIFF-ish unknown bytes") is None  # true unknown
     with pytest.raises(ValueError):
         audio_header(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data chunks
 
@@ -983,6 +985,52 @@ def test_mp3_header_cbr_vbr_and_id3(spark):
         audio_header(bytes(bad))
     # bare non-MPEG bytes: unknown, not malformed
     assert audio_header(b"\xff\x00 not audio") is None
+
+
+def _ogg_page(granule: int, packet: bytes = b"", seq: int = 0) -> bytes:
+    """Minimal Ogg page: one segment (or none) carrying `packet`."""
+    segs = bytes([len(packet)]) if packet else b""
+    nsegs = 1 if packet else 0
+    return (
+        b"OggS" + b"\x00\x00"
+        + granule.to_bytes(8, "little", signed=True)
+        + b"\x01\x02\x03\x04"  # serial
+        + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"  # crc (unchecked by the probe)
+        + bytes([nsegs]) + segs + packet
+    )
+
+
+def test_ogg_vorbis_and_opus_duration(spark):
+    """OGG duration decodes for real: Vorbis id packet gives rate and
+    channels, the last page's granule gives sample-exact duration; Opus
+    granules tick at 48 kHz with pre-skip subtracted."""
+    from mempool_dumpster_spark.ml.multimodal import audio_header
+
+    vorbis_id = (
+        b"\x01vorbis" + b"\x00\x00\x00\x00"  # version
+        + bytes([2])  # channels
+        + (44_100).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    ogg = (
+        _ogg_page(0, vorbis_id)
+        + _ogg_page(22_050, b"\xaa" * 10, seq=1)
+        + _ogg_page(88_200, b"\xbb" * 10, seq=2)  # last page: 2.0 s
+    )
+    assert audio_header(ogg) == ("ogg_vorbis", 44_100, 2, 0, 2.0)
+
+    opus_id = (
+        b"OpusHead" + bytes([1])  # version
+        + bytes([1])  # channels
+        + (312).to_bytes(2, "little")  # pre-skip
+        + (24_000).to_bytes(4, "little")  # original input rate
+        + b"\x00" * 3
+    )
+    ogg2 = _ogg_page(0, opus_id) + _ogg_page(48_000 + 312, b"\xcc" * 4, seq=1)
+    fmt, rate, ch, _, dur = audio_header(ogg2)
+    assert (fmt, rate, ch) == ("ogg_opus", 24_000, 1)
+    assert abs(dur - 1.0) < 1e-12  # pre-skip excluded, 48 kHz granules
 
 
 def test_flac_streaminfo_header(spark):
