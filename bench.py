@@ -20,7 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Queries whose single-shot timings have historically oscillated round to
 # round on identical code (CPU-bound md5/array work is the most sensitive to
 # transient host load) — these get 5 timed runs instead of 3.
-VOLATILE = {"docs_ngram_jaccard", "docs_minhash_lsh_pairs", "q1_pricing_summary"}
+VOLATILE = {
+    "docs_ngram_jaccard",
+    "docs_minhash_lsh_pairs",
+    "q1_pricing_summary",
+    "value_quantiles",  # percentile sketch is CPU-sensitive: r7 measured
+    # max/min 1.28 on 3 runs while the 5-run volatile set sat at ~1.15
+}
 
 HEADLINE = [
     "q1_pricing_summary",
