@@ -210,6 +210,11 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
     if args.pack_tokens is not None and args.pack_tokens < 1:
         print(f"--pack-tokens must be positive, got {args.pack_tokens}")
         return 2
+    if args.bucketed and args.bucket_count < 1:
+        # rejected BEFORE the (potentially hours-long) prep + write, not
+        # deep inside Spark's bucketBy after the corpus already landed
+        print(f"--bucket-count must be positive, got {args.bucket_count}")
+        return 2
     prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)
     counts = write_prep_outputs(prepped, args.out, atomic=args.atomic)
     # the prep manifest records the corpus write; it lands BEFORE the

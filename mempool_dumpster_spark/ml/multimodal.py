@@ -319,7 +319,11 @@ def _mp3_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
     ver_bits = (h1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
     layer_bits = (h1 >> 1) & 3  # 3=Layer I, 2=Layer II, 1=Layer III
     if ver_bits == 1 or layer_bits == 0:
-        raise ValueError("reserved MPEG version/layer bits")
+        # NOT malformed MPEG audio — other formats share the 0xFFE sync
+        # with these bit patterns (AAC/ADTS is 0xFFF with layer bits 00).
+        # Unknown container, so strict mode raises NotImplementedError
+        # instead of the file being misreported as corrupt MP3.
+        return None
     bitrate_idx = h2 >> 4
     rate_idx = (h2 >> 2) & 3
     if bitrate_idx in (0, 15):
@@ -402,12 +406,24 @@ def audio_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
             raise ValueError("Ogg page without a Vorbis/Opus id header")
         if rate <= 0 or channels <= 0:
             raise ValueError("Ogg id header with zero rate/channels")
-        last = payload.rfind(b"OggS")
-        if last + 14 > n:
-            raise ValueError("truncated final Ogg page")
-        granule = int.from_bytes(
-            payload[last + 6 : last + 14], "little", signed=True
-        )
+        # Forward page walk for the final granule: page size is
+        # 27 + nsegs + sum(segment table), so every step lands on a real
+        # page boundary. An rfind(b"OggS") shortcut is WRONG — compressed
+        # page bodies can (and do) contain the capture pattern, yielding a
+        # garbage granule with decode_ok=True.
+        granule = None
+        i = 0
+        while i + 27 <= n and payload[i : i + 4] == b"OggS":
+            segn = payload[i + 26]
+            seg_table = payload[i + 27 : i + 27 + segn]
+            if len(seg_table) < segn:
+                break  # truncated tail: keep the last complete page's granule
+            g = int.from_bytes(payload[i + 6 : i + 14], "little", signed=True)
+            if g >= 0:  # -1 marks a page with no finished packet
+                granule = g
+            i += 27 + segn + sum(seg_table)
+        if granule is None:
+            raise ValueError("no Ogg page with a granule position")
         duration = max(granule - preskip, 0) / granule_rate
         return (fmt, rate, channels, 0, duration)
     if payload[:4] == b"fLaC":
@@ -579,11 +595,20 @@ def _ebml_vint(buf: bytes, i: int, keep_marker: bool = False):
 def _ebml_elements(buf: bytes, start: int, end: int):
     """Iterate EBML child elements in buf[start:end) as
     (element_id, body_off, body_end). An unknown-size element extends to
-    `end` (only legal for the last child at a level, e.g. Segment)."""
+    `end` (only legal for the last child at a level, e.g. Segment). A
+    vint CUT by the end of the buffer ends iteration instead of raising —
+    a header probe legitimately truncates mid-element (e.g. two bytes
+    into a Cluster id) after Info/Tracks are already parsed; a zero lead
+    byte is still malformed and propagates."""
     i = start
     while i < end:
-        eid, j = _ebml_vint(buf, i, keep_marker=True)
-        size, k = _ebml_vint(buf, j)
+        try:
+            eid, j = _ebml_vint(buf, i, keep_marker=True)
+            size, k = _ebml_vint(buf, j)
+        except ValueError as e:
+            if "truncated" in str(e):
+                return
+            raise
         if size is None:
             yield eid, k, end
             return

@@ -96,7 +96,7 @@ def two_pass_topk(
     `salted_topk`/groupBy when cardinality is small enough to shuffle.
 
     NULL keys count as a group, matching the plain groupBy top-k this
-    approximates: pass 1 counts them (value_counts keeps NaN) and pass 2
+    approximates: pass 1 counts them from Arrow null_count and pass 2
     recounts via a null-safe semi-join.
 
     The candidate union is ≤ partitions × capacity rows — broadcastable
@@ -116,25 +116,39 @@ def two_pass_topk(
 
     out_schema = StructType([field])
 
-    def local_heavy(iterator):
-        import pandas as pd
+    def local_heavy(batches):
+        # Arrow batches, NOT pandas: a nullable bigint column converts to
+        # float64 under Arrow→pandas, silently rounding keys above 2^53
+        # (64-bit hashes). Arrow value_counts keeps the exact type; nulls
+        # are counted via null_count and re-emitted as a None candidate.
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         counts: dict = {}
-        for pdf in iterator:
-            for v, c in pdf[key_col].value_counts(dropna=False).items():
-                v = None if pd.isna(v) else v
-                counts[v] = counts.get(v, 0) + int(c)
+        key_type = None
+        for batch in batches:
+            col = batch.column(0)
+            key_type = col.type
+            if col.null_count:
+                counts[None] = counts.get(None, 0) + col.null_count
+            for item in pc.value_counts(col.drop_null()).to_pylist():
+                v, c = item["values"], item["counts"]
+                counts[v] = counts.get(v, 0) + c
             if len(counts) > 2 * capacity:
                 top = sorted(
                     counts.items(), key=lambda kv: -kv[1]
                 )[:capacity]
                 counts = dict(top)
+        if key_type is None:
+            return  # empty partition
         top = sorted(counts.items(), key=lambda kv: -kv[1])[:capacity]
-        yield pd.DataFrame({key_col: pd.array([t[0] for t in top])})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([t[0] for t in top], type=key_type)], names=[key_col]
+        )
 
     candidates = (
         df.select(key_col)
-        .mapInPandas(local_heavy, schema=out_schema)
+        .mapInArrow(local_heavy, schema=out_schema)
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -135,14 +135,22 @@ def vacuum(path: str, keep: int = 2) -> list[str]:
         # first in-flight commit — delete nothing
         return []
     live_name = os.path.basename(live["data_dir"])
-    published = {
-        f"v{v:06d}" for v in live.get("published", [live["version"]])
-    }
     on_disk = sorted(
         d
         for d in os.listdir(vroot)
         if d.startswith("v") and d[1:].isdigit()
     )
+    if "published" in live:
+        published = {f"v{v:06d}" for v in live["published"]}
+    else:
+        # legacy manifest (pre-'published' field): can't tell committed
+        # dirs from orphans, so treat every dir at-or-below the live
+        # version as published — the keep window then protects them,
+        # matching the documented retention horizon (the alternative
+        # classifies them all as orphans and deletes past readers' files)
+        published = {
+            d for d in on_disk if int(d[1:]) <= live["version"]
+        }
     pub_dirs = [d for d in on_disk if d in published]
     doomed = [d for d in pub_dirs[:-keep] if d != live_name]
     doomed += [

@@ -459,6 +459,32 @@ def test_manifest_vacuum_orphans_dont_shorten_retention(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "_versions", "v000002"))
 
 
+def test_manifest_vacuum_legacy_manifest_honors_keep(spark, tmp_path):
+    """Review regression: a legacy manifest WITHOUT the 'published' field
+    must not classify its older versions as orphans — every dir at-or-
+    below the live version counts as published, so keep=3 retains all
+    three instead of deleting past readers' files."""
+    import json
+    import os
+
+    from mempool_dumpster_spark.sources.manifest import commit_write, vacuum
+
+    path = str(tmp_path / "ds")
+    for n in (3, 4, 5):
+        commit_write(spark.range(0, n).toDF("v"), path)
+    # rewrite the manifest as a pre-'published' version would have
+    mpath = os.path.join(path, "_manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["published"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    assert vacuum(path, keep=3) == []
+    for v in ("v000001", "v000002", "v000003"):
+        assert os.path.isdir(os.path.join(path, "_versions", v))
+    assert vacuum(path, keep=1) == ["v000001", "v000002"]
+
+
 def test_manifest_upsert_and_diff(spark, tmp_path):
     """upsert: updated keys replaced, new keys appended, untouched rows
     survive — all as one new atomic version; diff_versions labels the

@@ -1033,6 +1033,51 @@ def test_ogg_vorbis_and_opus_duration(spark):
     assert abs(dur - 1.0) < 1e-12  # pre-skip excluded, 48 kHz granules
 
 
+def test_ogg_granule_ignores_oggs_bytes_in_page_bodies(spark):
+    """Review regression: the final granule comes from a validated forward
+    page walk, never from rfind — compressed page bodies legitimately
+    contain the b'OggS' capture pattern, and a blind reverse search read
+    a garbage granule with decode_ok=True."""
+    from mempool_dumpster_spark.ml.multimodal import audio_header
+
+    vorbis_id = (
+        b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([2])
+        + (44_100).to_bytes(4, "little") + b"\x00" * 16
+    )
+    # last page's BODY contains 'OggS' followed by huge little-endian junk
+    trap_body = b"\xf0OggS" + b"\xff" * 12
+    ogg = (
+        _ogg_page(0, vorbis_id)
+        + _ogg_page(44_100, trap_body, seq=1)  # true final granule: 1.0 s
+    )
+    assert audio_header(ogg) == ("ogg_vorbis", 44_100, 2, 0, 1.0)
+
+
+def test_adts_aac_is_unknown_not_malformed(spark):
+    """Review regression: AAC/ADTS shares the 0xFFE sync with MPEG audio
+    but uses the reserved layer bits — it must classify as UNKNOWN (None,
+    strict raises NotImplementedError), not as corrupt MP3."""
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.multimodal import (
+        audio_features,
+        audio_header,
+    )
+
+    adts = b"\xff\xf1\x50\x80\x01\x7f\xfc" + b"\x00" * 40
+    assert audio_header(adts) is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(adts), "audio/aac", None)],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    with _pytest.raises(Exception) as exc:
+        audio_features(df, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
 def test_flac_streaminfo_header(spark):
     """FLAC STREAMINFO: rate/channels/bits/total-samples decode exactly
     (44.1 kHz stereo 16-bit, 441000 samples = 10 s)."""
@@ -1100,11 +1145,18 @@ def test_ebml_video_header(spark):
     assert video_header(small)[3] == 1.0  # default 1e6 ns scale
 
     # EBML magic with garbage behind it: malformed (no DocType), not an
-    # empty mkv; truncated vint also malformed
+    # empty mkv; a zero lead byte also malformed
     with _pytest.raises(ValueError):
         video_header(b"\x1a\x45\xdf\xa3 webm-ish")
     with _pytest.raises(ValueError):
         video_header(b"\x1a\x45\xdf\xa3\x00")
+
+    # Review regression: a header PROBE cut mid-element (two bytes into
+    # the next element's id/size) after Info+Tracks must still decode —
+    # truncation at the buffer end is not malformation
+    cluster_start = b"\x1f\x43\xb6"  # Cluster id cut after 3 of 4 bytes
+    probe = header + _ebml(b"\x18\x53\x80\x67", info + tracks) + cluster_start
+    assert video_header(probe) == ("webm", 640, 360, 42.5, 2)
 
 
 def test_budget_fill_no_partial_and_priority(spark):

@@ -921,6 +921,22 @@ def test_two_pass_topk_guarded_no_broadcast_path(spark):
     assert [tuple(r) for r in guarded.collect()] == [tuple(r) for r in exact]
 
 
+def test_two_pass_topk_bigint_keys_with_nulls_stay_exact(spark):
+    """Review regression: a nullable BIGINT key column must not round
+    keys above 2^53 — the old pandas path converted the batch to float64
+    when NULLs were present, corrupting 64-bit hash keys; the Arrow path
+    keeps int64 end-to-end."""
+    from mempool_dumpster_spark.operators.skew import two_pass_topk
+
+    base = (1 << 60) + 1  # adjacent odd ints collapse under float64
+    rows = (
+        [(base,)] * 8 + [(base + 2,)] * 5 + [(None,)] * 3 + [(base + 4,)] * 1
+    )
+    df = spark.createDataFrame(rows, "key long").repartition(3)
+    got = [tuple(r) for r in two_pass_topk(df, "key", k=3, capacity=8).collect()]
+    assert got == [(base, 8), (base + 2, 5), (None, 3)]
+
+
 def test_two_pass_topk_counts_null_keys(spark):
     """NULL keys form a group exactly like the plain groupBy top-k this
     operator approximates (the advisory flagged silent NULL exclusion)."""
