@@ -220,3 +220,45 @@ def sample_per_group(
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )
+
+
+def training_order(
+    df: DataFrame,
+    seed: str = "",
+    id_col: str = "doc_id",
+    out_col: str = "order_key",
+) -> DataFrame:
+    """Content-addressed global shuffle order for a training epoch:
+    `out_col` = md5(seed ‖ '|' ‖ id). Sorting by it is a uniform
+    pseudo-random permutation that is DETERMINISTIC across engines,
+    partitionings, and re-runs (the same determinism contract as
+    ml.splits) — no rand() whose retry/speculation behavior could
+    reorder an epoch — and each `seed` (epoch number) gives an
+    independent permutation. At scale, write with
+    `shuffle_for_training`: repartitionByRange + sortWithinPartitions
+    give a total order ACROSS output files without any single-partition
+    global sort."""
+    return df.withColumn(
+        out_col,
+        F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+    )
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    seed: str = "",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """`training_order` materialization plan: range-partition on the order
+    key and sort within partitions, so reading files in partition order
+    streams the epoch's permutation with NO global sort bottleneck (the
+    range exchange samples boundaries; each partition sorts locally —
+    the same layout contract as sources/clustered.py)."""
+    ordered = training_order(df, seed=seed, id_col=id_col)
+    parts = (
+        ordered.repartitionByRange(n_partitions, "order_key")
+        if n_partitions
+        else ordered.repartitionByRange("order_key")
+    )
+    return parts.sortWithinPartitions("order_key")

@@ -679,3 +679,22 @@ def bpe_encode(
         F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0),
     )
     return with_pretoks.mapInPandas(encode, schema=schema)
+
+
+def bpe_save_merges(spark, merges, path: str) -> None:
+    """Persist a learned merge list as a rank-ordered parquet table — the
+    tokenizer artifact a training pipeline ships alongside the corpus
+    (same persisted-artifact lifecycle as ml.similarity's IVF index).
+    KB-sized: one row per merge."""
+    df = spark.createDataFrame(
+        [(i, a, b, int(n)) for i, (a, b, n) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a `bpe_save_merges` artifact back into the in-memory merge
+    list `bpe_encode` consumes, rank order restored."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"], r["pair_count"]) for r in rows]

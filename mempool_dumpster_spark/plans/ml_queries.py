@@ -848,3 +848,36 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(round(ev[0], 6)).alias("var1"),
         F.lit(round(ev[1], 6)).alias("var2"),
     )
+
+
+@register(
+    "docs_training_order",
+    oracle="""
+    SELECT doc_id,
+           md5('1' || '|' || CAST(doc_id AS VARCHAR)) AS order_key
+    FROM documents
+    ORDER BY order_key, doc_id
+    LIMIT 20
+    """,
+    doc="Deterministic training-epoch shuffle order (ml.packing."
+    "training_order): order_key = md5(seed ‖ '|' ‖ doc_id) — a uniform "
+    "pseudo-random permutation that is identical across engines, "
+    "partitionings, and re-runs (rand() would reorder an epoch under "
+    "task retry/speculation), with each seed/epoch an independent "
+    "permutation. The oracle recomputes the keys bit-for-bit in DuckDB; "
+    "the head of the epoch-1 permutation is compared exactly. At scale "
+    "the full materialization is `shuffle_for_training`: "
+    "repartitionByRange on the key + sortWithinPartitions — total order "
+    "across files, no global sort bottleneck.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.packing import training_order
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        training_order(docs, seed="1")
+        .select("doc_id", "order_key")
+        .orderBy("order_key", "doc_id")
+        .limit(20)
+    )

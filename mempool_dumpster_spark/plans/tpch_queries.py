@@ -735,3 +735,64 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.col("val").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
+
+
+@register(
+    "q12_shipping_priority_split",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q12 (adapted: no shipmode/commit/receipt columns — "
+    "shipmode IN ('MAIL','SHIP') becomes returnflag IN ('A','R') and the "
+    "commit<receipt late-shipping chain becomes shipped >30 days after "
+    "the order date; the SHAPE — one fact-fact orderkey join feeding a "
+    "CONDITIONAL TWO-WAY COUNT split on an order attribute, grouped by a "
+    "line attribute — is unchanged; cf. dss.tpc Q12). Neither side "
+    "broadcasts at scale: one sort-merge shuffle on orderkey, with the "
+    "returnflag + shipdate-window predicates pushed into the lineitem "
+    "scan so only the window's candidate lines shuffle; the residual "
+    "shipdate>orderdate+30d lands in the join condition. The CASE counts "
+    "partial-aggregate map-side; the final exchange carries 2 rows.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def q12_shipping_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    li = t["lineitem"].filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1614,3 +1614,72 @@ def test_pack_prepped_never_mixes_splits(spark):
     for r in seqs:
         assert r["tot"] <= 16 or r["n"] == 1
     assert packed.count() == 60
+
+
+def test_training_order_deterministic_and_seed_independent(spark):
+    """training_order: same seed => identical permutation under any
+    partitioning; different seeds => different permutations;
+    shuffle_for_training yields the globally-sorted order when partitions
+    are read in range order, with every input row exactly once."""
+    from mempool_dumpster_spark.ml.packing import (
+        shuffle_for_training,
+        training_order,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i:03d}",) for i in range(200)], "doc_id string"
+    )
+    order1 = [
+        r["doc_id"]
+        for r in training_order(df, seed="ep1")
+        .orderBy("order_key", "doc_id")
+        .collect()
+    ]
+    order1b = [
+        r["doc_id"]
+        for r in training_order(df.repartition(7), seed="ep1")
+        .orderBy("order_key", "doc_id")
+        .collect()
+    ]
+    order2 = [
+        r["doc_id"]
+        for r in training_order(df, seed="ep2")
+        .orderBy("order_key", "doc_id")
+        .collect()
+    ]
+    assert order1 == order1b          # partition-independent
+    assert order1 != order2           # epochs decorrelate
+    assert order1 != sorted(order1)   # actually permuted
+    assert sorted(order1) == sorted(order2)  # both cover the corpus
+
+    shuffled = shuffle_for_training(df, seed="ep1", n_partitions=5)
+    # range partitioning: concatenating partitions in order IS the sort
+    parts = shuffled.select("order_key", "doc_id").collect()
+    keys = [r["order_key"] for r in parts]
+    assert keys == sorted(keys)
+    assert sorted(r["doc_id"] for r in parts) == sorted(order1)
+
+
+def test_bpe_save_load_roundtrip(spark, tmp_path):
+    """bpe_save_merges/bpe_load_merges: the persisted artifact restores
+    the exact rank-ordered merge list, and encoding with the loaded
+    merges is identical to encoding with the in-memory ones."""
+    from mempool_dumpster_spark.ml.text import (
+        bpe_encode,
+        bpe_learn,
+        bpe_load_merges,
+        bpe_save_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("low low low lower lowest",), ("new newer newest news",)], ["text"]
+    )
+    merges = bpe_learn(df, n_merges=6)
+    path = str(tmp_path / "merges.parquet")
+    bpe_save_merges(spark, merges, path)
+    loaded = bpe_load_merges(spark, path)
+    assert loaded == merges
+
+    direct = bpe_encode(df, merges).select("text", "bpe_tokens").collect()
+    via_disk = bpe_encode(df, loaded).select("text", "bpe_tokens").collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
