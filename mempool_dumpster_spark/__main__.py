@@ -227,6 +227,23 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
     # pointer, which --atomic writes in the same directory)
     with open(f"{args.out}/_prep_manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, default=str)
+    if args.signatures:
+        from mempool_dumpster_spark.ml.prep import corpus_signatures
+        from mempool_dumpster_spark.sources.manifest import read_committed
+
+        # the dedup artifact future incremental preps join against —
+        # derived from the WRITTEN corpus so it reflects exactly what
+        # landed (~100 bytes/doc: text hash + minhash slots)
+        corpus_for_sigs = (
+            read_committed(spark, args.out)
+            if args.atomic
+            else spark.read.parquet(args.out)
+        )
+        (
+            corpus_signatures(corpus_for_sigs)
+            .write.mode("overwrite")
+            .parquet(f"{args.out}_signatures")
+        )
     if args.bucketed:
         from mempool_dumpster_spark.ml.prep import write_prep_bucketed
 
@@ -391,6 +408,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--atomic", action="store_true",
         help="publish via a manifest-committed version (sources/manifest.py) "
         "so concurrent readers never see a partial corpus",
+    )
+    t.add_argument(
+        "--signatures", action="store_true",
+        help="also write OUT_signatures: the per-doc text-hash + minhash "
+        "dedup artifact that ml.prep.prep_incremental joins new document "
+        "batches against without re-reading the corpus",
     )
     t.add_argument(
         "--bucketed", default=None, metavar="TABLE",

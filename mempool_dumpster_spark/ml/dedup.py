@@ -81,6 +81,26 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_rows(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, key) rows from a `minhash_signatures` frame —
+    the joinable form of the LSH banding shared by the self-join
+    (`lsh_candidate_pairs`) and the cross-corpus incremental join
+    (ml.prep.prep_incremental). Tiny: docs × bands rows."""
+    band_cols = []
+    for b in range(bands):
+        slots = [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.concat_ws("|", *slots).alias("key")
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     bands: int = 4,
@@ -102,18 +122,7 @@ def lsh_candidate_pairs(
     certain exact dups of each other — route them through `exact_dedup`
     instead of pairwise verify. None = unbounded.
     """
-    band_cols = []
-    for b in range(bands):
-        slots = [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *slots).alias("key"))
-        )
-    # cache: the self-join would otherwise evaluate the signature lineage
-    # twice (aliased sides don't share exchanges); band rows are tiny
-    # (docs × bands), so this is always worth it.
-    bands_df = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    bands_df = lsh_band_rows(sig, bands=bands, rows_per_band=rows_per_band)
     if max_bucket_size is not None:
         bucket_n = F.count("*").over(Window.partitionBy("band", "key"))
         bands_df = bands_df.withColumn("__bn", bucket_n).filter(

@@ -31,6 +31,7 @@ from mempool_dumpster_spark.ml.decontam import contamination
 from mempool_dumpster_spark.ml.dedup import (
     duplicate_components,
     exact_dedup,
+    lsh_band_rows,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_sets,
@@ -151,6 +152,142 @@ def write_prep_outputs(
         r["split"]: r["n"]
         for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
+
+
+def corpus_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """The compact dedup artifact a corpus persists beside its data:
+    (doc_id, text_hash, m0..m{n-1}) — one row per document, ~100 bytes.
+    `prep_incremental` joins NEW documents against this table instead of
+    re-reading 100 TB of corpus text; docs too short to shingle carry
+    NULL signature slots (they still participate in exact dedup via
+    text_hash)."""
+    sigs = minhash_signatures(
+        shingle_sets(docs, text_col=text_col, id_col=id_col, k=shingle_k),
+        n_hashes=n_hashes,
+    )
+    hashes = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(text_col).alias("text_hash")
+    )
+    return hashes.join(sigs, "doc_id", "left")
+
+
+def prep_incremental(
+    new_docs: DataFrame,
+    signatures: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: PrepConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    est_jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Prep NEW documents for APPENDING to an existing prepped corpus:
+    all of `prep_corpus`'s within-batch gates (quality, exact dedup,
+    near-dup keep-list, decontamination, splits — content-addressed, so
+    the new rows' split labels are consistent with the base corpus), plus
+    two cross-corpus gates against the persisted `corpus_signatures`
+    artifact:
+
+    - exact: new docs whose md5(text) already exists in the corpus are
+      dropped (anti-join on the 128-bit hash — one shuffle bounded by
+      the new batch plus the artifact, never the corpus text);
+    - near-dup: LSH band keys of the new batch join the artifact's band
+      keys; each candidate (new, existing) pair's Jaccard is ESTIMATED
+      as the fraction of agreeing minhash slots (the standard unbiased
+      MinHash estimator), and new docs with any estimate ≥
+      `est_jaccard_threshold` are dropped. Shuffle volume is band rows
+      (docs × bands) + candidate pairs — never all-pairs, never corpus
+      text.
+
+    The new batch is always the keep-side: existing corpus rows are
+    immutable (append-only semantics — re-prepping the union is the
+    rewrite path)."""
+    cfg = config or PrepConfig()
+    out = prep_corpus(
+        new_docs,
+        benchmark=benchmark,
+        config=cfg,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return cross_corpus_filter(
+        out,
+        signatures,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=cfg.shingle_k,
+        n_hashes=n_hashes,
+        near_dup=cfg.near_dup,
+        est_jaccard_threshold=est_jaccard_threshold,
+    )
+
+
+def cross_corpus_filter(
+    new_docs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 16,
+    near_dup: bool = True,
+    est_jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """The cross-corpus half of `prep_incremental` (oracle-checked as
+    `docs_incremental_dedup`): drop new docs that exactly match an
+    existing text_hash, then — when `near_dup` — docs whose LSH-candidate
+    MinHash-estimated Jaccard against any existing doc reaches the
+    threshold."""
+    out = (
+        new_docs.withColumn("__th", F.md5(text_col))
+        .join(
+            signatures.select(F.col("text_hash").alias("__th")).distinct(),
+            "__th",
+            "left_anti",
+        )
+        .drop("__th")
+    )
+    if near_dup:
+        new_sigs = minhash_signatures(
+            shingle_sets(out, text_col=text_col, id_col=id_col, k=shingle_k),
+            n_hashes=n_hashes,
+        )
+        new_bands = lsh_band_rows(new_sigs).withColumnRenamed(
+            "doc_id", "__new_id"
+        )
+        old_bands = lsh_band_rows(
+            signatures.filter(F.col("m0").isNotNull())
+        ).withColumnRenamed("doc_id", "__old_id")
+        cand = (
+            new_bands.join(old_bands, ["band", "key"])
+            .select("__new_id", "__old_id")
+            .distinct()
+        )
+        agree = sum(
+            F.when(F.col(f"n.m{i}") == F.col(f"o.m{i}"), 1).otherwise(0)
+            for i in range(n_hashes)
+        )
+        near = (
+            cand.join(
+                new_sigs.alias("n"),
+                F.col("__new_id") == F.col("n.doc_id"),
+            )
+            .join(
+                signatures.alias("o"),
+                F.col("__old_id") == F.col("o.doc_id"),
+            )
+            .withColumn("__est", agree / F.lit(float(n_hashes)))
+            .filter(F.col("__est") >= est_jaccard_threshold)
+            .select(F.col("__new_id").alias(id_col))
+            .distinct()
+        )
+        out = out.join(near, id_col, "left_anti")
+    return out
 
 
 def write_prep_bucketed(

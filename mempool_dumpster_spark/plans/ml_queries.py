@@ -881,3 +881,90 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("order_key", "doc_id")
         .limit(20)
     )
+
+
+def _incremental_dedup_oracle() -> str:
+    """Cross-corpus incremental dedup in DuckDB: 16-slot minhash on both
+    sides, 4 bands x 4 rows, exact text-hash anti + estimated-Jaccard
+    (agreeing slots / 16) >= 0.7 near-drop — the same parameters
+    ml.prep.cross_corpus_filter defaults to."""
+    shingle = (
+        "SELECT DISTINCT doc_id, unnest("
+        "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+        "list_transform(range(1, len(string_split(text, ' ')) - 1), "
+        "i -> string_split(text, ' ')[i] || ' ' || "
+        "string_split(text, ' ')[i+1] || ' ' || "
+        "string_split(text, ' ')[i+2]) ELSE [] END) AS shingle FROM {src}"
+    )
+    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(16))
+    def bands(sig):
+        rows = []
+        for b in range(4):
+            key = " || '|' || ".join(f"m{b * 4 + r}" for r in range(4))
+            rows.append(
+                f"SELECT doc_id, {b} AS band, {key} AS key FROM {sig}"
+            )
+        return " UNION ALL ".join(rows)
+    agree = " + ".join(
+        f"(CASE WHEN n.m{i} = o.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH new_docs AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+    base AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    sh_new AS ({shingle.format(src='new_docs')}),
+    sh_base AS ({shingle.format(src='base')}),
+    sig_new AS (SELECT doc_id, {mins} FROM sh_new GROUP BY doc_id),
+    sig_base AS (SELECT doc_id, {mins} FROM sh_base GROUP BY doc_id),
+    bands_new AS ({bands('sig_new')}),
+    bands_base AS ({bands('sig_base')}),
+    cand AS (
+      SELECT DISTINCT bn.doc_id AS new_id, bb.doc_id AS old_id
+      FROM bands_new bn
+      JOIN bands_base bb ON bn.band = bb.band AND bn.key = bb.key
+    ),
+    near AS (
+      SELECT DISTINCT c.new_id AS doc_id
+      FROM cand c
+      JOIN sig_new n ON n.doc_id = c.new_id
+      JOIN sig_base o ON o.doc_id = c.old_id
+      WHERE ({agree}) / 16.0 >= 0.7
+    )
+    SELECT doc_id FROM new_docs
+    WHERE md5(text) NOT IN (SELECT md5(text) FROM base)
+      AND doc_id NOT IN (SELECT doc_id FROM near)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "docs_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    doc="Incremental (append-batch) dedup against an EXISTING corpus "
+    "(ml.prep.cross_corpus_filter, the cross-corpus half of "
+    "prep_incremental): treat source=src0 as the new batch and the rest "
+    "as the committed corpus, join the batch against the corpus's "
+    "persisted signature artifact (text_hash + 16-slot MinHash, "
+    "~100 bytes/doc — `corpus_signatures`, landed by `prep "
+    "--signatures`), drop exact text-hash matches and LSH candidates "
+    "whose MinHash-estimated Jaccard (agreeing slots / 16) reaches 0.7. "
+    "At 100 TB the corpus TEXT is never re-read and never shuffles: the "
+    "exact gate shuffles 128-bit hashes, the near gate shuffles "
+    "docs×4 band rows plus candidate pairs — the append path that makes "
+    "a continuously-growing training corpus tractable.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.prep import (
+        corpus_signatures,
+        cross_corpus_filter,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = docs.filter(F.col("source") != "src0")
+    new = docs.filter(F.col("source") == "src0")
+    sigs = corpus_signatures(base)
+    return (
+        cross_corpus_filter(new, sigs)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -1683,3 +1683,82 @@ def test_bpe_save_load_roundtrip(spark, tmp_path):
     direct = bpe_encode(df, merges).select("text", "bpe_tokens").collect()
     via_disk = bpe_encode(df, loaded).select("text", "bpe_tokens").collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
+
+
+def test_prep_incremental_dedups_against_existing_corpus(spark, tmp_path):
+    """prep_incremental: a new batch preps with all within-batch gates
+    PLUS cross-corpus exact and near-dup gates against the persisted
+    corpus_signatures artifact — an exact copy of an existing doc and a
+    near-duplicate (small edit) are dropped; a genuinely new doc and its
+    consistent split label survive."""
+    from mempool_dumpster_spark.ml.prep import (
+        PrepConfig,
+        corpus_signatures,
+        prep_incremental,
+    )
+    from mempool_dumpster_spark.ml.splits import assign_split
+
+    def stream(salt, n=40):
+        return " ".join(f"{salt}w{i % 17} {salt}t{i % 31}" for i in range(n))
+
+    base_rows = [(f"base{i:02d}", stream(f"s{i}")) for i in range(8)]
+    base = spark.createDataFrame(base_rows, "doc_id string, text string")
+    sig_path = str(tmp_path / "sigs.parquet")
+    corpus_signatures(base).write.parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+
+    near_dup_text = stream("s3").replace("s3w1 ", "s3w1 EDIT ", 1)
+    assert near_dup_text != stream("s3")
+    new_rows = [
+        ("new00", stream("s5")),       # exact copy of base05 -> dropped
+        ("new01", near_dup_text),      # near-dup of base03 -> dropped
+        ("new02", stream("fresh")),    # genuinely new -> kept
+        ("new03", stream("fresh")),    # exact dup WITHIN the new batch
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id string, text string")
+    out = prep_incremental(
+        new, sigs, config=PrepConfig(gopher=False, decontaminate=False)
+    )
+    kept = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(kept) == {"new02"}
+    expected_split = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(new, id_col="doc_id").collect()
+    }["new02"]
+    assert kept["new02"] == expected_split  # split consistent with base
+
+    # a second run over the same batch is idempotent (same keep-set)
+    out2 = prep_incremental(
+        new, sigs, config=PrepConfig(gopher=False, decontaminate=False)
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {"new02"}
+
+
+def test_cli_prep_signatures_artifact(spark, tmp_path):
+    """prep --signatures lands OUT_signatures with one row per written
+    doc (text_hash + minhash slots) that prep_incremental can consume."""
+    from mempool_dumpster_spark.__main__ import main
+    from mempool_dumpster_spark.ml.prep import PrepConfig, prep_incremental
+
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(f"d{i}", " ".join(f"w{i}x{j}" for j in range(30))) for i in range(10)],
+        "doc_id string, text string",
+    ).write.parquet(str(docs))
+    out = tmp_path / "corpus"
+    rc = main(
+        ["prep", str(docs), "--out", str(out), "--no-gopher", "--signatures"],
+        spark=spark,
+    )
+    assert rc == 0
+    sigs = spark.read.parquet(str(out) + "_signatures")
+    n_corpus = spark.read.parquet(str(out)).count()
+    assert sigs.count() == n_corpus
+    assert {"doc_id", "text_hash", "m0", "m15"} <= set(sigs.columns)
+
+    # a re-prep of the SAME docs against the artifact keeps nothing
+    new = spark.read.parquet(str(docs))
+    out_inc = prep_incremental(
+        new, sigs, config=PrepConfig(gopher=False, decontaminate=False)
+    )
+    assert out_inc.count() == 0
