@@ -215,6 +215,42 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         # deep inside Spark's bucketBy after the corpus already landed
         print(f"--bucket-count must be positive, got {args.bucket_count}")
         return 2
+    if args.append:
+        # incremental append: gate the new batch within itself AND against
+        # the existing corpus's signature artifact, then publish BOTH the
+        # corpus rows and the new signature rows as atomic manifest
+        # versions (upsert = MERGE INTO; new doc_ids append). The corpus
+        # text is never re-read — the artifact carries everything the
+        # cross-dedup needs.
+        if not args.atomic:
+            print("--append requires --atomic (manifest-committed corpus)")
+            return 2
+        from mempool_dumpster_spark.ml.prep import (
+            corpus_signatures,
+            cross_corpus_filter,
+        )
+        from mempool_dumpster_spark.sources.manifest import (
+            read_committed,
+            upsert,
+        )
+
+        sigs_out = f"{args.out}_signatures"
+        sigs = read_committed(spark, sigs_out)
+        prepped_new = prep_corpus(docs, benchmark=benchmark, config=cfg)
+        kept = cross_corpus_filter(
+            prepped_new, sigs, shingle_k=cfg.shingle_k, near_dup=cfg.near_dup
+        ).cache()
+        upsert(spark, args.out, kept, ["doc_id"])
+        upsert(spark, sigs_out, corpus_signatures(kept), ["doc_id"])
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["split"]: r["n"]
+            for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        kept.unpersist()
+        print(json.dumps({"appended": counts}))
+        return 0
     prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)
     counts = write_prep_outputs(prepped, args.out, atomic=args.atomic)
     # the prep manifest records the corpus write; it lands BEFORE the
@@ -229,21 +265,27 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         json.dump(manifest, f, indent=2, default=str)
     if args.signatures:
         from mempool_dumpster_spark.ml.prep import corpus_signatures
-        from mempool_dumpster_spark.sources.manifest import read_committed
+        from mempool_dumpster_spark.sources.manifest import (
+            commit_write,
+            read_committed,
+        )
 
         # the dedup artifact future incremental preps join against —
         # derived from the WRITTEN corpus so it reflects exactly what
-        # landed (~100 bytes/doc: text hash + minhash slots)
-        corpus_for_sigs = (
-            read_committed(spark, args.out)
-            if args.atomic
-            else spark.read.parquet(args.out)
-        )
-        (
-            corpus_signatures(corpus_for_sigs)
-            .write.mode("overwrite")
-            .parquet(f"{args.out}_signatures")
-        )
+        # landed (~100 bytes/doc: text hash + minhash slots). Under
+        # --atomic it publishes manifest-committed, so --append can
+        # upsert it version-atomically alongside the corpus.
+        sigs_out = f"{args.out}_signatures"
+        if args.atomic:
+            commit_write(
+                corpus_signatures(read_committed(spark, args.out)), sigs_out
+            )
+        else:
+            (
+                corpus_signatures(spark.read.parquet(args.out))
+                .write.mode("overwrite")
+                .parquet(sigs_out)
+            )
     if args.bucketed:
         from mempool_dumpster_spark.ml.prep import write_prep_bucketed
 
@@ -408,6 +450,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--atomic", action="store_true",
         help="publish via a manifest-committed version (sources/manifest.py) "
         "so concurrent readers never see a partial corpus",
+    )
+    t.add_argument(
+        "--append", action="store_true",
+        help="incremental mode: gate the input batch against OUT's "
+        "existing corpus via OUT_signatures, then atomically UPSERT the "
+        "kept rows and their signature rows as new manifest versions "
+        "(requires --atomic and a prior `prep --atomic --signatures` run)",
     )
     t.add_argument(
         "--signatures", action="store_true",

@@ -317,3 +317,64 @@ def test_cli_prep_pack(spark, tmp_path):
     packed = spark.read.parquet(str(out) + "_packed")
     assert packed.count() == 30
     assert {"split", "shard", "seq_id", "n_tokens"} <= set(packed.columns)
+
+
+def test_cli_prep_append_incremental(spark, tmp_path):
+    """prep --append: base corpus lands atomically with its signature
+    artifact; an append batch is gated against it (exact dup dropped,
+    fresh doc upserted), both artifacts advance a version, and
+    re-appending the same batch is a no-op (signatures were updated)."""
+    import json
+
+    from mempool_dumpster_spark.sources.manifest import read_committed
+
+    def doc(i, salt):
+        return (f"{salt}{i}", " ".join(f"{salt}w{j}x{i}" for j in range(30)))
+
+    base_docs = tmp_path / "base.parquet"
+    spark.createDataFrame(
+        [doc(i, "base") for i in range(6)], "doc_id string, text string"
+    ).write.parquet(str(base_docs))
+    out = str(tmp_path / "corpus")
+    rc = main(
+        ["prep", str(base_docs), "--out", out, "--no-gopher",
+         "--atomic", "--signatures"],
+        spark=spark,
+    )
+    assert rc == 0
+    n_base = read_committed(spark, out).count()
+
+    dup_text = " ".join(f"basew{j}x3" for j in range(30))  # == base3's text
+    new_docs = tmp_path / "new.parquet"
+    spark.createDataFrame(
+        [("newdup", dup_text), doc(0, "fresh")],
+        "doc_id string, text string",
+    ).write.parquet(str(new_docs))
+    rc = main(
+        ["prep", str(new_docs), "--out", out, "--no-gopher",
+         "--atomic", "--append"],
+        spark=spark,
+    )
+    assert rc == 0
+    corpus = read_committed(spark, out)
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert "fresh0" in ids and "newdup" not in ids
+    assert corpus.count() == n_base + 1
+    sigs = read_committed(spark, out + "_signatures")
+    assert sigs.count() == n_base + 1  # artifact tracks the corpus
+
+    # idempotent: the same batch appends nothing the second time
+    rc = main(
+        ["prep", str(new_docs), "--out", out, "--no-gopher",
+         "--atomic", "--append"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert read_committed(spark, out).count() == n_base + 1
+
+    # --append without --atomic is rejected up front
+    rc = main(
+        ["prep", str(new_docs), "--out", out, "--no-gopher", "--append"],
+        spark=spark,
+    )
+    assert rc == 2

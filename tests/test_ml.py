@@ -1762,3 +1762,16 @@ def test_cli_prep_signatures_artifact(spark, tmp_path):
         new, sigs, config=PrepConfig(gopher=False, decontaminate=False)
     )
     assert out_inc.count() == 0
+
+
+def test_bpe_learn_stops_when_corpus_exhausted(spark):
+    """When every pretoken is fully merged before n_merges is reached,
+    training stops cleanly with the merges it found (no empty-scan spin,
+    no error) — the behavior a large-vocab run hits on a small corpus."""
+    from mempool_dumpster_spark.ml.text import bpe_learn
+
+    df = spark.createDataFrame([("ab ab cd",)], ["text"])
+    merges = bpe_learn(df, n_merges=50, merges_per_scan=8)
+    assert 0 < len(merges) < 50
+    # idempotent: the same truncated list every run
+    assert bpe_learn(df, n_merges=50, merges_per_scan=8) == merges
