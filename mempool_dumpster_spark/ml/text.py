@@ -698,3 +698,60 @@ def bpe_load_merges(spark, path: str) -> list[tuple[str, str, int]]:
     list `bpe_encode` consumes, rank order restored."""
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return [(r["left"], r["right"], r["pair_count"]) for r in rows]
+
+
+def ngram_frequency_score(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_threshold: int = 2,
+) -> DataFrame:
+    """CCNet-style corpus-frequency quality signal, float-hazard-free:
+    per document, over its word n-gram INSTANCES (duplicates kept — this
+    is an LM-style statistic, not a set statistic),
+
+      - n_grams:     instance count
+      - mean_count:  average corpus-wide frequency of the doc's n-grams
+      - rare_frac:   fraction of instances whose corpus frequency is
+                     below `rare_threshold`
+
+    High rare_frac ≈ high perplexity under a corpus n-gram LM (the doc
+    is made of word sequences the corpus has rarely seen) — the standard
+    frequency-filtering signal — but computed with exact BIGINT counts
+    and a single IEEE division per ratio (correctly rounded identically
+    by every engine), so the DuckDB oracle hash-matches where a
+    log-probability would drift in the last ulps.
+
+    Plan: explode to (doc, gram) instances → corpus gram counts
+    (map-side partial agg, shuffle bounded by distinct grams) → join
+    instances to counts on gram → per-doc aggregate. No UDF, no
+    all-pairs; at 100 TB the gram-count frame is the vocabulary, not the
+    corpus."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("__w"))
+    wc = F.col("__w")
+    sz = F.size(wc)
+    idx = F.sequence(F.lit(1), sz - (n - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731 - mirrors shingle_sets
+        " ", *[F.element_at(wc, (i + off).cast("int")) for off in range(n)]
+    )
+    gram_arr = F.when(sz >= n, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = w.select("doc_id", F.explode(gram_arr).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("__c"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (F.sum("__c").cast("double") / F.count("*")).alias("mean_count"),
+            (
+                F.sum(F.when(F.col("__c") < rare_threshold, 1).otherwise(0))
+                .cast("double")
+                / F.count("*")
+            ).alias("rare_frac"),
+        )
+    )

@@ -927,3 +927,42 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "rank long, left string, right string, pair_count long",
     )
+
+
+@register(
+    "docs_ngram_lm_score",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+                 list_transform(range(1, len(string_split(text, ' '))),
+                                i -> string_split(text, ' ')[i] || ' ' ||
+                                     string_split(text, ' ')[i+1])
+               ELSE [] END) AS gram
+      FROM documents
+    ),
+    counts AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(c) AS DOUBLE) / count(*) AS mean_count,
+           CAST(sum(CASE WHEN c < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS rare_frac
+    FROM grams g JOIN counts USING (gram)
+    GROUP BY g.doc_id
+    """,
+    doc="Corpus-frequency LM proxy (ml.text.ngram_frequency_score): per "
+    "document, the mean corpus-wide frequency of its word-bigram "
+    "INSTANCES and the fraction that are rare (<2 occurrences) — the "
+    "CCNet-style 'filter by language-model surprise' signal, re-expressed "
+    "with exact BIGINT counts and one IEEE division per ratio so both "
+    "engines agree bit-for-bit (a log-prob perplexity would drift in the "
+    "last ulps and break hash equality). Plan: instance explode → "
+    "vocabulary-bounded gram counts → gram join → per-doc fold; the "
+    "count frame is the vocabulary, never the corpus.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import ngram_frequency_score
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return ngram_frequency_score(docs, n=2)

@@ -1775,3 +1775,30 @@ def test_bpe_learn_stops_when_corpus_exhausted(spark):
     assert 0 < len(merges) < 50
     # idempotent: the same truncated list every run
     assert bpe_learn(df, n_merges=50, merges_per_scan=8) == merges
+
+
+def test_ngram_frequency_score_hand_computed(spark):
+    """ngram_frequency_score vs hand-computed corpus bigram stats:
+    instance-weighted (duplicates kept), exact ratios, short docs emit
+    nothing."""
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.text import ngram_frequency_score
+
+    df = spark.createDataFrame(
+        [("d1", "a b a b"), ("d2", "a b c"), ("d3", "solo")],
+        "doc_id string, text string",
+    )
+    # corpus bigram counts: 'a b':3, 'b a':1, 'b c':1
+    rows = {r["doc_id"]: r for r in ngram_frequency_score(df, n=2).collect()}
+    assert set(rows) == {"d1", "d2"}  # d3 has no bigrams
+    d1, d2 = rows["d1"], rows["d2"]
+    assert d1["n_grams"] == 3
+    assert abs(d1["mean_count"] - 7 / 3) < 1e-12  # (3+1+3)/3
+    assert abs(d1["rare_frac"] - 1 / 3) < 1e-12   # 'b a' is rare
+    assert d2["n_grams"] == 2
+    assert abs(d2["mean_count"] - 2.0) < 1e-12    # (3+1)/2
+    assert abs(d2["rare_frac"] - 0.5) < 1e-12     # 'b c' is rare
+
+    with _pytest.raises(ValueError):
+        ngram_frequency_score(df, n=0)
