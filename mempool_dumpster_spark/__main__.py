@@ -217,14 +217,16 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         return 2
     if args.append:
         # incremental append: gate the new batch within itself AND against
-        # the existing corpus's signature artifact, then publish BOTH the
-        # corpus rows and the new signature rows as atomic manifest
-        # versions (upsert = MERGE INTO; new doc_ids append). The corpus
-        # text is never re-read — the artifact carries everything the
-        # cross-dedup needs.
+        # the existing corpus's signature artifact, then publish the
+        # corpus rows and the new signature rows as manifest versions
+        # (upsert = MERGE INTO; new doc_ids append). The corpus text is
+        # never re-read for the gates — the artifact carries everything
+        # the cross-dedup needs.
         if not args.atomic:
             print("--append requires --atomic (manifest-committed corpus)")
             return 2
+        from pyspark.sql import functions as F
+
         from mempool_dumpster_spark.ml.prep import (
             corpus_signatures,
             cross_corpus_filter,
@@ -236,34 +238,59 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
 
         sigs_out = f"{args.out}_signatures"
         sigs = read_committed(spark, sigs_out)
+        # The corpus and artifact are TWO manifest commits (corpus first),
+        # so a crash between them can leave the artifact behind the
+        # corpus. Self-heal here: any committed doc_id missing from the
+        # artifact gets its signature recomputed and upserted BEFORE the
+        # gates run — the id anti-join is cheap (two id columns), and the
+        # corpus text is read only for the missing rows (normally zero).
+        committed = read_committed(spark, args.out)
+        missing = committed.join(
+            sigs.select("doc_id"), "doc_id", "left_anti"
+        )
+        if missing.limit(1).count():
+            upsert(
+                spark,
+                sigs_out,
+                corpus_signatures(missing, shingle_k=cfg.shingle_k),
+                ["doc_id"],
+            )
+            sigs = read_committed(spark, sigs_out)
         prepped_new = prep_corpus(docs, benchmark=benchmark, config=cfg)
         kept = cross_corpus_filter(
             prepped_new, sigs, shingle_k=cfg.shingle_k, near_dup=cfg.near_dup
         ).cache()
         upsert(spark, args.out, kept, ["doc_id"])
-        upsert(spark, sigs_out, corpus_signatures(kept), ["doc_id"])
-        from pyspark.sql import functions as F
-
+        upsert(
+            spark,
+            sigs_out,
+            corpus_signatures(kept, shingle_k=cfg.shingle_k),
+            ["doc_id"],
+        )
         counts = {
             r["split"]: r["n"]
             for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
         }
         kept.unpersist()
-        print(json.dumps({"appended": counts}))
-        return 0
-    prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)
-    counts = write_prep_outputs(prepped, args.out, atomic=args.atomic)
-    # the prep manifest records the corpus write; it lands BEFORE the
-    # optional packing step so a pack failure can't orphan a fully-valid
-    # written corpus from downstream tooling that keys off the manifest
-    manifest = {"out": args.out, "splits": counts, "config": vars(args)}
-    # underscore prefix: Spark/Hadoop readers ignore _-files during
-    # partition discovery, so the manifest can live beside the split= dirs
-    # (named distinctly from sources/manifest.py's _manifest.json version
-    # pointer, which --atomic writes in the same directory)
-    with open(f"{args.out}/_prep_manifest.json", "w") as f:
-        json.dump(manifest, f, indent=2, default=str)
-    if args.signatures:
+        counts_payload = {"appended": counts}
+    else:
+        prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)
+        counts = write_prep_outputs(prepped, args.out, atomic=args.atomic)
+        counts_payload = counts
+        # the prep manifest records the corpus write; it lands BEFORE the
+        # optional packing step so a pack failure can't orphan a
+        # fully-valid written corpus from downstream tooling that keys
+        # off the manifest
+        manifest = {"out": args.out, "splits": counts, "config": vars(args)}
+        # underscore prefix: Spark/Hadoop readers ignore _-files during
+        # partition discovery, so the manifest can live beside the split=
+        # dirs (named distinctly from sources/manifest.py's
+        # _manifest.json version pointer, which --atomic writes in the
+        # same directory)
+        with open(f"{args.out}/_prep_manifest.json", "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+    if args.signatures and not args.append:
+        # (--append maintains the artifact itself via upsert above)
         from mempool_dumpster_spark.ml.prep import corpus_signatures
         from mempool_dumpster_spark.sources.manifest import (
             commit_write,
@@ -278,11 +305,16 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         sigs_out = f"{args.out}_signatures"
         if args.atomic:
             commit_write(
-                corpus_signatures(read_committed(spark, args.out)), sigs_out
+                corpus_signatures(
+                    read_committed(spark, args.out), shingle_k=cfg.shingle_k
+                ),
+                sigs_out,
             )
         else:
             (
-                corpus_signatures(spark.read.parquet(args.out))
+                corpus_signatures(
+                    spark.read.parquet(args.out), shingle_k=cfg.shingle_k
+                )
                 .write.mode("overwrite")
                 .parquet(sigs_out)
             )
@@ -332,7 +364,7 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
                 .partitionBy("split")
                 .parquet(f"{args.out}_packed")
             )
-    print(json.dumps(counts))
+    print(json.dumps(counts_payload))
     return 0
 
 

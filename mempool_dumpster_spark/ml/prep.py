@@ -237,12 +237,24 @@ def cross_corpus_filter(
     n_hashes: int = 16,
     near_dup: bool = True,
     est_jaccard_threshold: float = 0.7,
+    bands: int = 4,
+    rows_per_band: int = 4,
 ) -> DataFrame:
     """The cross-corpus half of `prep_incremental` (oracle-checked as
     `docs_incremental_dedup`): drop new docs that exactly match an
     existing text_hash, then — when `near_dup` — docs whose LSH-candidate
     MinHash-estimated Jaccard against any existing doc reaches the
-    threshold."""
+    threshold.
+
+    `bands × rows_per_band` must equal `n_hashes` (and must match the
+    parameters the `signatures` artifact was built with — signature
+    slots computed at a different shingle_k or hash count compare as
+    noise); the default 4×4=16 mirrors `corpus_signatures`."""
+    if bands * rows_per_band != n_hashes:
+        raise ValueError(
+            f"bands ({bands}) x rows_per_band ({rows_per_band}) must "
+            f"equal n_hashes ({n_hashes})"
+        )
     out = (
         new_docs.withColumn("__th", F.md5(text_col))
         .join(
@@ -257,11 +269,13 @@ def cross_corpus_filter(
             shingle_sets(out, text_col=text_col, id_col=id_col, k=shingle_k),
             n_hashes=n_hashes,
         )
-        new_bands = lsh_band_rows(new_sigs).withColumnRenamed(
-            "doc_id", "__new_id"
-        )
+        new_bands = lsh_band_rows(
+            new_sigs, bands=bands, rows_per_band=rows_per_band
+        ).withColumnRenamed("doc_id", "__new_id")
         old_bands = lsh_band_rows(
-            signatures.filter(F.col("m0").isNotNull())
+            signatures.filter(F.col("m0").isNotNull()),
+            bands=bands,
+            rows_per_band=rows_per_band,
         ).withColumnRenamed("doc_id", "__old_id")
         cand = (
             new_bands.join(old_bands, ["band", "key"])

@@ -730,17 +730,11 @@ def ngram_frequency_score(
     corpus."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    w = df.select(F.col(id_col).alias("doc_id"), words(text_col).alias("__w"))
-    wc = F.col("__w")
-    sz = F.size(wc)
-    idx = F.sequence(F.lit(1), sz - (n - 1))
-    mk = lambda i: F.concat_ws(  # noqa: E731 - mirrors shingle_sets
-        " ", *[F.element_at(wc, (i + off).cast("int")) for off in range(n)]
+    # dedup.shingles keeps duplicate instances — exactly the LM statistic
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, k=n)).alias("gram"),
     )
-    gram_arr = F.when(sz >= n, F.transform(idx, mk)).otherwise(
-        F.array().cast("array<string>")
-    )
-    grams = w.select("doc_id", F.explode(gram_arr).alias("gram"))
     counts = grams.groupBy("gram").agg(F.count("*").alias("__c"))
     return (
         grams.join(counts, "gram")

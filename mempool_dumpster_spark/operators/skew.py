@@ -124,6 +124,7 @@ def two_pass_topk(
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        nan_key = object()  # NaN != NaN, so fold all NaNs onto a sentinel
         counts: dict = {}
         key_type = None
         for batch in batches:
@@ -133,6 +134,8 @@ def two_pass_topk(
                 counts[None] = counts.get(None, 0) + col.null_count
             for item in pc.value_counts(col.drop_null()).to_pylist():
                 v, c = item["values"], item["counts"]
+                if isinstance(v, float) and v != v:
+                    v = nan_key
                 counts[v] = counts.get(v, 0) + c
             if len(counts) > 2 * capacity:
                 top = sorted(
@@ -142,8 +145,9 @@ def two_pass_topk(
         if key_type is None:
             return  # empty partition
         top = sorted(counts.items(), key=lambda kv: -kv[1])[:capacity]
+        vals = [float("nan") if t[0] is nan_key else t[0] for t in top]
         yield pa.RecordBatch.from_arrays(
-            [pa.array([t[0] for t in top], type=key_type)], names=[key_col]
+            [pa.array(vals, type=key_type)], names=[key_col]
         )
 
     candidates = (

@@ -199,7 +199,13 @@ def upsert(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"
     )
     merged = survivors.unionByName(updates)
-    return commit_write(merged, path, compression=compression)
+    # preserve the dataset's partition layout: the base version may have
+    # been committed partition_by=['split'] etc., and silently dropping it
+    # here would turn every later partition-pruned read into a full scan
+    layout = current_version(path).get("partition_by") or None
+    return commit_write(
+        merged, path, compression=compression, partition_by=layout
+    )
 
 
 def diff_versions(

@@ -555,3 +555,35 @@ def test_manifest_upsert_idempotent(spark, tmp_path):
     second = sorted(map(tuple, read_committed(spark, path).collect()))
     assert first == second == [(1, "a"), (2, "B"), (3, "c")]
     assert current_version(path)["version"] == 3
+
+
+def test_manifest_upsert_preserves_partition_layout(spark, tmp_path):
+    """Review regression: upsert's merged commit must re-commit with the
+    dataset's original partition_by — dropping it silently turns every
+    partition-pruned read into a full scan after the first upsert."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.sources.manifest import (
+        commit_write,
+        current_version,
+        upsert,
+    )
+
+    path = str(tmp_path / "ds")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 == 0).cast("string").alias("part"),
+    )
+    commit_write(df, path, partition_by=["part"])
+    upsert(
+        spark,
+        path,
+        spark.createDataFrame([(100, "true")], "k long, part string"),
+        ["k"],
+    )
+    m = current_version(path)
+    assert m["partition_by"] == ["part"]
+    vdir = os.path.join(path, m["data_dir"])
+    assert any(d.startswith("part=") for d in os.listdir(vdir))

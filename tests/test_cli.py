@@ -378,3 +378,74 @@ def test_cli_prep_append_incremental(spark, tmp_path):
         spark=spark,
     )
     assert rc == 2
+
+
+def test_cli_prep_append_heals_stale_signatures_and_packs(spark, tmp_path):
+    """Review regressions on --append: (1) a crash between the corpus and
+    signature commits leaves the artifact behind — the next append must
+    self-heal (recompute signatures for committed docs missing from the
+    artifact) so duplicates of the stranded rows still gate; (2)
+    --pack-tokens is honored on append runs (the packed companion
+    refreshes from the post-append corpus); (3) the corpus stays
+    split-partitioned after upsert."""
+    import os
+
+    from mempool_dumpster_spark.sources.manifest import (
+        current_version,
+        read_committed,
+        upsert,
+    )
+
+    def doc(i, salt):
+        return (f"{salt}{i}", " ".join(f"{salt}w{j}x{i}" for j in range(30)))
+
+    base_docs = tmp_path / "base.parquet"
+    spark.createDataFrame(
+        [doc(i, "base") for i in range(5)], "doc_id string, text string"
+    ).write.parquet(str(base_docs))
+    out = str(tmp_path / "corpus")
+    assert main(
+        ["prep", str(base_docs), "--out", out, "--no-gopher",
+         "--atomic", "--signatures"],
+        spark=spark,
+    ) == 0
+
+    # simulate the crash window: a doc lands in the corpus but never in
+    # the signature artifact
+    stranded_text = " ".join(f"strandw{j}" for j in range(30))
+    committed = read_committed(spark, out)
+    stranded = spark.createDataFrame(
+        [("stranded0", stranded_text, "train")],
+        "doc_id string, text string, split string",
+    ).select(*committed.columns)
+    upsert(spark, out, stranded, ["doc_id"])
+    n_after_strand = read_committed(spark, out).count()
+
+    # append a batch containing an exact dup of the STRANDED doc + fresh
+    new_docs = tmp_path / "new.parquet"
+    spark.createDataFrame(
+        [("dupofstranded", stranded_text), doc(0, "fresh")],
+        "doc_id string, text string",
+    ).write.parquet(str(new_docs))
+    assert main(
+        ["prep", str(new_docs), "--out", out, "--no-gopher",
+         "--atomic", "--append", "--pack-tokens", "64"],
+        spark=spark,
+    ) == 0
+    corpus = read_committed(spark, out)
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert "dupofstranded" not in ids      # healed artifact gated it
+    assert "fresh0" in ids
+    assert corpus.count() == n_after_strand + 1
+    sigs = read_committed(spark, out + "_signatures")
+    assert sigs.count() == corpus.count()  # heal + append both landed
+
+    # split partitioning survived the upserts
+    m = current_version(out)
+    assert m["partition_by"] == ["split"]
+    vdir = os.path.join(out, m["data_dir"])
+    assert any(d.startswith("split=") for d in os.listdir(vdir))
+
+    # the packed companion refreshed on the append run
+    packed = read_committed(spark, out + "_packed")
+    assert packed.count() > 0

@@ -946,3 +946,17 @@ def test_two_pass_topk_counts_null_keys(spark):
     df = spark.createDataFrame(rows, "key string").repartition(4)
     got = [tuple(r) for r in two_pass_topk(df, "key", k=3, capacity=8).collect()]
     assert got == [("a", 10), (None, 7), ("b", 3)]
+
+
+def test_two_pass_topk_folds_nan_float_keys(spark):
+    """Review regression: NaN float keys fold onto ONE accumulator across
+    Arrow batches/partitions (NaN != NaN would fragment the count and
+    could evict true heavy hitters from the candidate set)."""
+    from mempool_dumpster_spark.operators.skew import two_pass_topk
+
+    rows = [(float("nan"),)] * 9 + [(1.5,)] * 5 + [(2.5,)] * 2
+    df = spark.createDataFrame(rows, "key double").repartition(4)
+    got = [tuple(r) for r in two_pass_topk(df, "key", k=2, capacity=4).collect()]
+    assert len(got) == 2
+    assert got[0][0] != got[0][0] and got[0][1] == 9  # NaN key, count 9
+    assert got[1] == (1.5, 5)
