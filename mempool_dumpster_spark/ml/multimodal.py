@@ -896,3 +896,124 @@ def resize_images(
             )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# --- PCM audio features ------------------------------------------------------
+
+PCM_FEATURES_SCHEMA = (
+    "media_id long, mime string, n_samples long, rms double, peak double, "
+    "zero_crossings long, clipped_frac double, decode_ok boolean"
+)
+
+
+def _wav_pcm_samples(payload: bytes):
+    """Decode integer-PCM WAV sample data to a numpy float array in
+    [-1, 1] (mono-mixed). Returns None for non-WAV/non-integer-PCM;
+    raises ValueError for malformed WAV (same contract as audio_header).
+    Pure numpy frombuffer — no codec library."""
+    import numpy as np
+
+    n = len(payload)
+    if not (n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+        return None
+    fmt_code = rate = channels = bits = None
+    data = None
+    i = 12
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt ":
+            if body + 16 > n:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt_code = int.from_bytes(payload[body : body + 2], "little")
+            channels = int.from_bytes(payload[body + 2 : body + 4], "little")
+            rate = int.from_bytes(payload[body + 4 : body + 8], "little")
+            bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            data = payload[body : body + min(size, n - body)]
+        i = body + size + (size & 1)
+    if fmt_code is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code != 1 or bits not in (8, 16, 32) or not channels:
+        return None  # float/compressed/odd-width PCM: not handled here
+    if bits == 8:  # 8-bit WAV is unsigned
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        usable = (len(data) // np.dtype(dt).itemsize) * np.dtype(dt).itemsize
+        x = np.frombuffer(data[:usable], dtype=dt).astype(np.float64)
+        x = x / float(2 ** (bits - 1))
+    if channels > 1:
+        usable = (len(x) // channels) * channels
+        x = x[:usable].reshape(-1, channels).mean(axis=1)
+    return x
+
+
+def pcm_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Signal-level features over decodable integer-PCM WAV payloads —
+    the feature-extraction stage past header parsing: RMS level, peak
+    amplitude, zero-crossing count, and clipped-sample fraction (|x| ≥
+    0.999), the standard cheap quality gates an audio-corpus pipeline
+    runs (silence / clipping / DC detection) before expensive ASR.
+    Non-PCM formats emit NULL features with decode_ok=False (strict
+    raises NotImplementedError); malformed WAV is decode_ok=False
+    without strict raising — same contract as the header decoders. Same
+    100 TB plumbing: Arrow-batched mapInPandas, payloads never
+    re-emitted, output is fixed-width metadata."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": media_id,
+                    "mime": mime,
+                    "n_samples": None,
+                    "rms": None,
+                    "peak": None,
+                    "zero_crossings": None,
+                    "clipped_frac": None,
+                    "decode_ok": False,
+                }
+                try:
+                    x = _wav_pcm_samples(payload)
+                except ValueError:
+                    x = None  # malformed: decode_ok stays False
+                else:
+                    if x is None and strict:
+                        raise NotImplementedError(
+                            "no pure-Python PCM decode for this audio "
+                            "payload; install a codec library or run "
+                            "strict=False"
+                        )
+                if x is not None and len(x):
+                    row.update(
+                        n_samples=int(len(x)),
+                        rms=float(np.sqrt(np.mean(x * x))),
+                        peak=float(np.max(np.abs(x))),
+                        zero_crossings=int(
+                            np.count_nonzero(np.diff(np.signbit(x)))
+                        ),
+                        clipped_frac=float(
+                            np.count_nonzero(np.abs(x) >= 0.999) / len(x)
+                        ),
+                        decode_ok=True,
+                    )
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "mime", "n_samples", "rms", "peak",
+                    "zero_crossings", "clipped_frac", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=PCM_FEATURES_SCHEMA)

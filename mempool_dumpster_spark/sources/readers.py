@@ -120,3 +120,52 @@ def read_transactions_parquet(spark: SparkSession, paths: list[str] | str) -> Da
     return spark.read.parquet(
         *(paths if isinstance(paths, list) else [paths])
     )
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    paths: list[str] | str,
+    id_field: str = "doc_id",
+    text_field: str = "text",
+) -> ReadResult:
+    """Documents-corpus JSONL source: one JSON object per line with at
+    least an id and a text field (the interchange format LLM corpus
+    pipelines exchange — Dolma/RedPajama/FineWeb all ship JSONL), plus a
+    free-form `meta` map for everything else. Same validity contract as
+    the CSV readers: `valid` carries well-formed rows, `rejects` the
+    malformed lines (broken JSON, missing/null id or text) so reject
+    counts are reportable, never silently dropped.
+
+    Scale notes: Spark splits uncompressed JSONL by line ranges, so the
+    scan parallelizes like CSV; PERMISSIVE mode routes corrupt lines to
+    `_corrupt_record` without failing the job; columnNameOfCorruptRecord
+    rows must be materialized from the raw schema (a Spark constraint:
+    a query selecting ONLY the corrupt column over json is disallowed —
+    hence the cached two-sided split here)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_field, T.StringType(), True),
+            T.StructField(text_field, T.StringType(), True),
+            T.StructField(
+                "meta", T.MapType(T.StringType(), T.StringType()), True
+            ),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(paths if isinstance(paths, list) else [paths])
+    ).cache()
+    ok = (
+        F.col("_corrupt_record").isNull()
+        & F.col(id_field).isNotNull()
+        & F.col(text_field).isNotNull()
+    )
+    valid = raw.filter(ok).select(
+        F.col(id_field).alias("doc_id"),
+        F.col(text_field).alias("text"),
+        F.col("meta"),
+    )
+    return ReadResult(valid=valid, rejects=raw.filter(~ok | ok.isNull()))

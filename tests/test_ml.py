@@ -1802,3 +1802,62 @@ def test_ngram_frequency_score_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         ngram_frequency_score(df, n=0)
+
+
+def test_pcm_features_wav_and_contract(spark):
+    """pcm_features: RMS/peak/zero-crossings/clipped over real 16-bit PCM
+    samples (hand-built square wave: rms=peak=1 after normalization... or
+    a known ramp), unknown formats NULL-out (strict raises), malformed
+    WAV is decode_ok=False without strict raising."""
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.multimodal import pcm_features
+
+    # mono 16-bit square wave at half scale: rms = peak = 0.5, one zero
+    # crossing per half-period; 8 samples alternating +/-16384 every 2
+    samples = [16384, 16384, -16384, -16384] * 2
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav), "audio/wav", None),
+            (2, bytearray(b"OggS not pcm"), "audio/ogg", None),
+            (3, bytearray(b"RIFF\x00\x00\x00\x00WAVE"), "audio/wav", None),
+        ],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in pcm_features(df).collect()}
+    ok = rows[1]
+    assert ok["decode_ok"] and ok["n_samples"] == 8
+    assert abs(ok["rms"] - 0.5) < 1e-9 and abs(ok["peak"] - 0.5) < 1e-9
+    assert ok["zero_crossings"] == 3  # sign flips at samples 2, 4, 6
+    assert ok["clipped_frac"] == 0.0
+    assert not rows[2]["decode_ok"]  # unknown container
+    assert not rows[3]["decode_ok"]  # malformed WAV: no fmt/data
+    with _pytest.raises(Exception):
+        pcm_features(df, strict=True).collect()
+
+    # full-scale 8-bit WAV clips
+    d8 = bytes([255, 0, 255, 0])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 36 + len(d8)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", len(d8)) + d8
+    )
+    r8 = pcm_features(
+        spark.createDataFrame(
+            [(9, bytearray(wav8), "audio/wav", None)],
+            "media_id long, payload binary, mime string, meta map<string,string>",
+        )
+    ).collect()[0]
+    assert r8["decode_ok"] and r8["clipped_frac"] >= 0.5
+    assert math.isclose(r8["peak"], 1.0, rel_tol=1e-6)

@@ -86,3 +86,26 @@ def test_zip_expansion(spark, tmp_path):
     res = read_tx_csv(spark, paths)
     got = {r["hash"] for r in res.valid.collect()}
     assert got == {H1, H2}
+
+
+def test_read_documents_jsonl(spark, tmp_path):
+    """JSONL corpus source: well-formed rows parse with meta; broken JSON
+    and missing-field lines land in rejects with a countable total."""
+    import json
+
+    from mempool_dumpster_spark.sources.readers import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        json.dumps({"doc_id": "d1", "text": "hello world", "meta": {"lang": "en"}}),
+        json.dumps({"doc_id": "d2", "text": "zwei", "meta": None}),
+        '{"doc_id": "broken json...',            # corrupt line
+        json.dumps({"doc_id": "d3"}),            # missing text
+        json.dumps({"text": "no id here"}),      # missing id
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    res = read_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r for r in res.valid.collect()}
+    assert set(rows) == {"d1", "d2"}
+    assert rows["d1"]["meta"]["lang"] == "en"
+    assert res.reject_count() == 3
