@@ -229,7 +229,7 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
 
         from mempool_dumpster_spark.ml.prep import (
             corpus_signatures,
-            cross_corpus_filter,
+            prep_incremental,
         )
         from mempool_dumpster_spark.sources.manifest import (
             read_committed,
@@ -247,7 +247,7 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         committed = read_committed(spark, args.out)
         missing = committed.join(
             sigs.select("doc_id"), "doc_id", "left_anti"
-        )
+        ).cache()  # referenced up to three times in the heal path
         if missing.limit(1).count():
             upsert(
                 spark,
@@ -256,9 +256,9 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
                 ["doc_id"],
             )
             sigs = read_committed(spark, sigs_out)
-        prepped_new = prep_corpus(docs, benchmark=benchmark, config=cfg)
-        kept = cross_corpus_filter(
-            prepped_new, sigs, shingle_k=cfg.shingle_k, near_dup=cfg.near_dup
+        missing.unpersist()
+        kept = prep_incremental(
+            docs, sigs, benchmark=benchmark, config=cfg
         ).cache()
         upsert(spark, args.out, kept, ["doc_id"])
         upsert(

@@ -444,31 +444,55 @@ def audio_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
     if mp3 is not None:
         return mp3
     if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        rate = channels = bits = byte_rate = None
+        fmt_fields = None
         data_size = None
-        i = 12
-        while i + 8 <= n:
-            cid = payload[i : i + 4]
-            size = int.from_bytes(payload[i + 4 : i + 8], "little")
-            body = i + 8
+        for cid, body, size in _riff_chunks(payload):
             if cid == b"fmt ":
-                if body + 16 > n:
-                    raise ValueError("truncated WAV fmt chunk")
-                channels = int.from_bytes(payload[body + 2 : body + 4], "little")
-                rate = int.from_bytes(payload[body + 4 : body + 8], "little")
-                byte_rate = int.from_bytes(payload[body + 8 : body + 12], "little")
-                bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+                fmt_fields = _wav_fmt_fields(payload, body, size)
             elif cid == b"data":
                 # size may legitimately exceed the buffer for a streamed
                 # header probe; trust the declared size for duration
                 data_size = size
-            i = body + size + (size & 1)  # chunks are word-aligned
-        if rate is None or data_size is None:
+        if fmt_fields is None or data_size is None:
             raise ValueError("WAV missing fmt or data chunk")
+        _fmt_code, channels, rate, byte_rate, bits = fmt_fields
         if not (rate > 0 and channels and byte_rate):
             raise ValueError("WAV fmt chunk with zero rate/channels")
         return ("wav", rate, channels, bits or 0, data_size / byte_rate)
     return None
+
+
+def _riff_chunks(payload: bytes):
+    """Iterate RIFF chunks after the 12-byte RIFF/WAVE header as
+    (chunk_id, body_offset, declared_size) — the shared walker behind
+    `audio_header`'s WAV branch and `_wav_pcm_samples`. Chunks are
+    word-aligned; a declared size past the buffer is yielded as-is (the
+    caller decides whether to trust it — header probe — or clamp it —
+    sample decode)."""
+    n = len(payload)
+    i = 12
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        yield cid, i + 8, size
+        i = i + 8 + size + (size & 1)
+
+
+def _wav_fmt_fields(
+    payload: bytes, body: int, size: int
+) -> tuple[int, int, int, int, int]:
+    """(fmt_code, channels, rate, byte_rate, bits) from a fmt chunk body,
+    validating the DECLARED size too — a fmt chunk claiming < 16 bytes
+    would otherwise read the next chunk's header bytes as fields."""
+    if size < 16 or body + 16 > len(payload):
+        raise ValueError("truncated WAV fmt chunk")
+    return (
+        int.from_bytes(payload[body : body + 2], "little"),
+        int.from_bytes(payload[body + 2 : body + 4], "little"),
+        int.from_bytes(payload[body + 4 : body + 8], "little"),
+        int.from_bytes(payload[body + 8 : body + 12], "little"),
+        int.from_bytes(payload[body + 14 : body + 16], "little"),
+    )
 
 
 def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
@@ -916,25 +940,18 @@ def _wav_pcm_samples(payload: bytes):
     n = len(payload)
     if not (n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
         return None
-    fmt_code = rate = channels = bits = None
+    fmt_fields = None
     data = None
-    i = 12
-    while i + 8 <= n:
-        cid = payload[i : i + 4]
-        size = int.from_bytes(payload[i + 4 : i + 8], "little")
-        body = i + 8
+    for cid, body, size in _riff_chunks(payload):
         if cid == b"fmt ":
-            if body + 16 > n:
-                raise ValueError("truncated WAV fmt chunk")
-            fmt_code = int.from_bytes(payload[body : body + 2], "little")
-            channels = int.from_bytes(payload[body + 2 : body + 4], "little")
-            rate = int.from_bytes(payload[body + 4 : body + 8], "little")
-            bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+            fmt_fields = _wav_fmt_fields(payload, body, size)
         elif cid == b"data":
+            # clamp to the buffer: sample decode needs real bytes, unlike
+            # the header probe's declared-size duration
             data = payload[body : body + min(size, n - body)]
-        i = body + size + (size & 1)
-    if fmt_code is None or data is None:
+    if fmt_fields is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    fmt_code, channels, _rate, _byte_rate, bits = fmt_fields
     if fmt_code != 1 or bits not in (8, 16, 32) or not channels:
         return None  # float/compressed/odd-width PCM: not handled here
     if bits == 8:  # 8-bit WAV is unsigned

@@ -186,6 +186,8 @@ def prep_incremental(
     text_col: str = "text",
     n_hashes: int = 16,
     est_jaccard_threshold: float = 0.7,
+    bands: int = 4,
+    rows_per_band: int = 4,
 ) -> DataFrame:
     """Prep NEW documents for APPENDING to an existing prepped corpus:
     all of `prep_corpus`'s within-batch gates (quality, exact dedup,
@@ -225,6 +227,8 @@ def prep_incremental(
         n_hashes=n_hashes,
         near_dup=cfg.near_dup,
         est_jaccard_threshold=est_jaccard_threshold,
+        bands=bands,
+        rows_per_band=rows_per_band,
     )
 
 

@@ -1861,3 +1861,66 @@ def test_pcm_features_wav_and_contract(spark):
     ).collect()[0]
     assert r8["decode_ok"] and r8["clipped_frac"] >= 0.5
     assert math.isclose(r8["peak"], 1.0, rel_tol=1e-6)
+
+
+def test_prep_incremental_custom_hash_count(spark):
+    """Review regression: prep_incremental exposes n_hashes, so non-16
+    configurations must work end-to-end when the banding matches (and
+    mismatched banding fails loudly, not as unresolved columns)."""
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.prep import (
+        PrepConfig,
+        corpus_signatures,
+        cross_corpus_filter,
+        prep_incremental,
+    )
+
+    def stream(salt):
+        return " ".join(f"{salt}w{j}" for j in range(30))
+
+    base = spark.createDataFrame(
+        [("b0", stream("x")), ("b1", stream("y"))],
+        "doc_id string, text string",
+    )
+    sigs8 = corpus_signatures(base, n_hashes=8)
+    new = spark.createDataFrame(
+        [("n0", stream("x")), ("n1", stream("fresh"))],
+        "doc_id string, text string",
+    )
+    kept = prep_incremental(
+        new,
+        sigs8,
+        config=PrepConfig(gopher=False, decontaminate=False),
+        n_hashes=8,
+        bands=2,
+        rows_per_band=4,
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {"n1"}
+    with _pytest.raises(ValueError):
+        cross_corpus_filter(new, sigs8, n_hashes=8)  # default 4x4 != 8
+
+
+def test_wav_fmt_chunk_declared_size_validated(spark):
+    """Review regression: a fmt chunk DECLARING < 16 bytes must reject as
+    malformed in both WAV parsers — reading past it would interpret the
+    next chunk's header bytes as format fields."""
+    import struct
+
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.multimodal import (
+        _wav_pcm_samples,
+        audio_header,
+    )
+
+    # fmt declares 12 bytes; real fields would bleed into 'data' header
+    bad = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 12) + b"\x01\x00\x01\x00" + b"\x40\x1f\x00\x00" + b"\x80\x3e\x00\x00"
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with _pytest.raises(ValueError):
+        audio_header(bad)
+    with _pytest.raises(ValueError):
+        _wav_pcm_samples(bad)
