@@ -180,6 +180,34 @@ def _bench_ann_recall(spark) -> dict[str, float] | None:
     return out
 
 
+def _bench_gate_calibration(spark, sf_dir: str) -> dict | None:
+    """Measured false-drop / false-keep rates of the incremental-dedup
+    gate (ml.prep.cross_corpus_filter defaults: 64-slot MinHash, 16×4
+    banding, 0.7 threshold) against exact shingle Jaccard over
+    controlled-overlap variants of the bench documents — the accuracy
+    half of the gate's benchmark, same pattern as the ANN recall gates.
+    A false drop is silent data loss; pinned <1% in tests, republished
+    here every round so drift is visible."""
+    try:
+        from mempool_dumpster_spark.ml.prep import (
+            calibrate_cross_corpus_gate,
+            gate_error_rates,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = calibrate_cross_corpus_gate(docs, max_docs=500).cache()
+        try:
+            r = gate_error_rates(pairs)
+        finally:
+            pairs.unpersist()
+        return {
+            k: (round(v, 5) if isinstance(v, float) else v)
+            for k, v in r.items()
+        }
+    except Exception:
+        return None
+
+
 def _bench_prep(spark, sf_dir: str) -> dict | None:
     """Time the end-to-end training-corpus prep composition (ml.prep:
     Gopher ∧ exact-dedup ∧ LSH keep-list ∧ decontamination ∧ splits) at
@@ -267,11 +295,12 @@ def main() -> None:
         # onto the steady-state plateau, which is what a long-running
         # deployment executes; the per-query dispersion below still
         # reports any residual spread honestly.
-        # Volatile queries (q1 is also the FIRST query at the bench SF, so
-        # one priming pass still left its first timed run on the warm-up
-        # slope — r6 measured max/min 1.74 there vs ≤1.17 for primed
-        # q3/q5) get a second priming pass.
-        for _ in range(2 if name in VOLATILE else 1):
+        # EVERY query gets a double priming pass (r8, verdict #2): r7
+        # measured dedup_earliest max/min 1.36 and docs_ngram_jaccard
+        # 1.31 with single priming — the warm-up slope is visible on
+        # non-volatile queries too, and two extra untimed passes per
+        # query are cheaper than shipping a phantom regression.
+        for _ in range(2):
             spark.catalog.clearCache()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         for _ in range(n_runs):
@@ -293,6 +322,7 @@ def main() -> None:
     merge_stats = _bench_merge(spark)
     ann_recall = _bench_ann_recall(spark)
     prep_stats = _bench_prep(spark, sf_dir)
+    gate_cal = _bench_gate_calibration(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -304,6 +334,7 @@ def main() -> None:
                 "merge_pipeline": merge_stats,
                 "ann_recall_at3": ann_recall,
                 "prep_pipeline": prep_stats,
+                "minhash_gate_calibration": gate_cal,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -237,14 +237,25 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         )
 
         sigs_out = f"{args.out}_signatures"
-        sigs = read_committed(spark, sigs_out)
+        try:
+            sigs = read_committed(spark, sigs_out)
+            committed = read_committed(spark, args.out)
+        except FileNotFoundError:
+            # same clean exit-2 contract as the other precondition
+            # failures — a missing corpus/artifact is a usage error, not
+            # a traceback
+            print(
+                f"--append needs a committed corpus and signature "
+                f"artifact at {args.out} / {sigs_out}; run "
+                f"`prep --atomic --signatures` first"
+            )
+            return 2
         # The corpus and artifact are TWO manifest commits (corpus first),
         # so a crash between them can leave the artifact behind the
         # corpus. Self-heal here: any committed doc_id missing from the
         # artifact gets its signature recomputed and upserted BEFORE the
         # gates run — the id anti-join is cheap (two id columns), and the
         # corpus text is read only for the missing rows (normally zero).
-        committed = read_committed(spark, args.out)
         missing = committed.join(
             sigs.select("doc_id"), "doc_id", "left_anti"
         ).cache()  # referenced up to three times in the heal path

@@ -159,14 +159,22 @@ def corpus_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    n_hashes: int = 16,
+    n_hashes: int = 64,
 ) -> DataFrame:
     """The compact dedup artifact a corpus persists beside its data:
-    (doc_id, text_hash, m0..m{n-1}) — one row per document, ~100 bytes.
+    (doc_id, text_hash, m0..m{n-1}) — one row per document, ~100 bytes
+    at the old 16-slot default, ~2 KB at the 64-slot default.
     `prep_incremental` joins NEW documents against this table instead of
     re-reading 100 TB of corpus text; docs too short to shingle carry
     NULL signature slots (they still participate in exact dedup via
-    text_hash)."""
+    text_hash).
+
+    n_hashes=64 is the correctness-first default: the drop gate
+    estimates Jaccard as agreeing-slots/n, and at the 0.7 threshold a
+    16-slot estimate has σ≈0.11 — a true-0.55 pair had a ~10% chance of
+    being silently dropped (data loss). 64 slots halve σ twice (≈0.057);
+    the measured false-drop rate at |J−0.7|>0.1 is pinned <1% in
+    tests/test_ml.py::test_cross_corpus_filter_false_drop_rate."""
     sigs = minhash_signatures(
         shingle_sets(docs, text_col=text_col, id_col=id_col, k=shingle_k),
         n_hashes=n_hashes,
@@ -184,9 +192,9 @@ def prep_incremental(
     config: PrepConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = 16,
+    n_hashes: int = 64,
     est_jaccard_threshold: float = 0.7,
-    bands: int = 4,
+    bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
     """Prep NEW documents for APPENDING to an existing prepped corpus:
@@ -238,10 +246,10 @@ def cross_corpus_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    n_hashes: int = 16,
+    n_hashes: int = 64,
     near_dup: bool = True,
     est_jaccard_threshold: float = 0.7,
-    bands: int = 4,
+    bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
     """The cross-corpus half of `prep_incremental` (oracle-checked as
@@ -253,7 +261,19 @@ def cross_corpus_filter(
     `bands × rows_per_band` must equal `n_hashes` (and must match the
     parameters the `signatures` artifact was built with — signature
     slots computed at a different shingle_k or hash count compare as
-    noise); the default 4×4=16 mirrors `corpus_signatures`."""
+    noise); the default 16×4=64 mirrors `corpus_signatures`.
+
+    Why 16 bands × 4 rows and not 8×8: the banding is a RECALL
+    prefilter, the 64-slot estimate is the precision decision. The
+    S-curve midpoint (1/b)^(1/r) sits at ≈0.5 for 16×4, so a true
+    J=0.75 near-dup is an LSH candidate with P≈0.998 (8×8 centers at
+    0.77 and would let ~43% of J=0.75 dups straight through the gate).
+    The extra low-J candidates 16×4 admits are then rejected by the
+    estimate filter, whose 64-slot σ at the 0.7 threshold is ≈0.057
+    (vs 0.11 at the old 16-slot default) — a true-0.55 pair's chance
+    of a false DROP (silent data loss) falls from ~10% to <1%. Both
+    directions are pinned by measurement in
+    tests/test_ml.py::test_cross_corpus_filter_false_drop_rate."""
     if bands * rows_per_band != n_hashes:
         raise ValueError(
             f"bands ({bands}) x rows_per_band ({rows_per_band}) must "
@@ -306,6 +326,185 @@ def cross_corpus_filter(
         )
         out = out.join(near, id_col, "left_anti")
     return out
+
+
+def calibrate_cross_corpus_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    est_jaccard_threshold: float = 0.7,
+    max_docs: int = 500,
+    fractions: tuple[float, ...] = (
+        0.30, 0.40, 0.50, 0.60, 0.70, 0.78, 0.84, 0.90, 0.95, 0.98,
+    ),
+) -> DataFrame:
+    """MEASURE the near-dup gate's error rates instead of trusting the
+    binomial math: build one controlled-overlap variant per sampled doc
+    (keep the first ⌊f·n⌋ words, pad with per-doc-salted filler so
+    variants never collide with each other), then for every
+    shingle-sharing (variant, base) pair report
+
+      j_exact       exact k-shingle Jaccard (ground truth),
+      j_est         the gate's MinHash estimate (agreeing slots / n),
+      is_candidate  whether LSH banding surfaced the pair,
+      would_drop    the gate's actual decision
+                    (is_candidate AND j_est ≥ threshold).
+
+    A pair with j_exact < threshold−0.1 that `would_drop` is a FALSE
+    DROP — silent data loss, the failure direction that motivated
+    raising n_hashes 16→64 — and a pair with j_exact ≥ threshold+0.15
+    that would NOT drop is a FALSE KEEP (a dup leaking into the
+    corpus). `gate_error_rates` aggregates both;
+    tests/test_ml.py pins them <1% and bench.py republishes the
+    measurement every round (the same evidence pattern as the ANN
+    recall gates).
+
+    Bounded by construction: `max_docs` caps the sample (deterministic
+    doc_id order, not rand()), so pairs ≤ max_docs × shingle-collision
+    fan-out and every join is over the sample, never the corpus."""
+    base = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        .orderBy("doc_id")
+        .limit(max_docs)
+    )
+    arr = F.array(*[F.lit(float(x)) for x in fractions])
+    nfr = len(fractions)
+    w = F.split(F.col("text"), r"\s+")
+    n = F.size(w)
+    f = F.element_at(
+        arr, ((F.xxhash64("doc_id") % nfr + nfr) % nfr + 1).cast("int")
+    )
+    m = F.greatest(F.lit(1), F.floor(n * f)).cast("int")
+    filler = F.when(
+        n > m,
+        F.transform(
+            F.sequence(F.lit(1), (n - m).cast("int")),
+            lambda i: F.concat(
+                F.lit("calib"), F.col("doc_id"), F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = base.select(
+        F.concat(F.lit("v"), F.col("doc_id")).alias("doc_id"),
+        F.concat_ws(
+            " ", F.concat(F.slice(w, 1, m), filler)
+        ).alias("text"),
+    )
+
+    sh_new = shingle_sets(variants, k=shingle_k)
+    sh_old = shingle_sets(base, k=shingle_k)
+    sz_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    sz_old = sh_old.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    inter = (
+        sh_new.withColumnRenamed("doc_id", "new_id")
+        .join(sh_old.withColumnRenamed("doc_id", "old_id"), "shingle")
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("__i"))
+    )
+    exact = (
+        inter.join(
+            sz_new.select(F.col("doc_id").alias("new_id"), F.col("__n").alias("__na")),
+            "new_id",
+        )
+        .join(
+            sz_old.select(F.col("doc_id").alias("old_id"), F.col("__n").alias("__nb")),
+            "old_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            (
+                F.col("__i")
+                / (F.col("__na") + F.col("__nb") - F.col("__i"))
+            ).alias("j_exact"),
+        )
+    )
+
+    sig_new = minhash_signatures(sh_new, n_hashes=n_hashes)
+    sig_old = minhash_signatures(sh_old, n_hashes=n_hashes)
+    cand = (
+        lsh_band_rows(sig_new, bands=bands, rows_per_band=rows_per_band)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(
+            lsh_band_rows(
+                sig_old, bands=bands, rows_per_band=rows_per_band
+            ).withColumnRenamed("doc_id", "old_id"),
+            ["band", "key"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+        .withColumn("is_candidate", F.lit(True))
+    )
+    agree = sum(
+        F.when(F.col(f"n.m{i}") == F.col(f"o.m{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    est = (
+        exact.select("new_id", "old_id")
+        .join(sig_new.alias("n"), F.col("new_id") == F.col("n.doc_id"))
+        .join(sig_old.alias("o"), F.col("old_id") == F.col("o.doc_id"))
+        .select(
+            "new_id",
+            "old_id",
+            (agree / F.lit(float(n_hashes))).alias("j_est"),
+        )
+    )
+    return (
+        exact.join(est, ["new_id", "old_id"], "left")
+        .join(cand, ["new_id", "old_id"], "left")
+        .withColumn(
+            "is_candidate", F.coalesce("is_candidate", F.lit(False))
+        )
+        .withColumn(
+            "would_drop",
+            F.col("is_candidate")
+            & (F.col("j_est") >= F.lit(est_jaccard_threshold)),
+        )
+    )
+
+
+def gate_error_rates(
+    pairs: DataFrame,
+    est_jaccard_threshold: float = 0.7,
+    drop_margin: float = 0.1,
+    keep_margin: float = 0.15,
+) -> dict:
+    """Collapse a `calibrate_cross_corpus_gate` frame to the two pinned
+    rates (one bounded aggregate, driver gets five numbers):
+
+      false_drop_rate  P(would_drop | j_exact < τ − drop_margin)
+      false_keep_rate  P(¬would_drop | j_exact ≥ τ + keep_margin)
+    """
+    lo = est_jaccard_threshold - drop_margin
+    hi = est_jaccard_threshold + keep_margin
+    r = pairs.agg(
+        F.count(F.when(F.col("j_exact") < lo, 1)).alias("n_low"),
+        F.count(
+            F.when((F.col("j_exact") < lo) & F.col("would_drop"), 1)
+        ).alias("n_false_drop"),
+        F.count(F.when(F.col("j_exact") >= hi, 1)).alias("n_high"),
+        F.count(
+            F.when((F.col("j_exact") >= hi) & ~F.col("would_drop"), 1)
+        ).alias("n_false_keep"),
+    ).collect()[0]
+    return {
+        "n_pairs_low": r["n_low"],
+        "false_drop_rate": (
+            r["n_false_drop"] / r["n_low"] if r["n_low"] else None
+        ),
+        "n_pairs_high": r["n_high"],
+        "false_keep_rate": (
+            r["n_false_keep"] / r["n_high"] if r["n_high"] else None
+        ),
+    }
 
 
 def write_prep_bucketed(

@@ -883,11 +883,17 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_dedup_oracle() -> str:
-    """Cross-corpus incremental dedup in DuckDB: 16-slot minhash on both
-    sides, 4 bands x 4 rows, exact text-hash anti + estimated-Jaccard
-    (agreeing slots / 16) >= 0.7 near-drop — the same parameters
-    ml.prep.cross_corpus_filter defaults to."""
+def _incremental_dedup_oracle(
+    n_hashes: int = 64, n_bands: int = 16, rows_per_band: int = 4
+) -> str:
+    """Cross-corpus incremental dedup in DuckDB: 64-slot minhash on both
+    sides, 16 bands x 4 rows, exact text-hash anti + estimated-Jaccard
+    (agreeing slots / 64) >= 0.7 near-drop — the same parameters
+    ml.prep.cross_corpus_filter defaults to (raised from 16/4x4: at the
+    0.7 threshold the 16-slot estimator's σ≈0.11 made false DROPS — data
+    loss — ~10% likely for true-0.55 pairs; 64 slots halve σ twice, and
+    16x4 banding keeps the prefilter's S-curve midpoint at ≈0.5 so true
+    near-dups are near-certain candidates)."""
     shingle = (
         "SELECT DISTINCT doc_id, unnest("
         "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
@@ -896,17 +902,22 @@ def _incremental_dedup_oracle() -> str:
         "string_split(text, ' ')[i+1] || ' ' || "
         "string_split(text, ' ')[i+2]) ELSE [] END) AS shingle FROM {src}"
     )
-    mins = ", ".join(f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(16))
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(n_hashes)
+    )
     def bands(sig):
         rows = []
-        for b in range(4):
-            key = " || '|' || ".join(f"m{b * 4 + r}" for r in range(4))
+        for b in range(n_bands):
+            key = " || '|' || ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
             rows.append(
                 f"SELECT doc_id, {b} AS band, {key} AS key FROM {sig}"
             )
         return " UNION ALL ".join(rows)
     agree = " + ".join(
-        f"(CASE WHEN n.m{i} = o.m{i} THEN 1 ELSE 0 END)" for i in range(16)
+        f"(CASE WHEN n.m{i} = o.m{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
     )
     return f"""
     WITH new_docs AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
@@ -927,7 +938,7 @@ def _incremental_dedup_oracle() -> str:
       FROM cand c
       JOIN sig_new n ON n.doc_id = c.new_id
       JOIN sig_base o ON o.doc_id = c.old_id
-      WHERE ({agree}) / 16.0 >= 0.7
+      WHERE ({agree}) / {float(n_hashes)} >= 0.7
     )
     SELECT doc_id FROM new_docs
     WHERE md5(text) NOT IN (SELECT md5(text) FROM base)
@@ -943,14 +954,16 @@ def _incremental_dedup_oracle() -> str:
     "(ml.prep.cross_corpus_filter, the cross-corpus half of "
     "prep_incremental): treat source=src0 as the new batch and the rest "
     "as the committed corpus, join the batch against the corpus's "
-    "persisted signature artifact (text_hash + 16-slot MinHash, "
-    "~100 bytes/doc — `corpus_signatures`, landed by `prep "
-    "--signatures`), drop exact text-hash matches and LSH candidates "
-    "whose MinHash-estimated Jaccard (agreeing slots / 16) reaches 0.7. "
+    "persisted signature artifact (text_hash + 64-slot MinHash — "
+    "`corpus_signatures`, landed by `prep --signatures`; 64 slots, not "
+    "16, because a false DROP at the 0.7 threshold is silent data "
+    "loss and the 16-slot estimator's σ≈0.11 made that ~10% likely for "
+    "true-0.55 pairs), drop exact text-hash matches and LSH candidates "
+    "whose MinHash-estimated Jaccard (agreeing slots / 64) reaches 0.7. "
     "At 100 TB the corpus TEXT is never re-read and never shuffles: the "
     "exact gate shuffles 128-bit hashes, the near gate shuffles "
-    "docs×4 band rows plus candidate pairs — the append path that makes "
-    "a continuously-growing training corpus tractable.",
+    "docs×16 band rows plus candidate pairs — the append path that "
+    "makes a continuously-growing training corpus tractable.",
     overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
 )
 def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

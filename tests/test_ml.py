@@ -1734,6 +1734,62 @@ def test_prep_incremental_dedups_against_existing_corpus(spark, tmp_path):
     assert {r["doc_id"] for r in out2.collect()} == {"new02"}
 
 
+def test_cross_corpus_filter_false_drop_rate(spark):
+    """MEASURED error rates of the incremental-dedup gate's MinHash
+    estimate at the default 64-slot / 16×4-band configuration, against
+    exact shingle Jaccard over controlled-overlap variants of the real
+    sf0.01 documents (verdict r7 #1: a false DROP at the 0.7 threshold
+    is silent data loss; the old 16-slot default made it ~10% likely
+    for true-0.55 pairs). Deterministic: md5 slot hashes and the
+    doc_id-keyed overlap fractions are fixed, so these are pinned
+    rates, not flaky samples."""
+    import os
+
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.prep import (
+        calibrate_cross_corpus_gate,
+        gate_error_rates,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("sf0.01 testdata not present")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = calibrate_cross_corpus_gate(docs, max_docs=400).cache()
+    try:
+        rates = gate_error_rates(pairs)
+        # both bins must actually be populated — an empty bin would make
+        # the rate assertions vacuous
+        assert rates["n_pairs_low"] >= 200
+        assert rates["n_pairs_high"] >= 50
+        # the verdict's pin: false drops <1% at |J - 0.7| > 0.1, false
+        # keeps <1% at J >= 0.85
+        assert rates["false_drop_rate"] < 0.01
+        assert rates["false_keep_rate"] < 0.01
+        # honesty about the boundary: the hardest sub-bin (true J in
+        # [0.4, 0.6), where a 64-slot estimate can still land >= 0.7
+        # with probability ~1% at the top edge) stays under 5%
+        from pyspark.sql import functions as F
+
+        near = pairs.filter(
+            (F.col("j_exact") >= 0.4) & (F.col("j_exact") < 0.6)
+        )
+        n_near = near.count()
+        assert n_near >= 50
+        n_drop = near.filter("would_drop").count()
+        assert n_drop / n_near < 0.05
+        # and dups well above threshold must be caught: J >= 0.85 pairs
+        # are LSH candidates (16x4 banding's S-curve midpoint is ~0.5,
+        # so recall up here is ~1)
+        high = pairs.filter(F.col("j_exact") >= 0.85)
+        assert (
+            high.filter(~F.col("is_candidate")).count() == 0
+        )
+    finally:
+        pairs.unpersist()
+
+
 def test_cli_prep_signatures_artifact(spark, tmp_path):
     """prep --signatures lands OUT_signatures with one row per written
     doc (text_hash + minhash slots) that prep_incremental can consume."""
@@ -1754,7 +1810,7 @@ def test_cli_prep_signatures_artifact(spark, tmp_path):
     sigs = spark.read.parquet(str(out) + "_signatures")
     n_corpus = spark.read.parquet(str(out)).count()
     assert sigs.count() == n_corpus
-    assert {"doc_id", "text_hash", "m0", "m15"} <= set(sigs.columns)
+    assert {"doc_id", "text_hash", "m0", "m63"} <= set(sigs.columns)
 
     # a re-prep of the SAME docs against the artifact keeps nothing
     new = spark.read.parquet(str(docs))
@@ -1898,7 +1954,7 @@ def test_prep_incremental_custom_hash_count(spark):
     )
     assert {r["doc_id"] for r in kept.collect()} == {"n1"}
     with _pytest.raises(ValueError):
-        cross_corpus_filter(new, sigs8, n_hashes=8)  # default 4x4 != 8
+        cross_corpus_filter(new, sigs8, n_hashes=8)  # default 16x4 != 8
 
 
 def test_wav_fmt_chunk_declared_size_validated(spark):
