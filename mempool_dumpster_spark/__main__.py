@@ -210,6 +210,9 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
     if args.pack_tokens is not None and args.pack_tokens < 1:
         print(f"--pack-tokens must be positive, got {args.pack_tokens}")
         return 2
+    if args.training_order is not None and args.pack_tokens is None:
+        print("--training-order requires --pack-tokens (it orders OUT_packed)")
+        return 2
     if args.bucketed and args.bucket_count < 1:
         # rejected BEFORE the (potentially hours-long) prep + write, not
         # deep inside Spark's bucketBy after the corpus already landed
@@ -360,18 +363,32 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
             )
 
             corpus = read_committed(spark, args.out)
+        else:
+            corpus = spark.read.parquet(args.out)
+        packed = pack_prepped(corpus, max_tokens=args.pack_tokens)
+        if args.training_order is not None:
+            # land the packed companion in deterministic epoch order:
+            # permutation unit = packed sequence (members stay adjacent,
+            # in pack order), order key content-addressed from
+            # (seed, split, shard, seq_id) — so reading the split's files
+            # in name order streams epoch `SEED` directly, no shuffle at
+            # training time. Range-partitioned: no global sort.
+            from mempool_dumpster_spark.ml.packing import (
+                shuffle_packed_for_training,
+            )
+
+            packed = shuffle_packed_for_training(
+                packed, seed=args.training_order
+            )
+        if args.atomic:
             # the packed companion gets the SAME atomicity as the corpus:
             # a re-prep never clobbers sequences a training job is reading
             commit_write(
-                pack_prepped(corpus, max_tokens=args.pack_tokens),
-                f"{args.out}_packed",
-                partition_by=["split"],
+                packed, f"{args.out}_packed", partition_by=["split"]
             )
         else:
-            corpus = spark.read.parquet(args.out)
             (
-                pack_prepped(corpus, max_tokens=args.pack_tokens)
-                .write.mode("overwrite")
+                packed.write.mode("overwrite")
                 .partitionBy("split")
                 .parquet(f"{args.out}_packed")
             )
@@ -488,6 +505,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--pack-tokens", type=int, default=None,
         help="also write OUT_packed: sequences greedily packed to this "
         "token budget, sharded within each split",
+    )
+    t.add_argument(
+        "--training-order", default=None, metavar="SEED",
+        help="write OUT_packed in deterministic epoch order for this "
+        "seed (ml.packing.shuffle_packed_for_training): sequences are "
+        "permuted content-addressably, members stay adjacent, and "
+        "reading a split's files in name order streams the epoch; "
+        "requires --pack-tokens",
     )
     t.add_argument(
         "--atomic", action="store_true",

@@ -249,16 +249,75 @@ def shuffle_for_training(
     seed: str = "",
     id_col: str = "doc_id",
     n_partitions: int | None = None,
+    tiebreakers: list[str] | None = None,
 ) -> DataFrame:
     """`training_order` materialization plan: range-partition on the order
     key and sort within partitions, so reading files in partition order
     streams the epoch's permutation with NO global sort bottleneck (the
     range exchange samples boundaries; each partition sorts locally —
-    the same layout contract as sources/clustered.py)."""
+    the same layout contract as sources/clustered.py).
+
+    `tiebreakers` orders rows that share an order key — the packed-corpus
+    case, where `id_col` is the SEQUENCE identity (all rows of a packed
+    sequence must stay adjacent, in pack order) and the tiebreaker is the
+    document id within the sequence."""
     ordered = training_order(df, seed=seed, id_col=id_col)
     parts = (
         ordered.repartitionByRange(n_partitions, "order_key")
         if n_partitions
         else ordered.repartitionByRange("order_key")
     )
-    return parts.sortWithinPartitions("order_key")
+    return parts.sortWithinPartitions("order_key", *(tiebreakers or []))
+
+
+def shuffle_packed_for_training(
+    packed: DataFrame,
+    seed: str = "",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Epoch-shuffle a PACKED corpus (output of `pack_prepped` /
+    `pack_sequences`, identity (split, shard, seq_id)) for training
+    consumption: the permutation unit is the SEQUENCE — its member
+    documents stay adjacent and in pack order (`id_col`) — and the order
+    key is content-addressed from the sequence identity, so the epoch
+    order is deterministic across engines and re-runs. Written
+    range-partitioned (see `shuffle_for_training`), reading the output
+    files in name order streams the epoch: zero-padded part numbers rank
+    by task, tasks rank by disjoint order-key ranges, rows within a task
+    are sorted — the `prep --pack-tokens --training-order SEED` path.
+
+    The within-partition sort leads with `split`: the packed companion
+    is written `partitionBy("split")`, and Spark's V1 file writer
+    injects its own NON-STABLE sort on the partition columns whenever
+    the child ordering doesn't already lead with them — which would
+    scramble the epoch order inside each task. Leading with `split`
+    satisfies the writer's required ordering, so no extra sort is
+    planned and the (order_key, id) order survives to disk. Cross-file
+    order within a split still holds: the range exchange is on
+    order_key alone, so a task's rows for any split occupy a disjoint
+    key range."""
+    for c in ("split", "shard", "seq_id"):
+        if c not in packed.columns:
+            raise ValueError(
+                f"packed frame is missing sequence-identity column {c!r}; "
+                "expected pack_prepped/pack_sequences output"
+            )
+    keyed = packed.withColumn(
+        "__seq_identity",
+        F.concat_ws(
+            "|",
+            F.col("split"),
+            F.col("shard").cast("string"),
+            F.col("seq_id").cast("string"),
+        ),
+    )
+    ordered = training_order(keyed, seed=seed, id_col="__seq_identity")
+    parts = (
+        ordered.repartitionByRange(n_partitions, "order_key")
+        if n_partitions
+        else ordered.repartitionByRange("order_key")
+    )
+    return parts.sortWithinPartitions(
+        "split", "order_key", id_col
+    ).drop("__seq_identity")

@@ -319,6 +319,74 @@ def test_cli_prep_pack(spark, tmp_path):
     assert {"split", "shard", "seq_id", "n_tokens"} <= set(packed.columns)
 
 
+def test_cli_prep_training_order(spark, tmp_path):
+    """prep --pack-tokens --training-order SEED: the packed companion
+    lands so that reading each split's parquet files IN NAME ORDER
+    streams the deterministic epoch permutation — sequences ordered by
+    md5(seed|split|shard|seq_id) (recomputed independently here with
+    hashlib, the same oracle contract as docs_training_order), members
+    of a sequence adjacent and in doc_id order. This is the prep→train
+    handoff: no shuffle at training time."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(i, f"doc{i:02d} " + "tok " * (4 + i % 5), "en", "web", 20)
+         for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(docs))
+    out = tmp_path / "prep_order"
+    rc = main(
+        ["prep", str(docs), "--out", str(out), "--no-gopher",
+         "--no-near-dedup", "--pack-tokens", "16",
+         "--training-order", "epoch1"],
+        spark=spark,
+    )
+    assert rc == 0
+
+    packed = spark.read.parquet(str(out) + "_packed")
+    rows = packed.select("split", "shard", "seq_id", "doc_id").collect()
+    assert len(rows) == 40
+
+    def key(r):
+        ident = f"epoch1|{r['split']}|{r['shard']}|{r['seq_id']}"
+        return hashlib.md5(ident.encode()).hexdigest()
+
+    for split in {r["split"] for r in rows}:
+        expected = [
+            r["doc_id"]
+            for r in sorted(
+                (r for r in rows if r["split"] == split),
+                key=lambda r: (key(r), r["doc_id"]),
+            )
+        ]
+        on_disk: list[int] = []
+        for path in sorted(
+            glob.glob(f"{out}_packed/split={split}/part-*.parquet")
+        ):
+            on_disk.extend(pq.read_table(path).column("doc_id").to_pylist())
+        assert on_disk == expected, f"file order != epoch order in {split}"
+
+    # a different seed is a different (but equally deterministic) epoch
+    out2 = tmp_path / "prep_order2"
+    assert main(
+        ["prep", str(docs), "--out", str(out2), "--no-gopher",
+         "--no-near-dedup", "--pack-tokens", "16",
+         "--training-order", "epoch2"],
+        spark=spark,
+    ) == 0
+
+    # precondition: --training-order without --pack-tokens is exit 2
+    assert main(
+        ["prep", str(docs), "--out", str(tmp_path / "x"),
+         "--training-order", "epoch1"],
+        spark=spark,
+    ) == 2
+
+
 def test_cli_prep_append_incremental(spark, tmp_path):
     """prep --append: base corpus lands atomically with its signature
     artifact; an append batch is gated against it (exact dup dropped,
