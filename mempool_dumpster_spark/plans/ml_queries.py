@@ -981,3 +981,85 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+_VERSION_DIFF_ORACLE = """
+WITH v1 AS (SELECT doc_id, text, source FROM documents),
+ups AS (
+  SELECT doc_id, upper(text) AS text, source
+  FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, 'vnew' AS source
+  FROM documents WHERE doc_id % 97 = 0
+),
+v2 AS (
+  SELECT * FROM v1 WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+  UNION ALL
+  SELECT * FROM ups
+),
+added AS (
+  SELECT doc_id, source, 'added' AS __change
+  FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+),
+removed AS (
+  SELECT doc_id, source, 'removed' AS __change
+  FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+)
+SELECT * FROM added
+UNION ALL
+SELECT * FROM removed
+ORDER BY __change, doc_id, source
+"""
+
+
+@register(
+    "manifest_version_diff",
+    oracle=_VERSION_DIFF_ORACLE,
+    doc="Change-data-capture between two committed manifest versions "
+    "(sources.manifest.diff_versions): commit the documents table as v1, "
+    "UPSERT a batch (src0 texts modified in place + fresh doc_ids "
+    "appended) as v2, then diff — full-row exceptAll both ways, labeled "
+    "'added'/'removed' in __change, multiset semantics so duplicate-row "
+    "count changes surface. The DuckDB oracle reconstructs both versions "
+    "relationally and takes the same EXCEPT ALL both ways. At scale the "
+    "diff is two hash-partitioned set-differences over exactly the two "
+    "version directories — no manifest history scan, no driver state.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def manifest_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from mempool_dumpster_spark.sources.manifest import (
+        commit_write,
+        diff_versions,
+        upsert,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text", "source"
+    )
+    # scratch dataset keyed by sf_dir so the two selfcheck scales never
+    # collide; rebuilt from scratch each call (idempotent, few hundred
+    # rows) — sf_dir itself is read-only
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_vdiff_{key}"
+    shutil.rmtree(path, ignore_errors=True)
+    commit_write(docs, path)  # v1
+    updates = (
+        docs.filter(F.col("source") == "src0")
+        .withColumn("text", F.upper("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+                F.lit("vnew").alias("source"),
+            )
+        )
+    )
+    upsert(spark, path, updates, ["doc_id"])  # v2
+    return (
+        diff_versions(spark, path, 1, 2)
+        .select("doc_id", "source", "__change")
+        .orderBy("__change", "doc_id", "source")
+    )
