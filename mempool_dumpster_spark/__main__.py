@@ -228,64 +228,22 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         if not args.atomic:
             print("--append requires --atomic (manifest-committed corpus)")
             return 2
-        from pyspark.sql import functions as F
+        from mempool_dumpster_spark.ml.prep import append_batch
 
-        from mempool_dumpster_spark.ml.prep import (
-            corpus_signatures,
-            prep_incremental,
-        )
-        from mempool_dumpster_spark.sources.manifest import (
-            read_committed,
-            upsert,
-        )
-
-        sigs_out = f"{args.out}_signatures"
         try:
-            sigs = read_committed(spark, sigs_out)
-            committed = read_committed(spark, args.out)
+            counts = append_batch(
+                spark, args.out, docs, benchmark=benchmark, config=cfg
+            )
         except FileNotFoundError:
             # same clean exit-2 contract as the other precondition
             # failures — a missing corpus/artifact is a usage error, not
             # a traceback
             print(
                 f"--append needs a committed corpus and signature "
-                f"artifact at {args.out} / {sigs_out}; run "
+                f"artifact at {args.out} / {args.out}_signatures; run "
                 f"`prep --atomic --signatures` first"
             )
             return 2
-        # The corpus and artifact are TWO manifest commits (corpus first),
-        # so a crash between them can leave the artifact behind the
-        # corpus. Self-heal here: any committed doc_id missing from the
-        # artifact gets its signature recomputed and upserted BEFORE the
-        # gates run — the id anti-join is cheap (two id columns), and the
-        # corpus text is read only for the missing rows (normally zero).
-        missing = committed.join(
-            sigs.select("doc_id"), "doc_id", "left_anti"
-        ).cache()  # referenced up to three times in the heal path
-        if missing.limit(1).count():
-            upsert(
-                spark,
-                sigs_out,
-                corpus_signatures(missing, shingle_k=cfg.shingle_k),
-                ["doc_id"],
-            )
-            sigs = read_committed(spark, sigs_out)
-        missing.unpersist()
-        kept = prep_incremental(
-            docs, sigs, benchmark=benchmark, config=cfg
-        ).cache()
-        upsert(spark, args.out, kept, ["doc_id"])
-        upsert(
-            spark,
-            sigs_out,
-            corpus_signatures(kept, shingle_k=cfg.shingle_k),
-            ["doc_id"],
-        )
-        counts = {
-            r["split"]: r["n"]
-            for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
-        }
-        kept.unpersist()
         counts_payload = {"appended": counts}
     else:
         prepped = prep_corpus(docs, benchmark=benchmark, config=cfg)

@@ -328,6 +328,73 @@ def cross_corpus_filter(
     return out
 
 
+def append_batch(
+    spark,
+    out_dir: str,
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: PrepConfig | None = None,
+) -> dict[str, int]:
+    """The append-one-batch transaction shared by `prep --append` and the
+    streaming corpus-append gate (streaming/append.py): gate `docs`
+    within-batch AND against the committed corpus's signature artifact,
+    then UPSERT the kept rows and their signatures as new manifest
+    versions. Returns per-split counts of the appended rows.
+
+    Crash-window self-heal: the corpus and artifact are TWO manifest
+    commits (corpus first), so a crash between them can leave the
+    artifact behind the corpus. Any committed doc_id missing from the
+    artifact gets its signature recomputed and upserted BEFORE the gates
+    run — the id anti-join is cheap (two id columns) and the corpus text
+    is read only for the missing rows (normally zero).
+
+    Idempotent under retry (foreachBatch is at-least-once): a replayed
+    batch's kept rows are now exact text-hash matches in the artifact,
+    so the gates drop them and the upserts are no-ops on the same keys.
+
+    Raises FileNotFoundError when `out_dir` has no committed corpus or
+    no committed `{out_dir}_signatures` artifact — append requires a
+    prior `prep --atomic --signatures`-style base commit."""
+    from mempool_dumpster_spark.sources.manifest import (
+        read_committed,
+        upsert,
+    )
+
+    cfg = config or PrepConfig()
+    sigs_out = f"{out_dir}_signatures"
+    sigs = read_committed(spark, sigs_out)
+    committed = read_committed(spark, out_dir)
+    missing = committed.join(
+        sigs.select("doc_id"), "doc_id", "left_anti"
+    ).cache()  # referenced up to three times in the heal path
+    if missing.limit(1).count():
+        upsert(
+            spark,
+            sigs_out,
+            corpus_signatures(missing, shingle_k=cfg.shingle_k),
+            ["doc_id"],
+        )
+        sigs = read_committed(spark, sigs_out)
+    missing.unpersist()
+    kept = prep_incremental(
+        docs, sigs, benchmark=benchmark, config=cfg
+    ).cache()
+    try:
+        upsert(spark, out_dir, kept, ["doc_id"])
+        upsert(
+            spark,
+            sigs_out,
+            corpus_signatures(kept, shingle_k=cfg.shingle_k),
+            ["doc_id"],
+        )
+        return {
+            r["split"]: r["n"]
+            for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+    finally:
+        kept.unpersist()
+
+
 def calibrate_cross_corpus_gate(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1040,3 +1040,122 @@ def test_compact_mid_merge_crash_loses_nothing(spark, tmp_path):
     # moved one
     assert got == sorted(list(range(0, 100)) * 3 + list(range(1000, 1010)))
     assert not os.path.exists(f"{root}/_compaction")
+
+
+def test_streaming_corpus_append_gate(spark, tmp_path):
+    """Streaming corpus growth (streaming/append.py): a live JSONL
+    document stream appends through the SAME gate as `prep --append` —
+    per micro-batch, duplicates of the committed corpus are dropped via
+    the signature artifact, fresh docs upsert the corpus AND the
+    artifact, and the next batch gates against the STREAM-GROWN
+    artifact. Batch ≡ streaming parity: one append_batch over the union
+    of both landed files against a fresh base corpus keeps the same doc
+    set."""
+    import json
+
+    from mempool_dumpster_spark.__main__ import main
+    from mempool_dumpster_spark.ml.prep import PrepConfig, append_batch
+    from mempool_dumpster_spark.sources.manifest import read_committed
+    from mempool_dumpster_spark.streaming.append import (
+        doc_file_stream,
+        start_corpus_append,
+    )
+
+    def text(salt):
+        return " ".join(f"{salt}w{j}" for j in range(30))
+
+    # base corpus + signature artifact, the prep --atomic --signatures way
+    base_docs = tmp_path / "base.parquet"
+    spark.createDataFrame(
+        [(f"base{i}", text(f"b{i}")) for i in range(4)],
+        "doc_id string, text string",
+    ).write.parquet(str(base_docs))
+    out = str(tmp_path / "corpus")
+    assert main(
+        ["prep", str(base_docs), "--out", out, "--no-gopher",
+         "--atomic", "--signatures"],
+        spark=spark,
+    ) == 0
+
+    cfg = PrepConfig(gopher=False, decontaminate=False)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    checkpoint = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_corpus_append(
+            spark,
+            doc_file_stream(spark, str(landing)),
+            out,
+            config=cfg,
+            checkpoint=checkpoint,
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    # batch 1: an exact dup of base2 (gated) + a fresh doc (appended)
+    with open(landing / "f1.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": "n1", "text": text("b2")}) + "\n")
+        f.write(json.dumps({"doc_id": "n2", "text": text("fresh1")}) + "\n")
+    drain()
+    ids = {r["doc_id"] for r in read_committed(spark, out).collect()}
+    assert ids == {"base0", "base1", "base2", "base3", "n2"}
+    sig_ids = {
+        r["doc_id"]
+        for r in read_committed(spark, out + "_signatures").collect()
+    }
+    assert sig_ids == ids  # artifact grew with the corpus
+
+    # batch 2: a dup of batch 1's FRESH doc (must gate against the
+    # stream-grown artifact, not just the base) + another fresh doc
+    with open(landing / "f2.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": "n3", "text": text("fresh1")}) + "\n")
+        f.write(json.dumps({"doc_id": "n4", "text": text("fresh2")}) + "\n")
+    drain()
+    ids2 = {r["doc_id"] for r in read_committed(spark, out).collect()}
+    assert ids2 == ids | {"n4"}
+
+    # the append journal recorded both non-empty batches
+    import glob
+
+    logs = sorted(glob.glob(out + "_append_log/batch-*.json"))
+    appended = [json.load(open(p))["appended"] for p in logs]
+    assert len(appended) == 2
+    assert sum(sum(c.values()) for c in appended) == 2  # n2 + n4
+
+    # batch/streaming parity: the SAME docs as ONE append_batch against a
+    # fresh copy of the base corpus keep the same doc set (n1 exact-dups
+    # base2; n3 exact-dups n2's text and loses within-batch to the
+    # earlier doc_id)
+    out2 = str(tmp_path / "corpus2")
+    assert main(
+        ["prep", str(base_docs), "--out", out2, "--no-gopher",
+         "--atomic", "--signatures"],
+        spark=spark,
+    ) == 0
+    union = spark.createDataFrame(
+        [("n1", text("b2")), ("n2", text("fresh1")),
+         ("n3", text("fresh1")), ("n4", text("fresh2"))],
+        "doc_id string, text string",
+    )
+    append_batch(spark, out2, union, config=cfg)
+    ids_batch = {
+        r["doc_id"]
+        for r in read_committed(spark, out2).collect()
+        if r["doc_id"].startswith("n")
+    }
+    assert ids_batch == {"n2", "n4"} == {
+        i for i in ids2 if i.startswith("n")
+    }
+
+    # a missing base corpus fails fast, before any query starts
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        start_corpus_append(
+            spark,
+            doc_file_stream(spark, str(landing)),
+            str(tmp_path / "nope"),
+            config=cfg,
+            available_now=True,
+        )
