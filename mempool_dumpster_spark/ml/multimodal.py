@@ -258,6 +258,287 @@ def frame_sample_plan(
     ).withColumn("frame_ts_s", F.col("frame_idx") * every_n_seconds)
 
 
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_ts_s double, sample_idx long, codec string, "
+    "frame_bytes binary, format string, width int, height int, "
+    "decode_ok boolean, pixels_ok boolean"
+)
+
+
+def _mp4_sample_table(payload: bytes):
+    """Parse the first VIDEO track's sample table from a full MP4/MOV
+    payload: returns (codec_fourcc, timescale, duration_ticks, samples)
+    where samples is a list of (decode_ts_ticks, file_offset, size,
+    is_sync). Pure Python over the ISO-BMFF boxes (stsd codec, mdhd
+    timescale, stts decode times, stss keyframes — absent means every
+    sample is sync, stsc sample→chunk runs, stsz sizes, stco/co64
+    chunk offsets). Returns None when the payload is not ISO-BMFF or
+    has no video sample table; raises ValueError for recognized-but-
+    malformed tables (truncated arrays, inconsistent counts)."""
+    n = len(payload)
+    is_bmff = False
+    for btype, _body, _bend in _mp4_boxes(payload, 0, min(n, 64)):
+        is_bmff = btype == b"ftyp"
+        break
+    if not is_bmff:
+        return None
+
+    def u32(i):
+        return int.from_bytes(payload[i : i + 4], "big")
+
+    def full_box(body):  # (version, body-after-version/flags)
+        return payload[body], body + 4
+
+    for btype, body, bend in _mp4_boxes(payload, 0, n):
+        if btype != b"moov":
+            continue
+        for ttype, tbody, tend in _mp4_boxes(payload, body, bend):
+            if ttype != b"trak":
+                continue
+            timescale = duration = None
+            handler = None
+            stbl = None
+            for mtype, mbody, mend in _mp4_boxes(payload, tbody, tend):
+                if mtype != b"mdia":
+                    continue
+                for dtype, dbody, dend in _mp4_boxes(payload, mbody, mend):
+                    if dtype == b"mdhd":
+                        ver, _ = full_box(dbody)
+                        if ver == 1:
+                            timescale = u32(dbody + 20)
+                            duration = int.from_bytes(
+                                payload[dbody + 24 : dbody + 32], "big"
+                            )
+                        else:
+                            timescale = u32(dbody + 12)
+                            duration = u32(dbody + 16)
+                    elif dtype == b"hdlr":
+                        handler = payload[dbody + 8 : dbody + 12]
+                    elif dtype == b"minf":
+                        for stype, sbody, send in _mp4_boxes(
+                            payload, dbody, dend
+                        ):
+                            if stype == b"stbl":
+                                stbl = (sbody, send)
+            if handler != b"vide" or stbl is None or not timescale:
+                continue
+            codec = None
+            stts = stss = stsc = stco = None
+            stsz_uniform = 0
+            stsz_sizes: list[int] | None = None
+            for stype, sbody, send in _mp4_boxes(payload, *stbl):
+                _ver, p = full_box(sbody)
+                if stype == b"stsd":
+                    if u32(p) >= 1:  # entry_count
+                        codec = payload[p + 8 : p + 12].decode(
+                            "ascii", "replace"
+                        )
+                elif stype == b"stts":
+                    cnt = u32(p)
+                    stts = [
+                        (u32(p + 4 + 8 * i), u32(p + 8 + 8 * i))
+                        for i in range(cnt)
+                    ]
+                elif stype == b"stss":
+                    cnt = u32(p)
+                    stss = {u32(p + 4 + 4 * i) for i in range(cnt)}
+                elif stype == b"stsc":
+                    cnt = u32(p)
+                    stsc = [
+                        (u32(p + 4 + 12 * i), u32(p + 8 + 12 * i))
+                        for i in range(cnt)
+                    ]
+                elif stype == b"stsz":
+                    stsz_uniform = u32(p)
+                    cnt = u32(p + 4)
+                    if stsz_uniform == 0:
+                        stsz_sizes = [u32(p + 8 + 4 * i) for i in range(cnt)]
+                    else:
+                        stsz_sizes = [stsz_uniform] * cnt
+                elif stype in (b"stco", b"co64"):
+                    cnt = u32(p)
+                    if stype == b"stco":
+                        stco = [u32(p + 4 + 4 * i) for i in range(cnt)]
+                    else:
+                        stco = [
+                            int.from_bytes(
+                                payload[p + 4 + 8 * i : p + 12 + 8 * i], "big"
+                            )
+                            for i in range(cnt)
+                        ]
+            if not (stts and stsc and stco and stsz_sizes):
+                raise ValueError("video stbl missing stts/stsc/stsz/stco")
+            n_samples = len(stsz_sizes)
+            # decode timestamps from the stts run-length pairs
+            times: list[int] = []
+            t = 0
+            for count, delta in stts:
+                for _ in range(count):
+                    if len(times) >= n_samples:
+                        break
+                    times.append(t)
+                    t += delta
+            if len(times) < n_samples:
+                raise ValueError("stts covers fewer samples than stsz")
+            # sample → (offset, size) via the stsc chunk runs
+            offsets: list[int] = []
+            si = 0
+            for run_idx, (first_chunk, per_chunk) in enumerate(stsc):
+                last_chunk = (
+                    stsc[run_idx + 1][0] - 1
+                    if run_idx + 1 < len(stsc)
+                    else len(stco)
+                )
+                for chunk in range(first_chunk, last_chunk + 1):
+                    if si >= n_samples:
+                        break
+                    base = stco[chunk - 1]
+                    off = base
+                    for _ in range(per_chunk):
+                        if si >= n_samples:
+                            break
+                        offsets.append(off)
+                        off += stsz_sizes[si]
+                        si += 1
+            if len(offsets) < n_samples:
+                raise ValueError("stsc/stco cover fewer samples than stsz")
+            samples = [
+                (
+                    times[i],
+                    offsets[i],
+                    stsz_sizes[i],
+                    stss is None or (i + 1) in stss,
+                )
+                for i in range(n_samples)
+            ]
+            return codec, timescale, duration or 0, samples
+    return None
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n_seconds: int = 5,
+    strict: bool = False,
+) -> DataFrame:
+    """Materialize `frame_sample_plan`'s timestamps into actual frames:
+    for each MP4/MOV payload, walk the video track's sample table, pick
+    — per sampled timestamp — the latest KEYFRAME at or before it (stss;
+    a table without stss marks every sample sync), and extract that
+    sample's bytes from the payload. Still-image codecs (MJPEG / PNG-in-
+    MP4 — the shape screen-capture and camera pipelines emit) parse
+    header-level dimensions via `image_header` with no codec library
+    (decode_ok); FULL pixel decode dispatches to PIL when importable
+    (pixels_ok), and in codec-less environments the extracted still
+    passes through unchanged with pixels_ok=False — or strict=True
+    raises — the same honest contract as `resize_images`. Compressed
+    inter-frame codecs (avc1/hevc) extract their sync-sample bytes with
+    decode_ok=False: NAL reassembly is a real codec's job, and reporting
+    a parsed-looking frame would be a lie.
+
+    Scale: one Arrow-batched mapInPandas pass; each row emits only its
+    sampled frames' bytes (seconds-apart keyframes), never the payload —
+    output is a small fraction of input for any real video corpus."""
+
+    def run(batches: Iterator) -> Iterator:
+        import io as _io
+
+        import pandas as pd
+
+        try:
+            from PIL import Image
+
+            have_pil = True
+        except Exception:
+            have_pil = False
+        if strict and not have_pil:
+            raise NotImplementedError(
+                "frame pixel decode needs a codec library (PIL); run "
+                "strict=False for header-parse + pass-through plumbing"
+            )
+        cols = [
+            "media_id", "frame_ts_s", "sample_idx", "codec", "frame_bytes",
+            "format", "width", "height", "decode_ok", "pixels_ok",
+        ]
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                bad = {
+                    "media_id": media_id, "frame_ts_s": None,
+                    "sample_idx": None, "codec": None, "frame_bytes": None,
+                    "format": None, "width": None, "height": None,
+                    "decode_ok": False, "pixels_ok": False,
+                }
+                try:
+                    table = _mp4_sample_table(raw)
+                except ValueError:
+                    if strict:
+                        raise
+                    out.append(bad)
+                    continue
+                if table is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "frame sampling implemented for ISO-BMFF "
+                            "(MP4/MOV) containers only"
+                        )
+                    out.append(bad)
+                    continue
+                codec, timescale, duration, samples = table
+                dur_s = duration / timescale if timescale else 0.0
+                n_frames = max(1, int(dur_s / every_n_seconds))
+                for k in range(n_frames):
+                    ts = float(k * every_n_seconds)
+                    target = int(ts * timescale)
+                    idx = 0
+                    for i, (t, _o, _s, _k) in enumerate(samples):
+                        if t <= target:
+                            idx = i
+                        else:
+                            break
+                    while idx > 0 and not samples[idx][3]:
+                        idx -= 1  # snap back to the latest keyframe
+                    _t, off, size, _sync = samples[idx]
+                    frame = raw[off : off + size]
+                    row = dict(
+                        bad,
+                        frame_ts_s=ts,
+                        sample_idx=idx,
+                        codec=codec,
+                        frame_bytes=frame,
+                    )
+                    if len(frame) == size:
+                        try:
+                            header = image_header(frame)
+                        except ValueError:
+                            header = None
+                        if header is not None:
+                            fmt, w, h = header
+                            row.update(
+                                format=fmt, width=w, height=h, decode_ok=True
+                            )
+                            if have_pil:
+                                try:
+                                    img = Image.open(_io.BytesIO(frame))
+                                    img.load()
+                                    row.update(
+                                        width=img.width,
+                                        height=img.height,
+                                        pixels_ok=True,
+                                    )
+                                except Exception:
+                                    if strict:
+                                        raise
+                    elif strict:
+                        raise ValueError(
+                            "sample byte range extends past the payload"
+                        )
+                    out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
 # --- audio ------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = (
@@ -362,7 +643,13 @@ def _mp3_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
     if frames is not None:
         duration = frames * samples_per_frame / sample_rate
     else:
-        duration = (n - sync) * 8 / bitrate  # CBR byte formula, exact for CBR
+        # CBR byte formula: exact for a COMPLETE CBR stream, but — like
+        # the OGG tail note above — it derives from the payload LENGTH,
+        # so a head-probe or truncated payload yields a confidently
+        # short duration with decode_ok=True. MP3 carries no declared
+        # stream size to cross-check (unlike WAV's data chunk), so
+        # truncation is undetectable here: feed full files.
+        duration = (n - sync) * 8 / bitrate
     return ("mp3", sample_rate, channels, 0, duration)
 
 
@@ -376,7 +663,11 @@ def audio_header(payload: bytes) -> tuple[str, int, int, int, float] | None:
     and OGG Vorbis/Opus (codec id packet on the first page for
     rate/channels; duration from the LAST page's granule position —
     sample-exact, Opus pre-skip subtracted; note OGG therefore needs the
-    file TAIL, not just a head probe). Returns None for unrecognized
+    file TAIL, not just a head probe — and CBR MP3 likewise needs the
+    FULL payload: its duration is computed from the byte length, so a
+    truncated payload reports a confidently short duration with
+    decode_ok=True, undetectable because MP3 declares no stream size to
+    cross-check). Returns None for unrecognized
     containers; raises ValueError for a recognized-but-malformed header
     (the caller maps that to decode_ok=False, distinct from "unknown
     format")."""

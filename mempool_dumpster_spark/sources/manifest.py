@@ -160,6 +160,25 @@ def vacuum(path: str, keep: int = 2) -> list[str]:
     ]
     for d in doomed:
         shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+    # prune vacuumed versions from the manifest's published history —
+    # otherwise it grows one entry per commit forever (an --append
+    # workload commits twice per batch) and every future commit rewrites
+    # the ever-longer list. Data deletion first, manifest second: a crash
+    # between the two leaves stale entries whose dirs are gone (harmless
+    # — diff_versions reports them as vacuumed), never a published dir
+    # unlisted. Same atomic tmp+replace as commit_write, same
+    # single-writer contract.
+    doomed_published = {int(d[1:]) for d in doomed} & {
+        int(d[1:]) for d in pub_dirs
+    }
+    if doomed_published and "published" in live:
+        live["published"] = [
+            v for v in live["published"] if v not in doomed_published
+        ]
+        tmp = _manifest_path(path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(live, f)
+        os.replace(tmp, _manifest_path(path))
     return sorted(doomed)
 
 
@@ -225,8 +244,10 @@ def diff_versions(
     def load(v: int) -> DataFrame:
         if v not in published:
             raise ValueError(
-                f"version {v} was never published (orphan of a crashed "
-                f"commit?); published: {sorted(published)}"
+                f"version {v} is not in the published history (orphan of "
+                f"a crashed commit, or vacuumed — vacuum prunes removed "
+                f"versions from the manifest); published: "
+                f"{sorted(published)}"
             )
         d = os.path.join(path, VERSIONS_DIR, f"v{v:06d}")
         if not os.path.isdir(d):

@@ -27,9 +27,21 @@ from mempool_dumpster_spark.functions.scalars import is_valid_hash
 class ReadResult:
     valid: DataFrame
     rejects: DataFrame
+    #: a reader-owned cached frame backing both sides (the JSONL source's
+    #: corrupt-record split), surfaced so callers can release executor
+    #: memory once valid/rejects are materialized; None for readers that
+    #: don't cache
+    cached: DataFrame | None = None
 
     def reject_count(self) -> int:
         return self.rejects.count()
+
+    def unpersist(self) -> None:
+        """Release the reader-owned cache (no-op when there isn't one).
+        Call after materializing/persisting valid and rejects — their
+        plans re-read the source afterwards."""
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 def _string_schema(names: list[str]) -> T.StructType:
@@ -141,7 +153,9 @@ def read_documents_jsonl(
     `_corrupt_record` without failing the job; columnNameOfCorruptRecord
     rows must be materialized from the raw schema (a Spark constraint:
     a query selecting ONLY the corrupt column over json is disallowed —
-    hence the cached two-sided split here)."""
+    hence the cached two-sided split here). The cache is CALLER-OWNED:
+    it backs both returned frames for the session unless released —
+    call `result.unpersist()` once valid/rejects are materialized."""
     schema = T.StructType(
         [
             T.StructField(id_field, T.StringType(), True),
@@ -168,4 +182,6 @@ def read_documents_jsonl(
         F.col(text_field).alias("text"),
         F.col("meta"),
     )
-    return ReadResult(valid=valid, rejects=raw.filter(~ok | ok.isNull()))
+    return ReadResult(
+        valid=valid, rejects=raw.filter(~ok | ok.isNull()), cached=raw
+    )

@@ -485,6 +485,38 @@ def test_manifest_vacuum_legacy_manifest_honors_keep(spark, tmp_path):
     assert vacuum(path, keep=1) == ["v000001", "v000002"]
 
 
+def test_manifest_vacuum_prunes_published_history(spark, tmp_path):
+    """Advisory regression: the manifest's `published` list must not grow
+    one entry per commit forever — vacuum prunes the versions it removed
+    (an --append workload commits twice per batch, so an unpruned list
+    makes every later commit rewrite an ever-longer manifest). Surviving
+    versions stay listed, diff_versions keeps working on them, and a
+    vacuumed version's diff error mentions the vacuum."""
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.sources.manifest import (
+        commit_write,
+        current_version,
+        diff_versions,
+        vacuum,
+    )
+
+    path = str(tmp_path / "ds")
+    for n in (3, 4, 5, 6):
+        commit_write(spark.range(0, n).toDF("v"), path)
+    assert current_version(path)["published"] == [1, 2, 3, 4]
+    removed = vacuum(path, keep=2)
+    assert removed == ["v000001", "v000002"]
+    assert current_version(path)["published"] == [3, 4]
+    # surviving pair still diffs (one row added 5->6)
+    assert diff_versions(spark, path, 3, 4).count() == 1
+    with _pytest.raises(ValueError, match="vacuum"):
+        diff_versions(spark, path, 1, 4)
+    # idempotent: a second vacuum removes nothing and keeps the history
+    assert vacuum(path, keep=2) == []
+    assert current_version(path)["published"] == [3, 4]
+
+
 def test_manifest_upsert_and_diff(spark, tmp_path):
     """upsert: updated keys replaced, new keys appended, untouched rows
     survive — all as one new atomic version; diff_versions labels the

@@ -1602,6 +1602,149 @@ def test_bpe_encode_roundtrips_training_corpus(spark):
     assert packed.count() == 2
 
 
+def _mjpeg_mp4(with_stss=False, timescale=600, deltas=(2400, 2400, 2400)):
+    """Hand-built MJPEG-in-MP4: ftyp + mdat (three minimal JPEG stills
+    with DISTINCT dimensions, so tests can assert which sample a
+    timestamp resolved to) + moov with a full video sample table
+    (stsd/stts/[stss]/stsc/stsz/stco). Chunk 1 holds stills 1-2,
+    chunk 2 holds still 3 — exercising the stsc run expansion."""
+
+    def box(t, b):
+        return (len(b) + 8).to_bytes(4, "big") + t + b
+
+    def full(t, b):
+        return box(t, b"\x00\x00\x00\x00" + b)
+
+    def jpeg(w, h):
+        sof = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        )
+        return b"\xff\xd8" + sof + b"\xff\xd9"
+
+    stills = [jpeg(64, 48), jpeg(32, 24), jpeg(16, 12)]
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    mdat = box(b"mdat", b"".join(stills))
+    off1 = len(ftyp) + 8  # first chunk: stills 1-2
+    off2 = off1 + len(stills[0]) + len(stills[1])  # second: still 3
+
+    duration = sum(deltas)
+    mdhd = full(
+        b"mdhd",
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")
+        + b"\x00\x00",
+    )
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    stsd = full(
+        b"stsd", (1).to_bytes(4, "big") + box(b"jpeg", b"\x00" * 70)
+    )
+    stts = full(
+        b"stts",
+        (1).to_bytes(4, "big")
+        + (3).to_bytes(4, "big")
+        + deltas[0].to_bytes(4, "big"),
+    )
+    stss = (
+        full(b"stss", (2).to_bytes(4, "big")
+             + (1).to_bytes(4, "big") + (3).to_bytes(4, "big"))
+        if with_stss
+        else b""
+    )
+    stsc = full(
+        b"stsc",
+        (2).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+        + (2).to_bytes(4, "big") + (1).to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stsz = full(
+        b"stsz",
+        (0).to_bytes(4, "big")
+        + (3).to_bytes(4, "big")
+        + b"".join(len(s).to_bytes(4, "big") for s in stills),
+    )
+    stco = full(
+        b"stco",
+        (2).to_bytes(4, "big")
+        + off1.to_bytes(4, "big")
+        + off2.to_bytes(4, "big"),
+    )
+    stbl = box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def test_sample_frames_extracts_keyframe_stills(spark):
+    """sample_frames: MJPEG-in-MP4 sample-table walk picks the latest
+    keyframe per sampled timestamp and extracts the REAL still bytes —
+    dimensions parsed from each still's own JPEG header (no codec lib),
+    pixel decode honestly gated on PIL (pixels_ok=False pass-through in
+    this container, real decode when PIL is importable — same contract
+    as resize_images)."""
+    from mempool_dumpster_spark.ml.multimodal import sample_frames
+
+    # 3 samples at 0s/4s/8s (timescale 600, delta 2400), duration 12s.
+    # every_n=5 -> frames at ts 0 and 5; ts=5 resolves to sample 2
+    # (decode time 4s), whose still is 32x24.
+    mp4 = _mjpeg_mp4()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mp4), "video/mp4", None),
+            (2, bytearray(b"not a video"), "video/mp4", None),
+        ],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    rows = sorted(
+        sample_frames(df, every_n_seconds=5).collect(),
+        key=lambda r: (r["media_id"], r["frame_ts_s"] or -1),
+    )
+    ok = [r for r in rows if r["media_id"] == 1]
+    assert len(ok) == 2
+    assert [r["frame_ts_s"] for r in ok] == [0.0, 5.0]
+    assert [r["sample_idx"] for r in ok] == [0, 1]
+    assert all(r["codec"] == "jpeg" and r["decode_ok"] for r in ok)
+    assert (ok[0]["width"], ok[0]["height"]) == (64, 48)
+    assert (ok[1]["width"], ok[1]["height"]) == (32, 24)
+    # the extracted bytes ARE a parseable JPEG still
+    assert bytes(ok[0]["frame_bytes"])[:2] == b"\xff\xd8"
+
+    bad = [r for r in rows if r["media_id"] == 2]
+    assert len(bad) == 1 and not bad[0]["decode_ok"]
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        # real codec: full pixel decode confirms the header dimensions
+        assert all(r["pixels_ok"] for r in ok)
+    else:
+        assert all(not r["pixels_ok"] for r in ok)
+        with pytest.raises(Exception):
+            sample_frames(df, every_n_seconds=5, strict=True).collect()
+
+    # stss present (samples 1 and 3 sync): ts=5 lands on sample 2 and
+    # must SNAP BACK to keyframe 1 -> the 64x48 still
+    df2 = spark.createDataFrame(
+        [(3, bytearray(_mjpeg_mp4(with_stss=True)), "video/mp4", None)],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    snap = sorted(
+        sample_frames(df2, every_n_seconds=5).collect(),
+        key=lambda r: r["frame_ts_s"],
+    )
+    assert [r["sample_idx"] for r in snap] == [0, 0]
+    assert all((r["width"], r["height"]) == (64, 48) for r in snap)
+
+
 def test_resize_images_plumbing(spark):
     """resize_images: schema/batch plumbing is real; without PIL in the
     container the payload passes through unchanged with resize_ok=False,

@@ -17,11 +17,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.sweep
-def test_full_selfcheck_sweep_sf001():
-    """Every registered query matches its DuckDB oracle (or its rows-only
-    contract) at sf0.01 — the same gate the round driver runs."""
-    sf_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01")
+def _run_sweep(sf_dir: str) -> None:
     if not os.path.isdir(sf_dir):
         pytest.skip(f"no test data at {sf_dir}")
     proc = subprocess.run(
@@ -29,7 +25,7 @@ def test_full_selfcheck_sweep_sf001():
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
     )
     tail = "\n".join(proc.stdout.splitlines()[-30:])
     assert proc.returncode == 0, (
@@ -37,3 +33,20 @@ def test_full_selfcheck_sweep_sf001():
         f"stderr tail:\n{chr(10).join(proc.stderr.splitlines()[-10:])}"
     )
     assert "passing" in proc.stdout
+
+
+@pytest.mark.sweep
+def test_full_selfcheck_sweep_sf001():
+    """Every registered query matches its DuckDB oracle (or its rows-only
+    contract) at sf0.01 — the same gate the round driver runs."""
+    _run_sweep(os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.01"))
+
+
+@pytest.mark.sweep
+def test_full_selfcheck_sweep_sf01():
+    """The same gate at sf0.1 (10× the rows): the scale sweep has caught
+    every true scale bug — r5's two, via lineage growth and an LSH
+    near-miss — so it is pinned as a pytest gate alongside sf0.01
+    instead of living only in the round ledger. Skips when the sf0.1
+    directory isn't present."""
+    _run_sweep("/root/testdata/sf0.1")
