@@ -966,3 +966,116 @@ def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return ngram_frequency_score(docs, n=2)
+
+
+@register(
+    "docs_quality_curriculum",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')) AS score
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score, doc_id) AS rn,
+             count(*) OVER () AS cnt
+      FROM s
+    ),
+    bounds AS (
+      SELECT max(score) AS b
+      FROM o, (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9))
+               AS p(p)
+      WHERE rn = 1 + floor(p.p * (cnt - 1))
+      GROUP BY p.p
+    ),
+    bucketed AS (
+      SELECT s.doc_id, s.score,
+             (SELECT CAST(count(*) AS BIGINT) FROM bounds
+              WHERE s.score > bounds.b) AS bucket
+      FROM s
+    ),
+    sampled AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY bucket
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srk
+      FROM bucketed
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(score) AS min_score,
+           max(score) AS max_score,
+           string_agg(CASE WHEN srk <= 3 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS sample_ids
+    FROM sampled GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Curriculum bucketing + stratified sampling: documents ranked by a "
+    "quality signal (avg word length — exact integer arithmetic, so the "
+    "score is bit-identical across engines), split into deciles by "
+    "NEAREST-RANK boundary values, and 3 docs sampled per bucket by a "
+    "content-addressed md5 rank (stable across runs/partitionings/engines "
+    "— the training-curriculum primitive: quality-stratified batches "
+    "without rand()). Boundary ASSIGNMENT is a broadcast comparison "
+    "against 9 scalar values (ties at a boundary go to the lower bucket "
+    "deterministically); only the boundary COMPUTATION uses an exact "
+    "global window here for oracle parity — at 100 TB swap in "
+    "percentile_approx boundaries (mergeable sketch, no global sort), "
+    "the same exact/approx twin contract as value_quantiles.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ntok = F.size(words_col()).cast("bigint")
+    s = docs.select(
+        "doc_id",
+        ((F.length("text") - ntok + 1).cast("double") / ntok).alias("score"),
+    )
+    w = Window.orderBy("score", "doc_id")
+    o = s.select(
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == 1 + F.floor(F.lit(p / 10.0) * (F.col("cnt") - 1)),
+                F.col("score"),
+            )
+        ).alias(f"b{p}")
+        for p in range(1, 10)
+    ]
+    brow = o.agg(*picks).collect()[0]  # 9 scalars to the driver, bounded
+    bucket = sum(
+        F.when(F.col("score") > F.lit(float(brow[f"b{p}"])), 1).otherwise(0)
+        for p in range(1, 10)
+    ).cast("bigint")
+    bucketed = s.withColumn("bucket", bucket)
+    srk = F.row_number().over(
+        Window.partitionBy("bucket").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        bucketed.withColumn("srk", srk)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("srk") <= 3, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("sample_ids"),
+        )
+        .orderBy("bucket")
+    )
