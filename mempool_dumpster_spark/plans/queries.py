@@ -731,10 +731,17 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "θ-join shape Spark would otherwise execute as a nested-loop cartesian. "
     "The operator buckets ship-days at the interval width (8 days → ≤2 "
     "bucket replicas per order), equi-joins on the bucket, and applies the "
-    "containment as a residual: a plain hash join shuffling on ~date-range/"
-    "width keys, linear at 100 TB. The DuckDB oracle runs the same "
-    "predicate natively (IEJoin). ~2.9M matched pairs at sf0.01 collapse "
-    "to a 5-row priority rollup.",
+    "containment as a residual. Because the query only COUNTS pairs and "
+    "the point side carries no payload beyond its day, the count is "
+    "factorized: points collapse to a (day, multiplicity) histogram "
+    "BEFORE the range join — ~2.4k distinct days regardless of corpus "
+    "size — so the join touches |days| × orders instead of |lineitem| × "
+    "orders, n_pairs = Σ multiplicity, and the ~2.9M matched pairs at "
+    "sf0.01 (~290M at sf0.1) are never materialized. At 100 TB the "
+    "histogram is still a few KB: the pre-aggregation is the difference "
+    "between a bounded shuffle and a pair explosion. The DuckDB oracle "
+    "runs the raw pairwise predicate natively (IEJoin), pinning the "
+    "factorized plan to the unfactorized semantics.",
 )
 def shipments_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mempool_dumpster_spark.operators.range_join import range_join
@@ -745,28 +752,28 @@ def shipments_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     def days(col: str) -> F.Column:
         return F.datediff(F.col(col).cast("date"), epoch)
 
-    pts = t["lineitem"].select(days("l_shipdate").alias("ship_day"))
+    day_hist = (
+        t["lineitem"]
+        .select(days("l_shipdate").alias("ship_day"))
+        .groupBy("ship_day")
+        .agg(F.count("*").alias("__mult"))
+    )
     iv = t["orders"].select(
         "o_orderkey",
         "o_orderpriority",
         days("o_orderdate").alias("start_day"),
         (days("o_orderdate") + 7).alias("end_day"),
     )
-    joined = range_join(
-        pts,
-        iv,
-        "ship_day",
-        "start_day",
-        "end_day",
-        bucket_width=8,
-        # the points projection is one small column but the containment
-        # blow-up is ~50 pairs/point: spread generation over the cores
-        # instead of the scan's few input splits (see range_join docstring)
-        fanout_partitions=spark.sparkContext.defaultParallelism,
+    joined = range_join(day_hist, iv, "ship_day", "start_day", "end_day",
+                        bucket_width=8)
+    # inner join ⇒ every surviving o_orderkey matched ≥1 day, and an order
+    # matches each day at most once ⇒ countDistinct degrades to count(*).
+    per_order = joined.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.sum("__mult").alias("__n")
     )
-    return joined.groupBy("o_orderpriority").agg(
-        F.count("*").alias("n_pairs"),
-        F.countDistinct("o_orderkey").alias("n_orders_hit"),
+    return per_order.groupBy("o_orderpriority").agg(
+        F.sum("__n").cast("bigint").alias("n_pairs"),
+        F.count("*").alias("n_orders_hit"),
     )
 
 
