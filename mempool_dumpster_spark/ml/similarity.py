@@ -173,6 +173,7 @@ def cosine_near_pairs(
     n_planes: int = 3,
     n_tables: int = 48,
     round_digits: int = 4,
+    broadcast_bytes: int = 128 << 20,
 ) -> DataFrame:
     """All near-duplicate pairs (sim >= threshold) via LSH bucketing — the
     scale-safe replacement for the |C|²/2 all-pairs self-join.
@@ -186,14 +187,18 @@ def cosine_near_pairs(
        bucket) rows — vectors are NOT replicated n_tables×.
     2. CANDIDATES — (table, bucket) self-equi-join with id_a < id_b, then
        distinct pairs: the dedup shuffle moves two longs per row.
-    3. VERIFY — the distinct pairs re-join the vector table twice (Spark
-       broadcasts when small, sort-merge at scale), then verify in two
-       passes: a vectorized numpy prefilter at (threshold − 0.01) — numpy
-       and the sequential fold agree to ~1e-12, so the slack can never drop
-       a true pair — and the exact JVM sequential-fold dot / norm product,
-       rounded, only on the few survivors. The output value is
-       bit-identical to the all-pairs form, so either plan matches the same
-       DuckDB oracle, but the ~1.5 ms/dot interpreted fold runs on ~|true
+    3. VERIFY — two passes: a vectorized numpy prefilter at (threshold −
+       0.01) — numpy and the sequential fold agree to ~1e-12, so the slack
+       can never drop a true pair — then the exact JVM sequential-fold
+       dot / norm product, rounded, only on the few survivors. When the
+       vector table fits a modest broadcast (≤ broadcast_bytes) the
+       prefilter is a mapInArrow gather against a broadcast id-sorted
+       matrix — only the two ids cross the Arrow boundary; otherwise the
+       candidates re-join the vector table twice (broadcast when small,
+       sort-merge at scale) and the prefilter is an Arrow-batched pandas
+       UDF over the fetched vectors. The output value is bit-identical to
+       the all-pairs form either way, so every plan matches the same
+       DuckDB oracle, and the ~1.5 ms/dot interpreted fold runs on ~|true
        pairs| rows instead of every candidate.
 
     Recall: a pair at similarity s collides per table w.p.
@@ -243,6 +248,83 @@ def cosine_near_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    def _exact_on(survivors: DataFrame) -> DataFrame:
+        # the exact JVM sequential-fold dot / norm product, rounded — the
+        # value the oracle reproduces; runs only on prefilter survivors
+        fetched = survivors.join(
+            e.select(
+                F.col("id").alias("id_a"),
+                F.col("emb").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        ).join(
+            e.select(
+                F.col("id").alias("id_b"),
+                F.col("emb").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        sim = F.round(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+            round_digits,
+        )
+        return fetched.select("id_a", "id_b", sim.alias("sim")).filter(
+            F.col("sim") >= threshold
+        )
+
+    # Prefilter fast path: when the vector table fits a modest broadcast
+    # (rows × dim × 8 ≤ broadcast_bytes, default 128 MB ≈ 250k vectors at
+    # dim 64) and ids are BIGINT, candidates are prefiltered by a
+    # mapInArrow gather against a broadcast id-sorted matrix: only the two
+    # ids cross the Arrow boundary (16 B/pair instead of the two fetched
+    # vectors' ~2·dim·8 B/pair) and the dot is one vectorized row product.
+    # numpy and the sequential fold agree to ~1e-12, so the 0.01 slack can
+    # never drop a true pair — the same argument as the join-path
+    # prefilter below, which remains the unguarded 100 TB form.
+    id_is_long = dict(e.dtypes)["id"] == "bigint"
+    if id_is_long and e.count() * dim * 8 <= broadcast_bytes:
+        import pyarrow as pa
+
+        rows = e.collect()  # bounded by the broadcast guard above
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids_s = ids[order]
+        x_s = np.array([r["emb"] for r in rows], dtype=np.float64)[order]
+        nrm_s = np.array([r["nrm"] for r in rows], dtype=np.float64)[order]
+        bc = spark.sparkContext.broadcast((ids_s, x_s, nrm_s))
+        cut = threshold - 0.01
+
+        def _prefilter(batches):
+            sids, xb, nrb = bc.value
+            for b in batches:
+                ia = np.searchsorted(sids, b.column("id_a").to_numpy())
+                ib = np.searchsorted(sids, b.column("id_b").to_numpy())
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = (xb[ia] * xb[ib]).sum(axis=1) / (nrb[ia] * nrb[ib])
+                mask = s >= cut  # NaN (zero-norm) compares False, as in
+                yield b.filter(pa.array(mask))  # the join path's filter
+
+        kept = pairs.mapInArrow(_prefilter, "id_a long, id_b long")
+        return _exact_on(kept)
+
+    @pandas_udf("double")
+    def _approx_sim(
+        ea: pd.Series, eb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        xa = np.vstack(ea.to_numpy())
+        xb = np.vstack(eb.to_numpy())
+        return pd.Series(
+            (xa * xb).sum(axis=1) / (na.to_numpy() * nb.to_numpy())
+        )
+
+    # Plan barrier: left deterministic, Catalyst commutes the exact-fold
+    # filter below this prefilter (it becomes a join post-condition) and the
+    # ~ms-per-row interpreted fold runs on every candidate — exactly what
+    # the prefilter exists to avoid.
+    _approx_sim = _approx_sim.asNondeterministic()
+
     fetched = (
         pairs.join(
             e.select(
@@ -261,22 +343,6 @@ def cosine_near_pairs(
             "id_b",
         )
     )
-    @pandas_udf("double")
-    def _approx_sim(
-        ea: pd.Series, eb: pd.Series, na: pd.Series, nb: pd.Series
-    ) -> pd.Series:
-        xa = np.vstack(ea.to_numpy())
-        xb = np.vstack(eb.to_numpy())
-        return pd.Series(
-            (xa * xb).sum(axis=1) / (na.to_numpy() * nb.to_numpy())
-        )
-
-    # Plan barrier: left deterministic, Catalyst commutes the exact-fold
-    # filter below this prefilter (it becomes a join post-condition) and the
-    # ~ms-per-row interpreted fold runs on every candidate — exactly what
-    # the prefilter exists to avoid.
-    _approx_sim = _approx_sim.asNondeterministic()
-
     sim = F.round(
         dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), round_digits
     )

@@ -646,6 +646,34 @@ def test_emb_near_pairs_bucketed_parity(spark):
         )
 
 
+def test_cosine_near_pairs_prefilter_paths_agree(spark):
+    """cosine_near_pairs has two prefilter physical paths — the broadcast
+    mapInArrow gather (vector table fits broadcast_bytes) and the
+    vector-fetch join + pandas-UDF fallback (broadcast_bytes=0 forces it).
+    Both must emit the identical (id_a, id_b, sim) set: sim comes from the
+    same exact JVM fold on survivors, and the prefilters share the same
+    0.01 slack argument, so any divergence is a gather/indexing bug."""
+    import os
+
+    from mempool_dumpster_spark.ml.similarity import cosine_near_pairs
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    kw = dict(threshold=0.4, dim=64, n_planes=3, n_tables=48)
+    fast = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in cosine_near_pairs(emb, **kw).collect()
+    }
+    slow = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in cosine_near_pairs(emb, broadcast_bytes=0, **kw).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
 def test_simhash64_candidate_selectivity(spark):
     """On a 1k-doc corpus of distinct random texts, the 64-bit/16-bit-chunk
     banding yields candidates ∝ docs (expected n²/2^17 per chunk ≈ 4), while
