@@ -1063,3 +1063,108 @@ def manifest_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "__change")
         .orderBy("__change", "doc_id", "source")
     )
+
+
+_FUNNEL_STAGES = [
+    "total", "word_count", "mean_word_len", "top_word_ratio", "langid_en",
+]
+
+
+@register(
+    "docs_filter_funnel",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(max(c) AS BIGINT) AS top_word_count,
+             CAST(sum(c * length(w)) AS BIGINT) AS total_chars
+      FROM wc GROUP BY doc_id
+    ),
+    scored AS (SELECT doc_id, {{scores}} FROM documents),
+    ranked AS (
+      SELECT doc_id, score, lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang DESC) AS rn
+      FROM ({{lang_rows}})
+    ),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang
+      FROM ranked WHERE rn = 1
+    ),
+    lvl AS (
+      SELECT p.doc_id, p.n_words,
+        CASE
+          WHEN NOT (p.n_words BETWEEN 30 AND 100000) THEN 0
+          WHEN NOT (CAST(p.total_chars AS DOUBLE) / p.n_words >= 3.8
+                    AND CAST(p.total_chars AS DOUBLE) / p.n_words <= 5.0)
+            THEN 1
+          WHEN NOT (CAST(p.top_word_count AS DOUBLE) / p.n_words <= 0.12)
+            THEN 2
+          WHEN NOT (l.predicted_lang = 'en') THEN 3
+          ELSE 4
+        END AS lvl
+      FROM per_doc p JOIN lang l ON l.doc_id = p.doc_id
+    )
+    SELECT stage,
+           ['total', 'word_count', 'mean_word_len', 'top_word_ratio',
+            'langid_en'][stage + 1] AS stage_name,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM (SELECT n_words, unnest(range(0, lvl + 1)) AS stage FROM lvl)
+    GROUP BY stage
+    """.replace("{scores}", _SCORES).replace("{lang_rows}", _LANG_ROWS),
+    doc="Quality-filter funnel — per-stage survivor counts for the "
+    "curation cascade every corpus run reports (docs and tokens surviving "
+    "total → word-count bounds → mean-word-length band → top-word "
+    "repetition gate → stopword-profile langid = 'en'; the first three "
+    "are ml.text.gopher_rules' exact sub-rules, applied in order). Each "
+    "doc computes its deepest-consecutive-pass level once, then "
+    "explode(sequence(0, lvl)) turns cumulative membership into one "
+    "5-group aggregate — no per-stage passes, no driver loop; the funnel "
+    "costs ONE corpus scan + the (doc,word) shuffle gopher_rules already "
+    "pays, at any corpus size. Attribution reading: stage N's count minus "
+    "stage N+1's is exactly the docs lost to rule N+1 alone (in cascade "
+    "order).",
+)
+def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import gopher_rules, language_id
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    g = gopher_rules(docs)
+    lang = language_id(docs).select("doc_id", "predicted_lang")
+    wc_ok = F.col("n_words").between(30, 100000)
+    mwl_ok = (F.col("mean_word_len") >= 3.8) & (F.col("mean_word_len") <= 5.0)
+    twr_ok = F.col("top_word_ratio") <= 0.12
+    lang_ok = F.col("predicted_lang") == "en"
+    lvl = (
+        F.when(~wc_ok, 0)
+        .when(~mwl_ok, 1)
+        .when(~twr_ok, 2)
+        .when(~lang_ok, 3)
+        .otherwise(4)
+    )
+    per = g.join(lang, "doc_id").select("n_words", lvl.alias("lvl"))
+    names = F.array(*[F.lit(s) for s in _FUNNEL_STAGES])
+    return (
+        per.select(
+            F.explode(F.sequence(F.lit(0), F.col("lvl"))).alias("stage"),
+            "n_words",
+        )
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("stage").cast("bigint").alias("stage"),
+            F.element_at(names, F.col("stage").cast("int") + 1)
+            .alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

@@ -1079,3 +1079,106 @@ def docs_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "docs_dup_span_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t.i AS start_pos,
+             ws[t.i] || ' ' || ws[t.i+1] || ' ' || ws[t.i+2] || ' ' ||
+             ws[t.i+3] || ' ' || ws[t.i+4] AS gram
+      FROM w, unnest(CASE WHEN len(ws) >= 5
+                          THEN range(1, len(ws) - 3) ELSE [] END) AS t(i)
+    ),
+    freq AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2
+    ),
+    spans AS (SELECT g.doc_id, g.start_pos FROM g JOIN freq USING (gram)),
+    cov AS (
+      SELECT doc_id, count(*) AS covered FROM (
+        SELECT DISTINCT spans.doc_id, c.p
+        FROM spans, unnest(range(start_pos, start_pos + 5)) AS c(p)
+      ) GROUP BY doc_id
+    ),
+    sp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / len(ws), 4)
+             AS coverage_r
+    FROM w LEFT JOIN sp ON sp.doc_id = w.doc_id
+           LEFT JOIN cov ON cov.doc_id = w.doc_id
+    """,
+    doc="Cross-document duplicated-span coverage — the n-gram form of "
+    "ExactSubstr dedup (Lee et al. 2022, 'Deduplicating Training Data "
+    "Makes Language Models Better'): a word-5-gram occurring in ≥2 "
+    "distinct documents is a duplicated span; per document, count such "
+    "span starts and the distinct token positions they cover (overlapping "
+    "spans merged via position-set union, exactly how span-removal would "
+    "cut). Plan: positional grams from ONE posexplode → distinct "
+    "(doc,gram) → frequent-gram set → gram equi-join back → "
+    "explode(sequence) + distinct for coverage. Every shuffle is bounded "
+    "by gram/span cardinality (the frequent set is corpus-vocabulary "
+    "sized, NOT broadcast — the join is a plain hash join, so benchmark "
+    "corpora of any size work); the gram frame is cached for its two "
+    "consumers — at 100 TB prefer recomputing the projection over "
+    "caching TBs (it is one scan either way).",
+)
+def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = docs.repartition(par).select("doc_id", words_col().alias("__w"))
+    grams = (
+        w.select(
+            "doc_id",
+            F.posexplode(shingles_expr(F.col("__w"), 5)).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("start_pos"), "gram")
+        .cache()
+    )
+    freq = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    spans = grams.join(freq, "gram").select("doc_id", "start_pos")
+    cov = (
+        spans.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start_pos"), F.col("start_pos") + 4)
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+    sp = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    base = docs.select(
+        "doc_id", F.size(words_col()).cast("bigint").alias("n_words")
+    )
+    return (
+        base.join(sp, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("covered", F.lit(0)).cast("bigint")
+            .alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0)).cast("double")
+                / F.col("n_words"),
+                4,
+            ).alias("coverage_r"),
+        )
+    )
