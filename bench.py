@@ -17,17 +17,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Queries whose single-shot timings have historically oscillated round to
-# round on identical code (CPU-bound md5/array work is the most sensitive to
-# transient host load) — these get 5 timed runs instead of 3.
-VOLATILE = {
-    "docs_ngram_jaccard",
-    "docs_minhash_lsh_pairs",
-    "q1_pricing_summary",
-    "value_quantiles",  # percentile sketch is CPU-sensitive: r7 measured
-    # max/min 1.28 on 3 runs while the 5-run volatile set sat at ~1.15
-}
-
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -283,7 +272,12 @@ def main() -> None:
         # oscillation get 5 runs. clearCache() before EACH attempt,
         # otherwise the repeat reads the first attempt's materialized caches
         # (CacheManager dedups by plan) and times a cache hit.
-        n_runs = 5 if name in VOLATILE else 3
+        # 5 timed runs for EVERYONE (r8; 3 runs + a 5-run VOLATILE subset
+        # before): with 3 runs, max/min is decided by a single outlier
+        # draw — r8 measured docs_simhash 1.32 and value_quantiles 1.29
+        # on n=3 while every n=5 query sat ≤1.22. The median of 5 is also
+        # strictly more robust, and the extra runs cost ~3 s total.
+        n_runs = 5
         runs: list[float] = []
         # One untimed PRIMING run at the benchmark SF first: the sf0.001
         # warm-up above exercises classloading/codegen compilation, but C2
