@@ -102,13 +102,41 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "lsh") -> list[list[float]
 
 
 def simhash_signature(emb_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature: bit p = (emb · plane_p) > 0, packed into a long."""
+    """Sign-bit signature: bit p = (emb · plane_p) > 0, packed into a long.
+    JVM-expression form — kept as the public scalar API; the bucketed
+    operators below use `_table_buckets_udf`, the Arrow-vectorized
+    equivalent (one matmul for all tables instead of per-plane folds)."""
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
         bit = (dot(emb_col, lit_plane) > 0).cast("long")
         sig = sig + bit * F.lit(2**p).cast("long")
     return sig
+
+
+def _table_buckets_udf(dim: int, n_planes: int, n_tables: int):
+    """array<int> of per-table sign-bucket ids, all tables in ONE Arrow
+    matmul: (rows × dim) @ (dim × n_tables·n_planes) then bit-pack per
+    table. The interpreted `dot` fold costs ~1.5 ms per plane per row;
+    sign bits carry no fp-parity obligation (a boundary flip moves a
+    candidate between buckets, it cannot corrupt the exact re-rank), so
+    the vectorized path is safe everywhere buckets are consumed."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes: list[list[float]] = []
+    for t in range(n_tables):
+        planes += _hyperplanes(dim, n_planes, seed=f"t{t}")
+    pmat = np.array(planes)
+    weights = np.tile(2 ** np.arange(n_planes), n_tables)
+
+    @pandas_udf("array<int>")
+    def _buckets(embs: pd.Series) -> pd.Series:
+        x = np.vstack(embs.to_numpy())
+        bits = (x @ pmat.T) > 0
+        grp = (bits * weights).reshape(len(x), n_tables, n_planes).sum(axis=2)
+        return pd.Series(list(grp.astype("int32")))
+
+    return _buckets
 
 
 def lsh_bucketed_topk(
@@ -124,41 +152,42 @@ def lsh_bucketed_topk(
     """Approximate top-k: `n_tables` independent sign-bit signatures; a pair
     is a candidate when any table's full signature matches; exact cosine
     re-rank on candidates. Recall rises with n_tables, cost with bucket
-    collision rate — both deterministic for a fixed seed."""
-    c = with_unit_vector(candidates, emb_col)
-    q = with_unit_vector(queries, emb_col)
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=f"t{t}")
-        tables.append(
-            (
-                c.select(
-                    F.col(id_col).alias("neighbor_id"),
-                    F.col("unit").alias("c_unit"),
-                    simhash_signature(F.col("unit"), planes).alias("bucket"),
-                    F.lit(t).alias("table"),
-                ),
-                q.select(
-                    F.col(id_col).alias("query_id"),
-                    F.col("unit").alias("q_unit"),
-                    simhash_signature(F.col("unit"), planes).alias("bucket"),
-                    F.lit(t).alias("table"),
-                ),
-            )
-        )
-    c_all = tables[0][0]
-    q_all = tables[0][1]
-    for ct, qt in tables[1:]:
-        c_all = c_all.unionByName(ct)
-        q_all = q_all.unionByName(qt)
+    collision rate — both deterministic for a fixed seed.
+
+    Plan shape: signatures are ONE Arrow matmul per side emitting SKINNY
+    (id, table, bucket) rows — unit vectors are not replicated n_tables×
+    and never ride the bucket join. Candidates dedup on the two ids alone,
+    then re-fetch both unit vectors (query side broadcast — the query set
+    is small by contract; candidate side a hash join) for the exact
+    JVM-fold re-rank, whose sim values are bit-identical to the
+    all-pairs form."""
+    buckets = _table_buckets_udf(dim, n_planes, n_tables)
+    c = with_unit_vector(candidates, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    c_sig = c.select(
+        "neighbor_id", F.posexplode(buckets("c_unit")).alias("table", "bucket")
+    )
+    q_sig = q.select(
+        "query_id", F.posexplode(buckets("q_unit")).alias("table", "bucket")
+    )
     cand = (
-        c_all.join(q_all, ["table", "bucket"])
+        c_sig.join(q_sig, ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_unit", "c_unit")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    sims = cand.select(
-        "query_id", "neighbor_id", dot(F.col("q_unit"), F.col("c_unit")).alias("sim")
+    sims = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -217,20 +246,7 @@ def cosine_near_pairs(
     """
     from pyspark.sql.functions import pandas_udf
 
-    planes = []
-    for t in range(n_tables):
-        planes += _hyperplanes(dim, n_planes, seed=f"t{t}")
-    pmat = np.array(planes)  # (n_tables*n_planes, dim)
-    weights = np.tile(2 ** np.arange(n_planes), n_tables)
-    nt, npl = n_tables, n_planes
-
-    @pandas_udf("array<int>")
-    def _buckets(embs: pd.Series) -> pd.Series:
-        x = np.vstack(embs.to_numpy())
-        bits = (x @ pmat.T) > 0
-        grp = (bits * weights).reshape(len(x), nt, npl).sum(axis=2)
-        return pd.Series(list(grp.astype("int32")))
-
+    _buckets = _table_buckets_udf(dim, n_planes, n_tables)
     spark = df.sparkSession
     cpus = spark.sparkContext.defaultParallelism
     e = (
@@ -382,6 +398,31 @@ def nearest_cell(unit: Column, centroids: list[list[float]]) -> Column:
     return F.array_max(_cell_structs(unit, centroids))["cell"]
 
 
+def _probe_cells_udf(centroids: list[list[float]], top: int):
+    """array<int> of the `top` nearest cell ids (best first), vectorized:
+    one Arrow matmul against the centroid matrix replaces n_cells
+    interpreted `dot` folds per row. Tie-break mirrors the JVM struct
+    ordering in `_cell_structs` (equal dot → larger cell id first): the
+    column-reversed argsort makes numpy's stable sort prefer the higher
+    original cell index on exact ties. Cell assignment carries no
+    fp-parity obligation — a boundary flip moves a vector between cells
+    (an index/recall detail), the exact re-rank is unaffected."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array(centroids)  # (n_cells, dim)
+    n_cells = len(centroids)
+
+    @pandas_udf("array<int>")
+    def _probe(units: pd.Series) -> pd.Series:
+        x = np.vstack(units.to_numpy())
+        d = x @ cmat.T  # (rows, n_cells)
+        rev = np.argsort(-d[:, ::-1], axis=1, kind="stable")[:, :top]
+        cells = (n_cells - 1) - rev
+        return pd.Series(list(cells.astype("int32")))
+
+    return _probe
+
+
 def probe_cells(unit: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """The nprobe nearest cell ids, best first."""
     ranked = F.reverse(F.array_sort(_cell_structs(unit, centroids)))
@@ -409,8 +450,11 @@ def train_ivf_centroids(
     c = with_unit_vector(candidates, emb_col).select(F.col("unit"))
     centroids = _unit_centroids(dim, n_cells, seed)
     for _ in range(n_iters):
+        assign = _probe_cells_udf(centroids, top=1)
         stats = (
-            c.select(nearest_cell(F.col("unit"), centroids).alias("cell"), "unit")
+            c.select(
+                F.element_at(assign(F.col("unit")), 1).alias("cell"), "unit"
+            )
             .select("cell", F.posexplode("unit").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(
@@ -459,27 +503,37 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             candidates, n_cells, n_iters, id_col, emb_col, dim
         )
+    c_probe = _probe_cells_udf(centroids, top=n_assign)
+    q_probe = _probe_cells_udf(centroids, top=nprobe)
     c = with_unit_vector(candidates, emb_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("unit").alias("c_unit"),
-        F.explode(probe_cells(F.col("unit"), centroids, n_assign)).alias("cell"),
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
     )
     q = with_unit_vector(queries, emb_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("unit").alias("q_unit"),
-        F.explode(probe_cells(F.col("unit"), centroids, nprobe)).alias("cell"),
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    c_cells = c.select(
+        "neighbor_id", F.explode(c_probe(F.col("c_unit"))).alias("cell")
+    )
+    q_cells = q.select(
+        "query_id", F.explode(q_probe(F.col("q_unit"))).alias("cell")
+    )
+    # SKINNY probe join: only ids ride the cell shuffle; multi-assignment
+    # duplicates collapse in the id-pair distinct BEFORE units are fetched
+    # and the interpreted exact dot runs — once per surviving pair
+    cand = (
+        c_cells.join(q_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     sims = (
-        c.join(q, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
             dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
         )
-        # multi-assignment can surface the same pair via several shared
-        # cells; sim is identical, keep one
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
