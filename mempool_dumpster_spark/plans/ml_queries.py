@@ -1072,6 +1072,7 @@ _FUNNEL_STAGES = [
 
 @register(
     "docs_filter_funnel",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
     oracle=f"""
     WITH w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

@@ -1098,6 +1098,7 @@ def docs_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_dup_span_coverage",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
     oracle="""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
