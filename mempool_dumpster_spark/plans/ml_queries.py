@@ -1169,3 +1169,253 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+@register(
+    "emb_mmr_topk",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 5),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4)
+               AS sim_r
+      FROM q JOIN n c ON c.vec_id <> q.vec_id
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id,
+             CAST(round(sim_r * 10000) AS BIGINT) AS s_bp, rk
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id
+        ) AS rk FROM sims
+      ) WHERE rk <= 10
+    ),
+    pair AS (
+      SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+             CAST(round(round(list_dot_product(na.emb, nb.emb)
+                              / (na.nrm * nb.nrm), 4) * 10000) AS BIGINT)
+               AS ps_bp
+      FROM pool p1
+      JOIN pool p2 ON p2.query_id = p1.query_id
+                  AND p2.neighbor_id <> p1.neighbor_id
+      JOIN n na ON na.vec_id = p1.neighbor_id
+      JOIN n nb ON nb.vec_id = p2.neighbor_id
+    ),
+    s1 AS (
+      SELECT query_id, neighbor_id, 7 * s_bp AS score_bp
+      FROM pool WHERE rk = 1
+    ),
+    c2 AS (
+      SELECT p.query_id, p.neighbor_id,
+             7 * p.s_bp - 3 * pr.ps_bp AS score_bp
+      FROM pool p
+      JOIN s1 ON s1.query_id = p.query_id
+             AND p.neighbor_id <> s1.neighbor_id
+      JOIN pair pr ON pr.query_id = p.query_id
+                  AND pr.a = p.neighbor_id AND pr.b = s1.neighbor_id
+    ),
+    s2 AS (
+      SELECT query_id, neighbor_id, score_bp FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_bp DESC, neighbor_id
+        ) AS rk2 FROM c2
+      ) WHERE rk2 = 1
+    ),
+    c3 AS (
+      SELECT p.query_id, p.neighbor_id,
+             7 * p.s_bp - 3 * greatest(pa.ps_bp, pb.ps_bp) AS score_bp
+      FROM pool p
+      JOIN s1 ON s1.query_id = p.query_id
+             AND p.neighbor_id <> s1.neighbor_id
+      JOIN s2 ON s2.query_id = p.query_id
+             AND p.neighbor_id <> s2.neighbor_id
+      JOIN pair pa ON pa.query_id = p.query_id
+                  AND pa.a = p.neighbor_id AND pa.b = s1.neighbor_id
+      JOIN pair pb ON pb.query_id = p.query_id
+                  AND pb.a = p.neighbor_id AND pb.b = s2.neighbor_id
+    ),
+    s3 AS (
+      SELECT query_id, neighbor_id, score_bp FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_bp DESC, neighbor_id
+        ) AS rk3 FROM c3
+      ) WHERE rk3 = 1
+    )
+    SELECT query_id, CAST(1 AS BIGINT) AS pick, neighbor_id, score_bp FROM s1
+    UNION ALL
+    SELECT query_id, CAST(2 AS BIGINT), neighbor_id, score_bp FROM s2
+    UNION ALL
+    SELECT query_id, CAST(3 AS BIGINT), neighbor_id, score_bp FROM s3
+    """,
+    doc="Maximal-Marginal-Relevance diversified retrieval (Carbonell & "
+    "Goldstein 1998), the rerank every retrieval-augmented data-curation "
+    "loop runs on top of ANN: retrieve the exact top-10 pool per query, "
+    "then greedily pick 3 results maximizing λ·sim(q,d) − (1−λ)·max "
+    "sim(d, picked) with λ=0.7. The greedy recursion is UNROLLED into "
+    "three declarative argmax stages (windows + equi-joins over the "
+    "m=10 pool — m² pairwise sims per query, bounded by the pool not the "
+    "corpus), so there is no driver loop and the whole plan is one "
+    "Catalyst DAG. Scores are EXACT BIGINTs: similarities round to 4 "
+    "decimals then scale to basis points (the ×10000 double is ~0.5 from "
+    "any rounding boundary, so the int cast is engine-safe), and the MMR "
+    "combination is integer 7·s − 3·ps — no second float rounding, whose "
+    "λ-scaled 5th-decimal ties Spark (shortest-repr HALF_UP) and DuckDB "
+    "(raw-double) resolve differently. Ordering and every pick are "
+    "therefore bit-for-bit reproducible in the oracle.",
+)
+def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.similarity import (
+        dot,
+        with_unit_vector,
+    )
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    units = with_unit_vector(emb).select("vec_id", "unit").cache()
+    q = units.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    sims = (
+        units.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("unit").alias("c_unit")
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("q_unit"), F.col("c_unit")), 4).alias("sim_r"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r").desc(), "neighbor_id"
+    )
+    pool = (
+        sims.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim_r") * 10000).cast("bigint").alias("s_bp"),
+            "rk",
+        )
+        .cache()
+    )
+    ua = units.select(
+        F.col("vec_id").alias("a"), F.col("unit").alias("unit_a")
+    )
+    ub = units.select(
+        F.col("vec_id").alias("b"), F.col("unit").alias("unit_b")
+    )
+    pair = (
+        pool.select("query_id", F.col("neighbor_id").alias("a"))
+        .join(
+            pool.select(
+                F.col("query_id").alias("query_id2"),
+                F.col("neighbor_id").alias("b"),
+            ),
+            (F.col("query_id") == F.col("query_id2"))
+            & (F.col("a") != F.col("b")),
+        )
+        .join(ua, "a")
+        .join(ub, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(F.round(dot(F.col("unit_a"), F.col("unit_b")), 4) * 10000)
+            .cast("bigint")
+            .alias("ps_bp"),
+        )
+    )
+    s1 = pool.filter(F.col("rk") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s1_id"),
+        (F.lit(7) * F.col("s_bp")).alias("s1_score"),
+    )
+    c2 = (
+        pool.join(s1, "query_id")
+        .filter(F.col("neighbor_id") != F.col("s1_id"))
+        .join(
+            pair.select(
+                "query_id", F.col("a").alias("neighbor_id"),
+                F.col("b").alias("s1_id"), "ps_bp",
+            ),
+            ["query_id", "neighbor_id", "s1_id"],
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(7) * F.col("s_bp") - F.lit(3) * F.col("ps_bp"))
+            .alias("score"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "neighbor_id"
+    )
+    s2 = (
+        c2.withColumn("rk2", F.row_number().over(ws))
+        .filter(F.col("rk2") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("s2_id"),
+            F.col("score").alias("s2_score"),
+        )
+    )
+    c3 = (
+        pool.join(s1, "query_id")
+        .join(s2, "query_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("s1_id"))
+            & (F.col("neighbor_id") != F.col("s2_id"))
+        )
+        .join(
+            pair.select(
+                "query_id", F.col("a").alias("neighbor_id"),
+                F.col("b").alias("s1_id"), F.col("ps_bp").alias("ps1"),
+            ),
+            ["query_id", "neighbor_id", "s1_id"],
+        )
+        .join(
+            pair.select(
+                "query_id", F.col("a").alias("neighbor_id"),
+                F.col("b").alias("s2_id"), F.col("ps_bp").alias("ps2"),
+            ),
+            ["query_id", "neighbor_id", "s2_id"],
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(7) * F.col("s_bp") - F.lit(3) * F.greatest("ps1", "ps2"))
+            .alias("score"),
+        )
+    )
+    s3 = (
+        c3.withColumn("rk3", F.row_number().over(ws))
+        .filter(F.col("rk3") == 1)
+        .select("query_id", "neighbor_id", "score")
+    )
+    one = s1.select(
+        "query_id",
+        F.lit(1).cast("bigint").alias("pick"),
+        F.col("s1_id").alias("neighbor_id"),
+        F.col("s1_score").alias("score_bp"),
+    )
+    two = s2.select(
+        "query_id",
+        F.lit(2).cast("bigint").alias("pick"),
+        F.col("s2_id").alias("neighbor_id"),
+        F.col("s2_score").alias("score_bp"),
+    )
+    three = s3.select(
+        "query_id", F.lit(3).cast("bigint").alias("pick"), "neighbor_id",
+        F.col("score").alias("score_bp"),
+    )
+    return one.unionByName(two).unionByName(three)

@@ -1148,33 +1148,9 @@ def docs_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    w = docs.repartition(par).select("doc_id", words_col().alias("__w"))
-    grams = (
-        w.select(
-            "doc_id",
-            F.posexplode(shingles_expr(F.col("__w"), 5)).alias("pos0", "gram"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("start_pos"), "gram")
-        .cache()
-    )
-    freq = (
-        grams.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    spans = grams.join(freq, "gram").select("doc_id", "start_pos")
+    w, spans = _dup_spans(docs)
     cov = (
-        spans.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start_pos"), F.col("start_pos") + 4)
-            ).alias("p"),
-        )
-        .distinct()
+        _covered_positions(spans)
         .groupBy("doc_id")
         .agg(F.count("*").alias("covered"))
     )
@@ -1197,4 +1173,132 @@ def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("coverage_r"),
         )
+    )
+
+
+def _dup_spans(docs: DataFrame, k: int = 5, min_docs: int = 2):
+    """Shared span machinery for docs_dup_span_coverage / _strip: returns
+    (w, spans) where w = (doc_id, __w words array) and spans = (doc_id,
+    start_pos 1-based) of every k-gram occurring in ≥ min_docs distinct
+    documents. One posexplode feeds both the frequent-gram aggregate and
+    the span join (cached locally; at 100 TB prefer recomputing the
+    projection over caching TBs — it is one scan either way)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = docs.repartition(par).select("doc_id", words_col().alias("__w"))
+    grams = (
+        w.select(
+            "doc_id",
+            F.posexplode(shingles_expr(F.col("__w"), k)).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("start_pos"), "gram")
+        .cache()
+    )
+    freq = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    spans = grams.join(freq, "gram").select("doc_id", "start_pos")
+    return w, spans
+
+
+def _covered_positions(spans: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, p): distinct 1-based token positions covered by any span —
+    overlap-merged via the position-set union."""
+    return spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start_pos"), F.col("start_pos") + (k - 1))
+        ).alias("p"),
+    ).distinct()
+
+
+@register(
+    "docs_dup_span_strip",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t.i AS start_pos,
+             ws[t.i] || ' ' || ws[t.i+1] || ' ' || ws[t.i+2] || ' ' ||
+             ws[t.i+3] || ' ' || ws[t.i+4] AS gram
+      FROM w, unnest(CASE WHEN len(ws) >= 5
+                          THEN range(1, len(ws) - 3) ELSE [] END) AS t(i)
+    ),
+    freq AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, c.p
+      FROM g JOIN freq USING (gram),
+           unnest(range(g.start_pos, g.start_pos + 5)) AS c(p)
+    ),
+    pos AS (
+      SELECT doc_id, t.i AS p, ws[t.i] AS word
+      FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT pos.doc_id AS doc_id, pos.p AS p, pos.word AS word
+      FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+      WHERE cov.p IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(word, ' ' ORDER BY p)) AS h
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.h, md5('')) AS clean_md5
+    FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+    """,
+    doc="Duplicated-span REMOVAL — the rewrite half of ExactSubstr dedup "
+    "(Lee et al. 2022): drop every token position covered by a "
+    "cross-document duplicated 5-gram span (same span machinery as "
+    "docs_dup_span_coverage) and reassemble the surviving tokens in "
+    "order. Reassembly is sort_array(collect_list(struct(pos, word))) "
+    "per doc — deterministic under any partitioning because the struct "
+    "sort orders by the unique position — and the output carries "
+    "md5(clean_text) so the cross-engine hash pins the rewritten STRING "
+    "byte-for-byte, not just counts. Anti-join on (doc_id, pos) keeps "
+    "the cut exact when spans overlap. Shuffles: the span machinery's "
+    "bounded joins + one (doc_id, pos) anti-join ∝ corpus tokens.",
+)
+def docs_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w, spans = _dup_spans(docs)
+    cov = _covered_positions(spans)
+    pos = w.select(
+        "doc_id", F.posexplode(F.col("__w")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "word")
+    kept = pos.join(cov, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("word")))
+                    ),
+                    lambda s: s["word"],
+                ),
+            )
+        ).alias("h"),
+    )
+    base = docs.select(
+        "doc_id", F.size(words_col()).cast("bigint").alias("n_words")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("h"), F.md5(F.lit(""))).alias("clean_md5"),
     )
