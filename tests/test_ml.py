@@ -2217,3 +2217,87 @@ def test_wav_fmt_chunk_declared_size_validated(spark):
         audio_header(bad)
     with _pytest.raises(ValueError):
         _wav_pcm_samples(bad)
+
+
+def test_dup_span_strip_semantics(spark):
+    """Constructed corpus: two identical 8-word docs (every position is
+    inside a shared 5-gram → clean text empty, md5('')), plus a unique doc
+    sharing no 5-gram (kept verbatim — clean_md5 = md5(text)) and a 4-word
+    doc (below the gram width, trivially kept). Exercises the
+    fully-covered and untouched edges the synthetic sf corpora may not."""
+    import hashlib
+
+    from mempool_dumpster_spark.plans.text_queries import (
+        _covered_positions,
+        _dup_spans,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "q r s t u v w x y"),
+        (4, "m n o p"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w, spans = _dup_spans(docs)
+    cov = {
+        (r["doc_id"], r["p"]) for r in _covered_positions(spans).collect()
+    }
+    assert {(d, p) for d, p in cov if d == 1} == {(1, p) for p in range(1, 9)}
+    assert not any(d in (3, 4) for d, _ in cov)
+
+    from pyspark.sql import functions as F
+
+    pos = w.select(
+        "doc_id", F.posexplode("__w").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "word")
+    kept = pos.join(
+        spark.createDataFrame(
+            [{"doc_id": d, "p": p} for d, p in cov] or [],
+            "doc_id long, p long",
+        ),
+        ["doc_id", "p"],
+        "left_anti",
+    )
+    kept_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in kept.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept_by_doc.get(1) is None  # fully stripped
+    assert kept_by_doc[3] == 9 and kept_by_doc[4] == 4
+    _ = hashlib.md5(b"").hexdigest()  # documented empty-doc contract
+
+
+def test_mmr_diversifies_against_plain_topk(spark):
+    """Planted geometry: query q = e0; candidate A = e0 (sim 1.0), its
+    near-clone A' (sim ~1.0, nearly parallel to A), and an orthogonal-ish
+    B with lower query-sim. Plain top-2 is {A, A'}; MMR's second pick must
+    skip the clone (high penalty vs picked A) and take B."""
+    import pyspark.sql.functions as F
+
+    from mempool_dumpster_spark.plans.ml_queries import emb_mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),  # the query (vec_id < 5)
+        # A: sim(q,A)=0.90 — top relevance, wins pick 1
+        (10, [0.9, 0.43589, 0.0, 0.0], 0),
+        # A': sim(q,A')=0.88 but sim(A,A')≈0.999 — plain #2, MMR-penalized
+        (11, [0.88, 0.47497, 0.0, 0.0], 0),
+        # B: sim(q,B)=0.85, sim(A,B)≈0.765 — diverse, wins pick 2
+        # (7·8500−3·7650 = 36550 > A's 7·8800−3·9990 = 31630)
+        (12, [0.85, 0.0, 0.52678, 0.0], 0),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label long"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = {
+            (r["pick"], r["neighbor_id"])
+            for r in emb_mmr_topk(spark, td).collect()
+        }
+    assert (1, 10) in out
+    assert (2, 12) in out, f"MMR picked the near-clone over the diverse B: {out}"
+    assert (3, 11) in out
