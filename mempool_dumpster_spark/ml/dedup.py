@@ -301,6 +301,17 @@ def duplicate_components(pairs: DataFrame, iterations: int = 50) -> DataFrame:
     Labels start at min(own id, min neighbor id), folding what used to be
     the first propagation round into initialization.
 
+    Why not deeper jumps or large-star/small-star: a second jump per
+    round (label⁴) was measured to change NOTHING on the slow-converging
+    sf0.1 semantic graph — the decay there is bounded by how fast
+    MIN-knowledge spreads along paths (the min-id node of a radius-r
+    window sits ~r/2 in expectation, so the radius grows ~1.5× per round,
+    jump depth is not the constraint), and composing uncheckpointed jump
+    frames also re-inflates the logical plan the checkpointing exists to
+    cut. Star-contraction algorithms would give true O(log n) but mutate
+    the edge set per round; not worth it while measured rounds stay
+    ≤ ~1.5·log₂(diameter).
+
     Correctness: labels only decrease, never below the component minimum
     (every label value is the id of a node in the same component — initial
     labels are own/neighbor ids, and both the edge step and the jump step

@@ -1489,3 +1489,67 @@ def events_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("event_id").over(w).cast("bigint").alias("moving_sum"),
     )
+
+
+@register(
+    "events_user_day_outer",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    oracle="""
+    WITH v AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           coalesce(v.day, p.day) AS day,
+           CAST(coalesce(v.n_views, 0) AS BIGINT) AS n_views,
+           CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CASE WHEN v.user_id IS NULL THEN 'purchase_only'
+                WHEN p.user_id IS NULL THEN 'view_only'
+                ELSE 'both' END AS side
+    FROM v FULL OUTER JOIN p
+      ON v.user_id = p.user_id AND v.day = p.day
+    """,
+    doc="FULL OUTER join — the one join type the rest of the registry "
+    "doesn't exercise (inner/left/left_semi/left_anti/cross all have "
+    "entries): per (user, day), view counts against purchase counts with "
+    "both unmatched sides kept and labeled. At scale this is one "
+    "shuffle-on-key full-outer SMJ over two pre-aggregated sides — each "
+    "side is already collapsed to (user, day) before the join, so the "
+    "join input is bounded by active user-days, not events.",
+)
+def events_user_day_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    day = F.col("ts").cast("date").alias("day")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", day)
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_views"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day)
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    joined = v.alias("v").join(
+        p.alias("p"),
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("v.day") == F.col("p.day")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("v.user_id", "p.user_id").alias("user_id"),
+        F.coalesce("v.day", "p.day").alias("day"),
+        F.coalesce("n_views", F.lit(0)).cast("bigint").alias("n_views"),
+        F.coalesce("n_purchases", F.lit(0)).cast("bigint")
+        .alias("n_purchases"),
+        F.when(F.col("v.user_id").isNull(), "purchase_only")
+        .when(F.col("p.user_id").isNull(), "view_only")
+        .otherwise("both")
+        .alias("side"),
+    )
