@@ -214,23 +214,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """
     assert bits <= 64 and bits % 4 == 0
     digest = F.md5("word")
-    # Collapse to (doc, word, count) FIRST: votes weighted by tf are
-    # integer-identical to per-occurrence ±1 sums, and the md5 + conv
-    # chain then runs once per distinct (doc, word) pair, not once per
-    # occurrence (~10× fewer string ops on natural-language tf). The
-    # nibble projection still computes md5 once per (word, nibble) — NOT
-    # once per bit inside the aggregate.
-    wc = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(words(text_col)).alias("word"),
-        )
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("__c"))
-    )
-    w = wc.select(
+    # md5 + conv run once per (word, nibble) in this projection — NOT once
+    # per bit inside the aggregate (4× fewer string ops in the hot loop).
+    w = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")
+    ).select(
         "doc_id",
-        "__c",
         *[
             F.conv(F.substring(digest, c + 1, 1), 16, 10).cast("int").alias(f"__n{c}")
             for c in range(bits // 4)
@@ -239,7 +228,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     total = F.lit(0).cast("long")
     for j in range(bits):
         bit = F.shiftright(F.col(f"__n{j // 4}"), 3 - (j % 4)).bitwiseAND(F.lit(1))
-        vote = F.sum(F.when(bit == 1, F.col("__c")).otherwise(-F.col("__c")))
+        vote = F.sum(F.when(bit == 1, 1).otherwise(-1))
         # shiftleft so bit 63 lands in the sign bit instead of overflowing
         total = total + F.shiftleft((vote > 0).cast("long"), j)
     return w.groupBy("doc_id").agg(total.alias("simhash"))

@@ -309,36 +309,20 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_bit_exprs_spark() -> Column:
     """16-bit SimHash vote aggregate over pre-projected nibble columns
-    nib0..nib3 and a per-(doc,word) count column __c (see docs_simhash:
-    md5 and conv run ONCE per distinct (doc, word) pair — r8; previously
-    once per word occurrence, ~|words|/|vocab-per-doc| times more md5).
+    nib0..nib3 (see docs_simhash: md5 and conv run ONCE per word in the
+    projection below the aggregate, not 16× inside it).
 
-    bit j comes from hex digit j//4 of md5(word); each word votes ±count
-    per bit — Σ over occurrences of ±1 ≡ Σ over distinct words of
-    ±count, exact integer arithmetic, so the occurrence-form DuckDB
-    oracle is numerically identical.
+    bit j comes from hex digit j//4 of md5(word); each word votes ±1 per bit;
+    simhash bit = (vote sum > 0). Pure integer arithmetic — identical in any
+    engine.
     """
     total = F.lit(0)
     for j in range(16):
         nib = F.col(f"nib{j // 4}")
         bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
-        vote = F.sum(F.when(bit == 1, F.col("__c")).otherwise(-F.col("__c")))
+        vote = F.sum(F.when(bit == 1, 1).otherwise(-1))
         total = total + F.when(vote > 0, F.lit(2**j)).otherwise(F.lit(0))
     return total.cast("bigint")
-
-
-def _doc_word_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, word, __c): the tf collapse both simhash queries hash
-    from. The (doc,word) aggregate map-side combines, so the shuffle
-    carries distinct pairs — and the md5/conv nibble projection above it
-    runs per PAIR, not per occurrence."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        docs.repartition(par)
-        .select("doc_id", F.explode(words_col()).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("__c"))
-    )
 
 
 def _simhash_sql_duck() -> str:
@@ -369,9 +353,10 @@ def _simhash_sql_duck() -> str:
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     digest = F.md5("word")
-    w = _doc_word_counts(docs).select(
+    # CPU-bound md5-per-word projection: spread over cores, not scan splits
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    w = docs.select("doc_id", F.explode(words_col()).alias("word")).select(
         "doc_id",
-        "__c",
         *[
             F.conv(F.substring(digest, c + 1, 1), 16, 10).cast("int").alias(f"nib{c}")
             for c in range(4)
@@ -399,16 +384,15 @@ def _simhash64_sql_duck() -> str:
 
 
 def _simhash64_spark() -> Column:
-    """64-bit SimHash vote aggregate over nibble columns nib0..nib15 and
-    the per-(doc,word) count __c — same vote math as
-    _simhash_bit_exprs_spark widened to 64 bits; bit 63 lands in the sign
-    bit (weight = min-long, matching the DuckDB oracle and
-    ml.dedup.simhash's shiftleft form)."""
+    """64-bit SimHash vote aggregate over nibble columns nib0..nib15 —
+    same vote math as _simhash_bit_exprs_spark widened to 64 bits; bit 63
+    lands in the sign bit (weight = min-long, matching the DuckDB oracle
+    and ml.dedup.simhash's shiftleft form)."""
     total = F.lit(0).cast("long")
     for j in range(64):
         nib = F.col(f"nib{j // 4}")
         bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
-        vote = F.sum(F.when(bit == 1, F.col("__c")).otherwise(-F.col("__c")))
+        vote = F.sum(F.when(bit == 1, 1).otherwise(-1))
         weight = F.lit(-9223372036854775808) if j == 63 else F.lit(2**j)
         total = total + F.when(vote > 0, weight).otherwise(F.lit(0)).cast("long")
     return total
@@ -453,9 +437,10 @@ def _simhash64_spark() -> Column:
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     digest = F.md5("word")
-    w = _doc_word_counts(docs).select(
+    # CPU-bound md5-per-word projection: spread over cores, not scan splits
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    w = docs.select("doc_id", F.explode(words_col()).alias("word")).select(
         "doc_id",
-        "__c",
         *[
             F.conv(F.substring(digest, c + 1, 1), 16, 10).cast("int").alias(f"nib{c}")
             for c in range(16)
