@@ -66,6 +66,13 @@ GUARDED = [
     "q21_waiting_supplier",
     "events_funnel",
     "events_click_and_purchase",
+    # round-8 additions (emb_mmr_topk is deliberately absent: its exact
+    # top-10 pool retrieval broadcasts the |Q|-bounded query side into a
+    # nested loop by design, same class as emb_knn)
+    "docs_dup_span_coverage",
+    "docs_dup_span_strip",
+    "docs_filter_funnel",
+    "events_user_day_outer",
 ]
 
 

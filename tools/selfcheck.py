@@ -73,6 +73,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             srows = [r.asDict() for r in sdf.collect()]
+            spark_sec = round(time.time() - t0, 2)
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
@@ -88,8 +89,10 @@ def main() -> int:
             print(f"okR  {name}: rows-only, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
             results[name] = {"status": "okR", "rows": len(srows),
-                             "sec": round(time.time() - t0, 2)}
+                             "sec": round(time.time() - t0, 2),
+                             "spark_sec": spark_sec}
             continue
+        t1 = time.time()
         try:
             cur = con.execute(oracles[name])
             cols = [d[0] for d in cur.description]
@@ -122,10 +125,15 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: {sn} rows match ({time.time()-t0:.1f}s)")
+        # sec = whole comparison; spark_sec / duck_sec attribute it — the
+        # expensive rows are usually the ORACLE (DuckDB's recursive
+        # transitive-closure CTEs, IEJoin), not the engine under test
         results[name] = {
             "status": "FAIL" if name in failures else "ok",
             "rows": sn,
             "sec": round(time.time() - t0, 2),
+            "spark_sec": spark_sec,
+            "duck_sec": round(time.time() - t1, 2),
         }
 
     n_ran = len(results)
