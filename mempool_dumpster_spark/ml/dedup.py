@@ -277,18 +277,38 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, chunks: int = 4) ->
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def duplicate_components(pairs: DataFrame, iterations: int = 50) -> DataFrame:
+def duplicate_components(
+    pairs: DataFrame,
+    iterations: int = 50,
+    driver_max_edges: int = 2_000_000,
+) -> DataFrame:
     """Connected components over duplicate pairs → (doc_id, component_id),
-    component_id = min doc id reachable. Iterative min-label propagation
-    with POINTER JUMPING: each round takes the min over (a) the labels of
-    graph neighbors and (b) the label of the current label's node
-    (path-halving, label(d) ← label(label(d))). Edge propagation alone
-    needs O(diameter) rounds — the sf0.1 near-dup graph has chains of
-    diameter ~12 — while the combined step converges in O(log diameter):
-    measured 12 → 4 rounds on that graph, and every Spark round is a
-    full job barrier, so rounds ARE the wall-clock at any cluster size.
-    Labels start at min(own id, min neighbor id), folding what used to be
-    the first propagation round into initialization.
+    component_id = min doc id reachable.
+
+    TWO physical paths, same exact output:
+
+    - `driver_max_edges` or fewer DISTINCT pairs → union-find with path
+      compression on the driver (one bounded collect of two longs per
+      pair, ≤ ~32 MB at the default cap, then one parallelize back).
+      After LSH banding a near-dup graph is SPARSE — every edge is a
+      verified near-duplicate — so even 100 TB corpora often land here;
+      the cap, not the corpus, bounds driver memory, and the iterative
+      path below remains the unguarded fallback. A graph that small is
+      10+ Spark job barriers vs milliseconds of driver CPU.
+    - larger graphs → iterative min-label propagation with POINTER
+      JUMPING: each round takes the min over (a) the labels of graph
+      neighbors and (b) the label of the current label's node
+      (path-halving, label(d) ← label(label(d))). Edge propagation alone
+      needs O(diameter) rounds — the sf0.1 near-dup graph has chains of
+      diameter ~12 — while the combined step converges in O(log
+      diameter): measured 12 → 4 rounds on that graph, and every Spark
+      round is a full job barrier, so rounds ARE the wall-clock at any
+      cluster size. Labels start at min(own id, min neighbor id), folding
+      what used to be the first propagation round into initialization.
+
+    Both paths are exercised by
+    tests/test_ml.py::test_duplicate_components_driver_parity (the
+    distributed path forced via driver_max_edges=0).
 
     Why not deeper jumps or large-star/small-star: a second jump per
     round (label⁴) was measured to change NOTHING on the slow-converging
@@ -330,9 +350,43 @@ def duplicate_components(pairs: DataFrame, iterations: int = 50) -> DataFrame:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    p2 = pairs.select("doc_a", "doc_b").distinct().persist()
+    n_edges = p2.count()
+    id_is_integral = dict(p2.dtypes)["doc_a"] in ("bigint", "int", "smallint")
+    if id_is_integral and n_edges <= driver_max_edges:
+        rows = p2.collect()  # bounded by driver_max_edges (two longs/row)
+        p2.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r[0], r[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # always hang the larger root under the smaller, so every
+                # final root IS the component's min id — same contract as
+                # the propagation path
+                parent[max(ra, rb)] = min(ra, rb)
+        out = [(x, find(x)) for x in parent]
+        dtype = dict(pairs.dtypes)["doc_a"]
+        return pairs.sparkSession.createDataFrame(
+            out, f"doc_id {dtype}, component_id {dtype}"
+        )
+
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        p2.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(p2.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
         .persist()
     )
@@ -398,4 +452,5 @@ def duplicate_components(pairs: DataFrame, iterations: int = 50) -> DataFrame:
             stacklevel=2,
         )
     edges.unpersist()
+    p2.unpersist()
     return labels

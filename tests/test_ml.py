@@ -2301,3 +2301,31 @@ def test_mmr_diversifies_against_plain_topk(spark):
     assert (1, 10) in out
     assert (2, 12) in out, f"MMR picked the near-clone over the diverse B: {out}"
     assert (3, 11) in out
+
+
+def test_duplicate_components_driver_parity(spark):
+    """The guarded driver union-find path and the distributed label
+    propagation path (forced via driver_max_edges=0) must produce the
+    identical (doc_id, component_id) set — including a long chain (where
+    min-label needs many rounds) and a duplicate-edge input (the distinct
+    collapse feeds both paths)."""
+    from mempool_dumpster_spark.ml.dedup import duplicate_components
+
+    # chain 9-8-...-1, a triangle with shared min, a self-contained pair,
+    # and duplicate + reversed-duplicate edges
+    edges = (
+        [(i, i + 1) for i in range(1, 9)]
+        + [(20, 21), (21, 22), (20, 22), (30, 31), (20, 21), (1, 2)]
+    )
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    fast = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components(pairs).collect()
+    }
+    slow = {
+        (r["doc_id"], r["component_id"])
+        for r in duplicate_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == slow
+    assert all(c == 1 for d, c in fast if d <= 9)
+    assert {(30, 30), (31, 30)} <= fast
