@@ -447,31 +447,36 @@ def train_ivf_centroids(
     round. At 100 TB you would train on a deterministic sample (filter on a
     hash of the id) — the loop shape is identical. Empty cells keep their
     previous centroid (standard Lloyd degeneracy handling)."""
-    c = with_unit_vector(candidates, emb_col).select(F.col("unit"))
+    c = with_unit_vector(candidates, emb_col).select(F.col("unit")).cache()
     centroids = _unit_centroids(dim, n_cells, seed)
+    # dim sums as COLUMNS of one n_cells-group aggregate (not a
+    # posexplode to rows×dim — same DECIMAL-exact order-independent sums,
+    # ~3× less per-iteration work at dim 64); element_at is 1-based
+    sum_cols = [
+        F.sum(F.element_at("unit", i + 1).cast("decimal(38,18)")).alias(f"s{i}")
+        for i in range(dim)
+    ]
     for _ in range(n_iters):
         assign = _probe_cells_udf(centroids, top=1)
         stats = (
             c.select(
                 F.element_at(assign(F.col("unit")), 1).alias("cell"), "unit"
             )
-            .select("cell", F.posexplode("unit").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
-                F.count("*").alias("n"),
-            )
+            .groupBy("cell")
+            .agg(*sum_cols, F.count("*").alias("n"))
             .collect()
         )
-        means: dict[int, list[float]] = {}
-        for r in stats:
-            means.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = float(r["s"]) / r["n"]
+        means: dict[int, list[float]] = {
+            r["cell"]: [float(r[f"s{i}"]) / r["n"] for i in range(dim)]
+            for r in stats
+        }
         new = []
         for i, old in enumerate(centroids):
             m = means.get(i)
             norm_m = sum(x * x for x in m) ** 0.5 if m else 0.0
             new.append([x / norm_m for x in m] if norm_m > 0 else old)
         centroids = new
+    c.unpersist()
     return centroids
 
 
