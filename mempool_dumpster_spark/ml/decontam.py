@@ -41,14 +41,18 @@ def contamination(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    # array_distinct dedups shingles WITHIN the row before the explode, so
+    # (doc, shingle) pairs are already distinct and the per-doc aggregate
+    # is a plain map-side-combined count — not countDistinct, whose
+    # expand doubles the exploded rows and forces a second distinct
+    # shuffle for the same answer
     marked = corpus.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     ).join(F.broadcast(b_sh), "shingle", "left")
     per_doc = marked.groupBy(id_col).agg(
-        F.countDistinct("shingle").alias("n_shingles"),
-        F.countDistinct(F.when(F.col("__hit") == 1, F.col("shingle"))).alias(
-            "n_hits"
-        ),
+        F.count("*").alias("n_shingles"),
+        F.count(F.when(F.col("__hit") == 1, 1)).alias("n_hits"),
     )
     # left join back so even shingle-less (< n words) docs get a row
     base = corpus.select(id_col).distinct()
