@@ -544,3 +544,52 @@ def test_budget_fill_exact_boundary_kept(spark):
         for r in budget_fill(df, {"s": 9}, order_col="quality").collect()
     }
     assert kept9 == {"a"}  # b straddles: excluded entirely, c after it too
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_dup_span_coverage_matches_bruteforce(spark, docs):
+    """docs_dup_span_coverage semantics vs a direct Python reference on
+    random tiny-vocab corpora (tiny vocab => shared 5-grams are common):
+    per doc, the covered-position set must equal the union of [s, s+4]
+    over every 5-gram start whose gram occurs in >= 2 distinct docs, and
+    the span count must equal the number of such starts."""
+    from mempool_dumpster_spark.plans.text_queries import (
+        _covered_positions,
+        _dup_spans,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    _w, spans = _dup_spans(sdf)
+    got_spans = {(r["doc_id"], r["start_pos"]) for r in spans.collect()}
+    got_cov = {
+        (r["doc_id"], r["p"]) for r in _covered_positions(spans).collect()
+    }
+
+    # brute force. NB split(' ') on an empty text yields [''] — one empty
+    # word — matching Spark's split semantics on the same string.
+    texts = [t.split(" ") for _i, t in rows]
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, ws in enumerate(texts):
+        for s in range(len(ws) - 4):
+            gram_docs[tuple(ws[s : s + 5])].add(i)
+    want_spans = set()
+    want_cov = set()
+    for i, ws in enumerate(texts):
+        for s in range(len(ws) - 4):
+            if len(gram_docs[tuple(ws[s : s + 5])]) >= 2:
+                want_spans.add((i, s + 1))
+                want_cov.update((i, p) for p in range(s + 1, s + 6))
+    assert got_spans == want_spans
+    assert got_cov == want_cov
