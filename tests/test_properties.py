@@ -593,3 +593,65 @@ def test_dup_span_coverage_matches_bruteforce(spark, docs):
                 want_cov.update((i, p) for p in range(s + 1, s + 6))
     assert got_spans == want_spans
     assert got_cov == want_cov
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=3, max_size=3),
+        min_size=4,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_mmr_unrolled_equals_sequential_greedy(spark, vecs, tmp_path_factory):
+    """emb_mmr_topk's three unrolled argmax stages must equal the
+    SEQUENTIAL greedy MMR algorithm (pick argmax of 7*s_bp - 3*max ps_bp
+    over picked, k=3, pool=10, id tiebreak) run in plain Python over the
+    same rounded similarities — on random small integer embeddings
+    (nonzero norms by construction). Guards the unrolling itself, not
+    just the planted-geometry case."""
+    import math
+    import os
+
+    from mempool_dumpster_spark.plans.ml_queries import emb_mmr_topk
+
+    rows = [
+        (i, [float(x) for x in v], 0) for i, v in enumerate(vecs)
+    ]
+    td = str(tmp_path_factory.mktemp("mmr"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.parquet(os.path.join(td, "embeddings.parquet"))
+    got = {
+        (r["query_id"], r["pick"], r["neighbor_id"], r["score_bp"])
+        for r in emb_mmr_topk(spark, td).collect()
+    }
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    units = {i: unit(v) for i, (_, v, _) in zip(range(len(rows)), rows)}
+
+    def sim_bp(a, b):
+        s = round(sum(x * y for x, y in zip(units[a], units[b])), 4)
+        return int(round(s * 10000))
+
+    want = set()
+    for qid in range(min(5, len(rows))):
+        cands = [i for i in units if i != qid]
+        pool = sorted(cands, key=lambda i: (-sim_bp(qid, i), i))[:10]
+        picked = []
+        for pick_no in range(1, min(3, len(pool)) + 1):
+            best = None
+            for i in pool:
+                if i in picked:
+                    continue
+                pen = max((sim_bp(i, p) for p in picked), default=0)
+                score = 7 * sim_bp(qid, i) - 3 * (pen if picked else 0)
+                key = (-score, i)
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            picked.append(best[1])
+            want.add((qid, pick_no, best[1], best[2]))
+    assert got == want
