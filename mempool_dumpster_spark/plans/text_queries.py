@@ -1287,3 +1287,107 @@ def docs_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce(F.col("h"), F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+@register(
+    "docs_source_quality_mix",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')) AS score
+      FROM documents
+    ),
+    o AS (
+      SELECT score,
+             row_number() OVER (ORDER BY score, doc_id) AS rn,
+             count(*) OVER () AS cnt
+      FROM s
+    ),
+    bounds AS (
+      SELECT max(score) AS b
+      FROM o, (VALUES (0.2),(0.4),(0.6),(0.8)) AS p(p)
+      WHERE rn = 1 + floor(p.p * (cnt - 1))
+      GROUP BY p.p
+    ),
+    bucketed AS (
+      SELECT s.source, s.n_words,
+             (SELECT CAST(count(*) AS BIGINT) FROM bounds
+              WHERE s.score > bounds.b) AS quintile
+      FROM s
+    ),
+    mix AS (
+      SELECT source, quintile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS sum_tokens
+      FROM bucketed GROUP BY source, quintile
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n_docs) AS BIGINT) AS total
+      FROM mix GROUP BY source
+    )
+    SELECT m.source, m.quintile, m.n_docs, m.sum_tokens,
+           round(CAST(m.n_docs AS DOUBLE) / t.total, 4) AS pct_r
+    FROM mix m JOIN tot t ON t.source = m.source
+    """,
+    doc="Per-source quality mix — the source-drift monitor every curated "
+    "corpus tracks (which feed is degrading, which upsamples well): "
+    "documents bucketed into GLOBAL quality quintiles (same "
+    "exact-integer avg-word-length score and nearest-rank boundary "
+    "machinery as docs_quality_curriculum — at 100 TB swap "
+    "percentile_approx boundaries in, same exact/approx twin contract), "
+    "then a (source × quintile) crosstab with each source's share of "
+    "its docs per quintile. Boundary assignment is a broadcast "
+    "comparison against 4 scalars; the only shuffles are the two "
+    "bounded aggregates, and the per-source share join is "
+    "sources × quintiles sized.",
+)
+def docs_source_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ntok = F.size(words_col()).cast("bigint")
+    s = docs.select(
+        "doc_id",
+        "source",
+        ntok.alias("n_words"),
+        ((F.length("text") - ntok + 1).cast("double") / ntok).alias("score"),
+    )
+    w = Window.orderBy("score", "doc_id")
+    o = s.select(
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == 1 + F.floor(F.lit(p / 5.0) * (F.col("cnt") - 1)),
+                F.col("score"),
+            )
+        ).alias(f"b{p}")
+        for p in range(1, 5)
+    ]
+    brow = o.agg(*picks).collect()[0]  # 4 scalars to the driver, bounded
+    quintile = sum(
+        F.when(F.col("score") > F.lit(float(brow[f"b{p}"])), 1).otherwise(0)
+        for p in range(1, 5)
+    ).cast("bigint")
+    mix = (
+        s.withColumn("quintile", quintile)
+        .groupBy("source", "quintile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("sum_tokens"),
+        )
+    )
+    tot = mix.groupBy("source").agg(F.sum("n_docs").alias("total"))
+    return mix.join(tot, "source").select(
+        "source",
+        "quintile",
+        "n_docs",
+        "sum_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 4)
+        .alias("pct_r"),
+    )

@@ -73,6 +73,7 @@ GUARDED = [
     "docs_dup_span_strip",
     "docs_filter_funnel",
     "events_user_day_outer",
+    "docs_source_quality_mix",
 ]
 
 
