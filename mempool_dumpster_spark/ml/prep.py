@@ -22,6 +22,7 @@ surface the CLI `prep` subcommand and cluster jobs call.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -185,6 +186,26 @@ def corpus_signatures(
     return hashes.join(sigs, "doc_id", "left")
 
 
+def artifact_slot_count(signatures: DataFrame) -> int:
+    """MinHash slot count of a committed `corpus_signatures` artifact,
+    inferred from its m0..m{n-1} columns. The gate MUST compare at the
+    width the artifact was built with — slots computed at a different
+    hash count compare as noise, and an upsert at a different width is a
+    schema mismatch — so `cross_corpus_filter`/`append_batch` adapt to
+    this instead of trusting their n_hashes default (which changed 16→64
+    in r8; corpora committed at 16 slots must keep appending)."""
+    slots = sorted(
+        int(c[1:]) for c in signatures.columns if re.fullmatch(r"m\d+", c)
+    )
+    if not slots or slots != list(range(len(slots))):
+        raise ValueError(
+            "signature artifact has no contiguous m0..m{n-1} slot "
+            f"columns (saw {[c for c in signatures.columns if c.startswith('m')][:8]}...); "
+            "rebuild it with corpus_signatures()"
+        )
+    return len(slots)
+
+
 def prep_incremental(
     new_docs: DataFrame,
     signatures: DataFrame,
@@ -258,10 +279,16 @@ def cross_corpus_filter(
     MinHash-estimated Jaccard against any existing doc reaches the
     threshold.
 
-    `bands × rows_per_band` must equal `n_hashes` (and must match the
-    parameters the `signatures` artifact was built with — signature
-    slots computed at a different shingle_k or hash count compare as
-    noise); the default 16×4=64 mirrors `corpus_signatures`.
+    The gate compares at the WIDTH THE ARTIFACT WAS BUILT WITH:
+    `n_hashes` is taken from the artifact's m* columns
+    (`artifact_slot_count`), not the caller — slots computed at a
+    different hash count compare as noise, and the pre-r8 16-slot
+    default must keep appending after the default moved to 64. When the
+    caller's `bands × rows_per_band` doesn't divide the artifact width,
+    the banding is re-derived (preferring the requested rows_per_band);
+    the default 16×4=64 mirrors `corpus_signatures`. `shingle_k` still
+    must match the artifact's build parameter (not inferable from the
+    schema).
 
     Why 16 bands × 4 rows and not 8×8: the banding is a RECALL
     prefilter, the 64-slot estimate is the precision decision. The
@@ -274,11 +301,18 @@ def cross_corpus_filter(
     of a false DROP (silent data loss) falls from ~10% to <1%. Both
     directions are pinned by measurement in
     tests/test_ml.py::test_cross_corpus_filter_false_drop_rate."""
+    # The artifact's committed width wins over the caller's n_hashes: a
+    # corpus whose _signatures was built at the pre-r8 16-slot default
+    # must keep appending after the default moved to 64 — without this,
+    # the agree-sum references m16..m63 and fails with an opaque
+    # missing-column AnalysisException (and the upsert would schema-
+    # mismatch). On mismatch the banding is re-derived at the artifact's
+    # width, preferring the requested rows_per_band when it divides.
+    n_hashes = artifact_slot_count(signatures)
     if bands * rows_per_band != n_hashes:
-        raise ValueError(
-            f"bands ({bands}) x rows_per_band ({rows_per_band}) must "
-            f"equal n_hashes ({n_hashes})"
-        )
+        if n_hashes % rows_per_band != 0:
+            rows_per_band = next(r for r in (4, 2, 1) if n_hashes % r == 0)
+        bands = n_hashes // rows_per_band
     out = (
         new_docs.withColumn("__th", F.md5(text_col))
         .join(
@@ -363,6 +397,9 @@ def append_batch(
     cfg = config or PrepConfig()
     sigs_out = f"{out_dir}_signatures"
     sigs = read_committed(spark, sigs_out)
+    # every signature computed in this transaction (heal, gate, upsert)
+    # must match the committed artifact's width, not the library default
+    slots = artifact_slot_count(sigs)
     committed = read_committed(spark, out_dir)
     missing = committed.join(
         sigs.select("doc_id"), "doc_id", "left_anti"
@@ -371,7 +408,7 @@ def append_batch(
         upsert(
             spark,
             sigs_out,
-            corpus_signatures(missing, shingle_k=cfg.shingle_k),
+            corpus_signatures(missing, shingle_k=cfg.shingle_k, n_hashes=slots),
             ["doc_id"],
         )
         sigs = read_committed(spark, sigs_out)
@@ -384,7 +421,7 @@ def append_batch(
         upsert(
             spark,
             sigs_out,
-            corpus_signatures(kept, shingle_k=cfg.shingle_k),
+            corpus_signatures(kept, shingle_k=cfg.shingle_k, n_hashes=slots),
             ["doc_id"],
         )
         return {
@@ -531,9 +568,17 @@ def calibrate_cross_corpus_gate(
             "is_candidate", F.coalesce("is_candidate", F.lit(False))
         )
         .withColumn(
+            # j_est comes off a LEFT join: a pair without an estimate
+            # must read as a definite non-drop (False), not NULL — a
+            # NULL here silently falls out of gate_error_rates'
+            # ~would_drop numerator while staying in the denominator,
+            # understating the measured false-keep rate
             "would_drop",
-            F.col("is_candidate")
-            & (F.col("j_est") >= F.lit(est_jaccard_threshold)),
+            F.coalesce(
+                F.col("is_candidate")
+                & (F.col("j_est") >= F.lit(est_jaccard_threshold)),
+                F.lit(False),
+            ),
         )
     )
 

@@ -123,11 +123,20 @@ def _table_buckets_udf(dim: int, n_planes: int, n_tables: int):
     the vectorized path is safe everywhere buckets are consumed."""
     from pyspark.sql.functions import pandas_udf
 
+    # the packed bucket id rides an array<int>; at 32+ planes int32
+    # wraps and silently MERGES buckets (inflated candidate sets, not an
+    # error) — the scalar `simhash_signature` long path covers up to 63
+    if n_planes > 31:
+        raise ValueError(
+            f"n_planes ({n_planes}) exceeds 31: per-table buckets pack "
+            "into int32; use simhash_signature's long path for wider "
+            "signatures"
+        )
     planes: list[list[float]] = []
     for t in range(n_tables):
         planes += _hyperplanes(dim, n_planes, seed=f"t{t}")
     pmat = np.array(planes)
-    weights = np.tile(2 ** np.arange(n_planes), n_tables)
+    weights = np.tile(2 ** np.arange(n_planes, dtype=np.int64), n_tables)
 
     @pandas_udf("array<int>")
     def _buckets(embs: pd.Series) -> pd.Series:

@@ -100,10 +100,14 @@ def start_corpus_append(
             config=cfg,
         )
         if counts:
-            with open(
-                os.path.join(log_dir, f"batch-{batch_id:06d}.json"), "w"
-            ) as f:
+            # tmp + os.replace, same as the manifest commit protocol: a
+            # crash mid-write must never leave a truncated JSON file for
+            # log-tailing tooling to choke on
+            path = os.path.join(log_dir, f"batch-{batch_id:06d}.json")
+            tmp = f"{path}.tmp"
+            with open(tmp, "w") as f:
                 json.dump({"batch_id": batch_id, "appended": counts}, f)
+            os.replace(tmp, path)
 
     writer = stream.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint or f"{out_dir}_append_checkpoint"

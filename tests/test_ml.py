@@ -2157,13 +2157,15 @@ def test_pcm_features_wav_and_contract(spark):
 
 
 def test_prep_incremental_custom_hash_count(spark):
-    """Review regression: prep_incremental exposes n_hashes, so non-16
-    configurations must work end-to-end when the banding matches (and
-    mismatched banding fails loudly, not as unresolved columns)."""
-    import pytest as _pytest
-
+    """Review regression (r8 advisory): the gate compares at the WIDTH
+    THE ARTIFACT WAS BUILT WITH — a corpus committed at a legacy slot
+    count (e.g. the pre-r8 16-slot default, or 8 here) must keep
+    appending under the library's new 64-slot default without the caller
+    adjusting anything; mismatched caller banding adapts instead of
+    surfacing as unresolved m* columns."""
     from mempool_dumpster_spark.ml.prep import (
         PrepConfig,
+        artifact_slot_count,
         corpus_signatures,
         cross_corpus_filter,
         prep_incremental,
@@ -2177,6 +2179,7 @@ def test_prep_incremental_custom_hash_count(spark):
         "doc_id string, text string",
     )
     sigs8 = corpus_signatures(base, n_hashes=8)
+    assert artifact_slot_count(sigs8) == 8
     new = spark.createDataFrame(
         [("n0", stream("x")), ("n1", stream("fresh"))],
         "doc_id string, text string",
@@ -2190,8 +2193,44 @@ def test_prep_incremental_custom_hash_count(spark):
         rows_per_band=4,
     )
     assert {r["doc_id"] for r in kept.collect()} == {"n1"}
-    with _pytest.raises(ValueError):
-        cross_corpus_filter(new, sigs8, n_hashes=8)  # default 16x4 != 8
+    # ALL-DEFAULTS call against the 8-slot artifact: the old behavior was
+    # an opaque failure (agree sum referencing m8..m63); now the gate
+    # adapts n_hashes/banding to the artifact and still drops the dup
+    adapted = cross_corpus_filter(new, sigs8)
+    assert {r["doc_id"] for r in adapted.collect()} == {"n1"}
+
+
+def test_table_buckets_rejects_wide_planes():
+    """Review regression (r8 advisory): the Arrow bucket packer emits
+    array<int>; n_planes ≥ 32 would silently WRAP int32 and merge
+    buckets (inflated candidates, degraded precision with no error).
+    Must refuse loudly — the long-typed simhash_signature path is the
+    documented wide-signature alternative."""
+    import pytest as _pytest
+
+    from mempool_dumpster_spark.ml.similarity import _table_buckets_udf
+
+    with _pytest.raises(ValueError, match="n_planes"):
+        _table_buckets_udf(dim=8, n_planes=32, n_tables=2)
+    _table_buckets_udf(dim=8, n_planes=31, n_tables=2)  # boundary ok
+
+
+def test_calibration_would_drop_never_null(spark):
+    """Review regression (r8 advisory): would_drop comes off LEFT joins;
+    a pair missing a MinHash estimate must read as a definite False —
+    a NULL silently leaves gate_error_rates' false-keep numerator while
+    staying in its denominator."""
+    from mempool_dumpster_spark.ml.prep import calibrate_cross_corpus_gate
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", " ".join(f"w{i}x{j}" for j in range(12))) for i in range(8)]
+        # a 2-word doc: too short for 3-shingles → no signature rows,
+        # so any shingle-sharing pair it forms has NULL j_est
+        + [("short", "w0x0 w0x1")],
+        "doc_id string, text string",
+    )
+    pairs = calibrate_cross_corpus_gate(docs, max_docs=9)
+    assert pairs.filter(F.col("would_drop").isNull()).count() == 0
 
 
 def test_wav_fmt_chunk_declared_size_validated(spark):
