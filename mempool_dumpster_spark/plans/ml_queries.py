@@ -194,7 +194,6 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 WHEN 'src1' THEN 0.5
                                 ELSE 0.75 END
     """,
-    overflow=True,  # oracle-checked via selfcheck; cedes its driver slot
     doc="Deterministic corpus mixing (ml.packing.mix_corpus): keep a stable "
     "per-source fraction via a source-salted content-addressed md5 bucket — "
     "the kept subset is identical across runs, partition layouts, and "
@@ -869,7 +868,6 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the full materialization is `shuffle_for_training`: "
     "repartitionByRange on the key + sortWithinPartitions — total order "
     "across files, no global sort bottleneck.",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
 )
 def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mempool_dumpster_spark.ml.packing import training_order
@@ -964,7 +962,6 @@ def _incremental_dedup_oracle(
     "exact gate shuffles 128-bit hashes, the near gate shuffles "
     "docs×16 band rows plus candidate pairs — the append path that "
     "makes a continuously-growing training corpus tractable.",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
 )
 def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mempool_dumpster_spark.ml.prep import (
@@ -1024,7 +1021,6 @@ ORDER BY __change, doc_id, source
     "relationally and takes the same EXCEPT ALL both ways. At scale the "
     "diff is two hash-partitioned set-differences over exactly the two "
     "version directories — no manifest history scan, no driver state.",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
 )
 def manifest_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -1173,7 +1169,6 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_mmr_topk",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

@@ -32,6 +32,7 @@ from mempool_dumpster_spark.plans.tables import load_tables
 
 @register(
     "dedup_earliest",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
     SELECT user_id,
            event_id   AS first_event_id,
@@ -79,6 +80,7 @@ def sourcelog_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trash_dedup",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
     WITH t AS (
       SELECT user_id, event_type, ts, event_id,
@@ -569,6 +571,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q4_late_orders",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
     FROM orders o
@@ -643,6 +646,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
     SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -799,6 +803,7 @@ def top_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_type_topk",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
     SELECT event_type, event_id, value, CAST(rank AS BIGINT) AS rank
     FROM (
@@ -921,6 +926,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_distinct_users",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -961,6 +967,7 @@ def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_daily_rollup",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
     SELECT event_type,
            CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

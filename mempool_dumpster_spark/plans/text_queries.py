@@ -86,6 +86,7 @@ DUCK_SHINGLES = """
 
 @register(
     "docs_exact_dedup",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -339,6 +340,7 @@ def _simhash_sql_duck() -> str:
 
 @register(
     "docs_simhash",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle=f"""
     WITH w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -486,6 +488,7 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_fingerprint",
+    overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle=f"""
     WITH sh AS ({DUCK_SHINGLES})
     SELECT doc_id, min(md5(shingle)) AS fp,
@@ -892,7 +895,6 @@ def docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pre-tokenizer regex (Java and RE2 agree on this subset: \\p classes, "
     "alternation, no lookaround), so counts are exact integers; top-k is "
     "tiebroken on the pair text.",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
 )
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mempool_dumpster_spark.ml.text import bpe_pair_counts
@@ -959,7 +961,6 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "last ulps and break hash equality). Plan: instance explode → "
     "vocabulary-bounded gram counts → gram join → per-doc fold; the "
     "count frame is the vocabulary, never the corpus.",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
 )
 def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mempool_dumpster_spark.ml.text import ngram_frequency_score
@@ -1022,7 +1023,6 @@ def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global window here for oracle parity — at 100 TB swap in "
     "percentile_approx boundaries (mergeable sketch, no global sort), "
     "the same exact/approx twin contract as value_quantiles.",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
 )
 def docs_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -1203,7 +1203,6 @@ def _covered_positions(spans: DataFrame, k: int = 5) -> DataFrame:
 
 @register(
     "docs_dup_span_strip",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
     oracle="""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -765,7 +765,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan so only the window's candidate lines shuffle; the residual "
     "shipdate>orderdate+30d lands in the join condition. The CASE counts "
     "partial-aggregate map-side; the final exchange carries 2 rows.",
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
 )
 def q12_shipping_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "orders"])
