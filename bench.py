@@ -230,6 +230,67 @@ def _bench_prep(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _bench_text_microcost(spark, sf_dir: str) -> dict | None:
+    """Per-document CPU microcost (µs/doc, wall over local[32]) of the
+    heaviest text-stack projections — what a 1-10 B-doc prep run actually
+    pays per doc. Measured over the bench documents replicated 40× with
+    distinct ids (~200k docs at sf0.1): at the raw sf row count these
+    operators are dominated by fixed query-launch overhead and the number
+    says nothing; at 200k the per-doc slope dominates. Median of 3 after
+    one priming run, forced through the noop sink."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.ml.text import (
+        boilerplate_ngrams,
+        gopher_rules,
+        language_id,
+        quality_features,
+        quality_score,
+        repetition_stats,
+    )
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    try:
+        docs0 = load_tables(spark, sf_dir, ["documents"])["documents"]
+        docs = (
+            docs0.crossJoin(spark.range(40).withColumnRenamed("id", "rep"))
+            .withColumn("doc_id", F.concat_ws("_", "doc_id", "rep"))
+            .drop("rep")
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .cache()
+        )
+        n = docs.count()
+        ops = {
+            "language_id": lambda d: language_id(d).select(
+                "doc_id", "predicted_lang"
+            ),
+            "quality": lambda d: quality_score(quality_features(d)).select(
+                "doc_id", "quality_score"
+            ),
+            "repetition_stats": repetition_stats,
+            "boilerplate_ngrams": boilerplate_ngrams,
+            "gopher_rules": gopher_rules,
+        }
+        out: dict = {"n_docs": n}
+        for name, op in ops.items():
+            runs = []
+            for i in range(4):
+                t0 = time.time()
+                op(docs).write.format("noop").mode("overwrite").save()
+                if i:  # first pass primes
+                    runs.append(time.time() - t0)
+            runs.sort()
+            sec = runs[len(runs) // 2]
+            out[name] = {
+                "sec": round(sec, 3),
+                "us_per_doc": round(sec / n * 1e6, 2),
+            }
+        docs.unpersist()
+        return out
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -317,6 +378,7 @@ def main() -> None:
     ann_recall = _bench_ann_recall(spark)
     prep_stats = _bench_prep(spark, sf_dir)
     gate_cal = _bench_gate_calibration(spark, sf_dir)
+    text_micro = _bench_text_microcost(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -329,6 +391,7 @@ def main() -> None:
                 "ann_recall_at3": ann_recall,
                 "prep_pipeline": prep_stats,
                 "minhash_gate_calibration": gate_cal,
+                "text_microcost": text_micro,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

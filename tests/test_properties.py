@@ -637,21 +637,85 @@ def test_mmr_unrolled_equals_sequential_greedy(spark, vecs, tmp_path_factory):
         s = round(sum(x * y for x, y in zip(units[a], units[b])), 4)
         return int(round(s * 10000))
 
-    want = set()
-    for qid in range(min(5, len(rows))):
-        cands = [i for i in units if i != qid]
-        pool = sorted(cands, key=lambda i: (-sim_bp(qid, i), i))[:10]
-        picked = []
-        for pick_no in range(1, min(3, len(pool)) + 1):
-            best = None
-            for i in pool:
-                if i in picked:
-                    continue
-                pen = max((sim_bp(i, p) for p in picked), default=0)
-                score = 7 * sim_bp(qid, i) - 3 * (pen if picked else 0)
-                key = (-score, i)
-                if best is None or key < best[0]:
-                    best = (key, i, score)
-            picked.append(best[1])
-            want.add((qid, pick_no, best[1], best[2]))
-    assert got == want
+    def greedy(k):
+        want = set()
+        for qid in range(min(5, len(rows))):
+            cands = [i for i in units if i != qid]
+            pool = sorted(cands, key=lambda i: (-sim_bp(qid, i), i))[:10]
+            picked = []
+            for pick_no in range(1, min(k, len(pool)) + 1):
+                best = None
+                for i in pool:
+                    if i in picked:
+                        continue
+                    pen = max((sim_bp(i, p) for p in picked), default=0)
+                    score = 7 * sim_bp(qid, i) - 3 * (pen if picked else 0)
+                    key = (-score, i)
+                    if best is None or key < best[0]:
+                        best = (key, i, score)
+                picked.append(best[1])
+                want.add((qid, pick_no, best[1], best[2]))
+        return want
+
+    assert got == greedy(3)
+
+    # k-parametric form (r9): mmr_rerank's generated unrolling must match
+    # sequential greedy well past the registered k=3 — k=8 exceeds the
+    # pool on most drawn corpora, exercising the pool-exhaustion edge too
+    from mempool_dumpster_spark.ml.similarity import (
+        dot,
+        mmr_rerank,
+        with_unit_vector,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(td, "embeddings.parquet"))
+    u = with_unit_vector(emb).select("vec_id", "unit")
+    q = u.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    sims = (
+        u.select(F.col("vec_id").alias("neighbor_id"), F.col("unit").alias("c_unit"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(dot(F.col("q_unit"), F.col("c_unit")), 4).alias("sim_r"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim_r").desc(), "neighbor_id")
+    pool = (
+        sims.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("sim_r") * 10000).cast("bigint").alias("s_bp"), "rk",
+        )
+        .cache()
+    )
+    ua = u.select(F.col("vec_id").alias("a"), F.col("unit").alias("unit_a"))
+    ub = u.select(F.col("vec_id").alias("b"), F.col("unit").alias("unit_b"))
+    pair = (
+        pool.select("query_id", F.col("neighbor_id").alias("a"))
+        .join(
+            pool.select(F.col("query_id").alias("query_id2"), F.col("neighbor_id").alias("b")),
+            (F.col("query_id") == F.col("query_id2")) & (F.col("a") != F.col("b")),
+        )
+        .join(ua, "a")
+        .join(ub, "b")
+        .select(
+            "query_id", "a", "b",
+            F.round(F.round(dot(F.col("unit_a"), F.col("unit_b")), 4) * 10000)
+            .cast("bigint").alias("ps_bp"),
+        )
+        .cache()
+    )
+    for k in (1, 8):
+        got_k = {
+            (r["query_id"], r["pick"], r["neighbor_id"], r["score_bp"])
+            for r in mmr_rerank(pool, pair, k=k).collect()
+        }
+        assert got_k == greedy(k), f"k={k}"
+    pool.unpersist()
+    pair.unpersist()

@@ -54,12 +54,19 @@ def main() -> int:
 
     spark = get_spark("selfcheck", shuffle_partitions=8)
     con = duckdb.connect()
+    # MATERIALIZE the tables once per connection: a VIEW over
+    # read_parquet re-decodes the parquet file on every oracle query,
+    # and with ~95 oracles (several scanning documents/lineitem many
+    # times via CTE self-joins) the duck side dominated the sweep.
+    # SELFCHECK_VIEWS=1 keeps lazy views for sf dirs too big to hold
+    # in the oracle's memory.
+    rel = "VIEW" if os.environ.get("SELFCHECK_VIEWS") else "TABLE"
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE {rel} {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
     qs = entrymod.queries()
