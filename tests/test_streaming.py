@@ -1159,3 +1159,116 @@ def test_streaming_corpus_append_gate(spark, tmp_path):
             config=cfg,
             available_now=True,
         )
+
+
+def test_streaming_corpus_append_checkpoint_restart(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-window restart e2e (r8 verdict #5): kill the streaming query
+    BETWEEN the corpus upsert and the signature upsert (the two-commit
+    window), restart from the same checkpoint, and assert
+
+      - the failed micro-batch was NOT checkpointed, so foreachBatch
+        replays it (at-least-once delivery),
+      - the self-heal path recomputes the committed-but-unsigned doc's
+        signature BEFORE the gates run (artifact heals),
+      - the replayed rows exact-dup the now-committed text hashes and
+        drop out (exactly-once KEPT SET: each doc appended once),
+      - the stream keeps accepting fresh docs afterwards.
+    """
+    import glob
+    import json
+
+    from mempool_dumpster_spark.__main__ import main
+    import mempool_dumpster_spark.sources.manifest as manifest
+    from mempool_dumpster_spark.ml.prep import PrepConfig
+    from mempool_dumpster_spark.sources.manifest import read_committed
+    from mempool_dumpster_spark.streaming.append import (
+        doc_file_stream,
+        start_corpus_append,
+    )
+
+    def text(salt):
+        return " ".join(f"{salt}w{j}" for j in range(30))
+
+    base_docs = tmp_path / "base.parquet"
+    spark.createDataFrame(
+        [(f"base{i}", text(f"b{i}")) for i in range(3)],
+        "doc_id string, text string",
+    ).write.parquet(str(base_docs))
+    out = str(tmp_path / "corpus")
+    assert main(
+        ["prep", str(base_docs), "--out", out, "--no-gopher",
+         "--atomic", "--signatures"],
+        spark=spark,
+    ) == 0
+
+    cfg = PrepConfig(gopher=False, decontaminate=False)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    checkpoint = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_corpus_append(
+            spark,
+            doc_file_stream(spark, str(landing)),
+            out,
+            config=cfg,
+            checkpoint=checkpoint,
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    # arm the injected crash: the FIRST signature-artifact upsert dies
+    # after the corpus upsert already committed
+    real_upsert = manifest.upsert
+    armed = {"on": True}
+
+    def flaky_upsert(spark_, path, df, keys):
+        if armed["on"] and path.endswith("_signatures"):
+            armed["on"] = False
+            raise RuntimeError("injected crash in the two-commit window")
+        return real_upsert(spark_, path, df, keys)
+
+    monkeypatch.setattr(manifest, "upsert", flaky_upsert)
+
+    with open(landing / "f1.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": "n1", "text": text("fresh1")}) + "\n")
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        drain()
+
+    # crash-window state: corpus committed n1, artifact did NOT
+    ids = {r["doc_id"] for r in read_committed(spark, out).collect()}
+    assert "n1" in ids
+    sig_ids = {
+        r["doc_id"]
+        for r in read_committed(spark, out + "_signatures").collect()
+    }
+    assert "n1" not in sig_ids
+
+    # restart from the same checkpoint: the batch replays, self-heal signs
+    # n1, the replayed row drops as an exact dup, both artifacts agree
+    drain()
+    ids2 = {r["doc_id"] for r in read_committed(spark, out).collect()}
+    assert ids2 == {"base0", "base1", "base2", "n1"}
+    corpus = read_committed(spark, out)
+    assert corpus.count() == 4  # exactly-once kept set, no duplicate rows
+    sig2 = {
+        r["doc_id"]
+        for r in read_committed(spark, out + "_signatures").collect()
+    }
+    assert sig2 == ids2  # artifact healed to exactly the corpus ids
+
+    # journal: the replayed batch appended nothing (counts empty -> no
+    # entry beyond any earlier ones); a fresh doc still flows end-to-end
+    with open(landing / "f2.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": "n2", "text": text("fresh2")}) + "\n")
+    drain()
+    ids3 = {r["doc_id"] for r in read_committed(spark, out).collect()}
+    assert ids3 == ids2 | {"n2"}
+    logs = sorted(glob.glob(out + "_append_log/batch-*.json"))
+    appended = [json.load(open(p))["appended"] for p in logs]
+    assert sum(sum(c.values()) for c in appended) == 1  # n2 only
+    assert not glob.glob(out + "_append_log/*.tmp")  # atomic journal
