@@ -1325,3 +1325,71 @@ def pcm_features(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=PCM_FEATURES_SCHEMA)
+
+
+# --- synthetic container builder --------------------------------------------
+
+
+def build_keyframe_mp4(
+    frame_payloads: list[bytes],
+    frame_seconds: int = 5,
+    timescale: int = 600,
+    codec: bytes = b"raw ",
+) -> bytes:
+    """Deterministic ISO-BMFF (MP4) container holding `frame_payloads` as
+    the video track's samples, one every `frame_seconds`, all sync
+    (no stss → every sample is a keyframe). Single chunk; full
+    stsd/stts/stsc/stsz/stco sample table — exactly the shape
+    `sample_frames` walks. The fixture/synthetic-data complement of the
+    parser: build_keyframe_mp4 → sample_frames must round-trip the
+    payload bytes, which the media_frame_knn registry query pins
+    cross-engine (the oracle recomputes the expected frame bytes
+    analytically — a wrong stco offset or stsz size shows up as a hash
+    mismatch, not a silent garbage frame)."""
+    if not frame_payloads:
+        raise ValueError("at least one frame payload required")
+
+    def box(t: bytes, b: bytes) -> bytes:
+        return (len(b) + 8).to_bytes(4, "big") + t + b
+
+    def full(t: bytes, b: bytes) -> bytes:
+        return box(t, b"\x00\x00\x00\x00" + b)
+
+    n = len(frame_payloads)
+    delta = frame_seconds * timescale
+    duration = n * delta
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    mdat = box(b"mdat", b"".join(frame_payloads))
+    chunk_off = len(ftyp) + 8  # samples start right after mdat's header
+    mdhd = full(
+        b"mdhd",
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")
+        + b"\x00\x00",
+    )
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + box(codec, b"\x00" * 70))
+    stts = full(
+        b"stts",
+        (1).to_bytes(4, "big") + n.to_bytes(4, "big") + delta.to_bytes(4, "big"),
+    )
+    stsc = full(
+        b"stsc",
+        (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + n.to_bytes(4, "big") + (1).to_bytes(4, "big"),
+    )
+    stsz = full(
+        b"stsz",
+        (0).to_bytes(4, "big")
+        + n.to_bytes(4, "big")
+        + b"".join(len(p).to_bytes(4, "big") for p in frame_payloads),
+    )
+    stco = full(b"stco", (1).to_bytes(4, "big") + chunk_off.to_bytes(4, "big"))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    return ftyp + mdat + moov

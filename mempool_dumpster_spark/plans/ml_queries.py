@@ -1335,3 +1335,159 @@ def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mempool_dumpster_spark.ml.similarity import mmr_rerank
 
     return mmr_rerank(pool, pair, k=3)
+
+
+@register(
+    "media_frame_knn",
+    oracle="""
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents
+      WHERE doc_id < 24
+    ),
+    frames AS (
+      SELECT media_id * 4 + j AS frame_id,
+             list_transform(
+               range(0, 16),
+               d -> CAST(('0x' || substr(
+                            md5(CAST(media_id AS VARCHAR) || ':'
+                                || CAST(j AS VARCHAR)),
+                            CAST(2 * d + 1 AS BIGINT), 2))::UBIGINT
+                         AS DOUBLE)) AS emb
+      FROM ids, (SELECT unnest(range(0, 3)) AS j)
+    ),
+    n AS (
+      SELECT frame_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+      FROM frames
+    ),
+    q AS (SELECT * FROM n WHERE frame_id < 12),
+    sims AS (
+      SELECT q.frame_id AS query_id, c.frame_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4)
+               AS sim_r
+      FROM q JOIN n c ON c.frame_id <> q.frame_id
+    )
+    SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Multimodal handoff END-TO-END (r8 verdict #6): synthetic MP4s "
+    "(ml.multimodal.build_keyframe_mp4 — full stsd/stts/stsc/stsz/stco "
+    "sample table, 3 keyframes per doc whose bytes are md5(doc_id:j)) "
+    "flow through the REAL decode path — sample_frames' sample-table "
+    "walk extracts the keyframe stills, resize_images passes the "
+    "non-image payloads through byte-identically (honest no-codec "
+    "contract) — then each frame's 16 bytes become a 16-dim feature "
+    "vector (hex-parse projection; the byte-histogram stand-in for a "
+    "codec-backed featurizer) feeding the exact cosine top-3 of emb_knn's "
+    "shape. The ORACLE recomputes the expected frame bytes analytically "
+    "from md5, so a wrong stco offset, stsz size, or a resize that "
+    "mutates payloads surfaces as a cross-engine hash mismatch — the "
+    "decode/resize/sample plumbing is what is under test. Scale: one "
+    "mapInPandas pass per stage, frames (not payloads) cross stages, "
+    "query side broadcast; swap the hex projection for a real codec "
+    "featurizer and the plan is unchanged.",
+)
+def media_frame_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.multimodal import (
+        build_keyframe_mp4,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("doc_id") < 24)
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+    )
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                payloads = [
+                    hashlib.md5(f"{mid}:{j}".encode()).digest()
+                    for j in range(3)
+                ]
+                out.append(
+                    {
+                        "media_id": mid,
+                        "payload": build_keyframe_mp4(payloads),
+                        "mime": "video/mp4",
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "mime", "meta"]
+            )
+
+    media = docs.mapInPandas(
+        build,
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    frames = sample_frames(media, every_n_seconds=5)
+    # resize keys rows by media_id alone, so frame identity rides along
+    # encoded as frame_id = media_id*4 + sample_idx (sample_idx < 4)
+    resized = resize_images(
+        frames.select(
+            (F.col("media_id") * 4 + F.col("sample_idx")).alias("media_id"),
+            F.col("frame_bytes").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+        ),
+        8,
+        8,
+    )
+    hexcol = F.hex(F.col("payload"))
+    emb = F.array(
+        *[
+            F.conv(F.substring(hexcol, 2 * d + 1, 2), 16, 10).cast("double")
+            for d in range(16)
+        ]
+    )
+    vecs = resized.select(
+        F.col("media_id").alias("frame_id"), emb.alias("emb")
+    )
+    dot = lambda u, v: F.aggregate(  # noqa: E731 — emb_knn's exact fold
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    from pyspark.sql import Window
+
+    vecs = vecs.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    q = vecs.filter(F.col("frame_id") < 12).select(
+        F.col("frame_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sims = (
+        vecs.select(
+            F.col("frame_id").alias("neighbor_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                4,
+            ).alias("sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "sim_r", "rank")
+    )

@@ -2368,3 +2368,47 @@ def test_duplicate_components_driver_parity(spark):
     assert fast == slow
     assert all(c == 1 for d, c in fast if d <= 9)
     assert {(30, 30), (31, 30)} <= fast
+
+
+def test_build_keyframe_mp4_roundtrip(spark):
+    """build_keyframe_mp4 -> sample_frames round-trips the exact payload
+    bytes (stco offset / stsz sizes correct), one frame per
+    `frame_seconds`, all samples sync; resize_images passes the
+    non-image frames through byte-identically (the honest no-codec
+    contract media_frame_knn's oracle also pins cross-engine)."""
+    from mempool_dumpster_spark.ml.multimodal import (
+        build_keyframe_mp4,
+        resize_images,
+        sample_frames,
+    )
+
+    payloads = [bytes([j] * (10 + j)) for j in range(3)]  # distinct sizes
+    mp4 = build_keyframe_mp4(payloads, frame_seconds=5)
+    df = spark.createDataFrame(
+        [(9, bytearray(mp4), "video/mp4", None)],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    rows = sorted(
+        sample_frames(df, every_n_seconds=5).collect(),
+        key=lambda r: r["frame_ts_s"],
+    )
+    assert [r["sample_idx"] for r in rows] == [0, 1, 2]
+    assert [bytes(r["frame_bytes"]) for r in rows] == payloads
+    assert [r["frame_ts_s"] for r in rows] == [0.0, 5.0, 10.0]
+
+    resized = resize_images(
+        spark.createDataFrame(
+            [(i, bytearray(p), "application/octet-stream") for i, p in enumerate(payloads)],
+            "media_id long, payload binary, mime string",
+        ),
+        8,
+        8,
+    ).collect()
+    got = {r["media_id"]: bytes(r["payload"]) for r in resized}
+    assert got == {i: p for i, p in enumerate(payloads)}
+    assert not any(r["resize_ok"] for r in resized)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_keyframe_mp4([])
