@@ -127,14 +127,16 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Near-dup detection: exact n-gram Jaccard over word-3-gram shingle "
     "sets, computed scale-safe as MinHash-LSH candidates → exact verify. "
     "The oracle is the all-pairs definition; the Spark plan never runs an "
-    "all-pairs join — candidate pairs come from an 8-band LSH equi-join "
+    "all-pairs join — candidate pairs come from a 16-band LSH equi-join "
     "(shuffle ∝ docs × bands) and the exact intersection is "
-    "size(array_intersect) per candidate row. LSH at r=1/b=8/≥2 bands has "
-    "miss probability < 2e-6 for jaccard ≥ 0.89 (measured min true-pair "
-    "jaccard: 0.889 at sf0.001, 0.9 at sf0.01 — guarded by "
-    "tests/test_ml.py::test_ngram_jaccard_band_assumption, which fails if a "
-    "regenerated corpus carries moderate-similarity pairs where the "
-    "prefilter's miss rate would matter).",
+    "size(array_intersect) per candidate row. Banding is r=1/b=16/≥2 "
+    "bands (r9; was b=8): miss probability P[Bin(16,j) < 2] ≈ 3e-5 at "
+    "j=0.57, ~1e-8 at 0.75, vs b=8's 1.3% at 0.57 — the 10× stress sweep "
+    "planted ~900 true pairs at j≈0.57 and b=8 measurably missed 14 of "
+    "them (SELFCHECK_r09_sf1 caught it; the fix doubled the band count). "
+    "tests/test_ml.py::test_ngram_jaccard_band_assumption still guards "
+    "the residual assumption (no true pairs at the 0.5 threshold edge "
+    "where even 16 bands miss ~2.6e-4 of pairs).",
 )
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -147,7 +149,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a byte-small shuffle to 1 task otherwise).
     par = spark.sparkContext.defaultParallelism
     sh = doc_shingles(docs, distinct=False)
-    # ONE aggregate produces the exact shingle set AND the 8 per-band
+    # ONE aggregate produces the exact shingle set AND the 16 per-band
     # minhash keys — there is no separate signature projection stage at
     # all. Two wins over hashing the cached arrays afterwards:
     # - the band keys are prefilter-only (unlike docs_minhash_lsh_pairs,
@@ -168,14 +170,14 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set("shingle").alias("shs"),
             *[
                 F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
-                for i in range(8)
+                for i in range(16)
             ],
         )
         .select(
             "doc_id",
             "shs",
             F.size("shs").cast("bigint").alias("n_sh"),
-            *[f"m{i}" for i in range(8)],
+            *[f"m{i}" for i in range(16)],
         )
         .cache()
     )
@@ -185,7 +187,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(i).alias("band"), F.col(f"m{i}").alias("key"))
-                    for i in range(8)
+                    for i in range(16)
                 ]
             )
         ).alias("bk"),

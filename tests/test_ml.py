@@ -729,14 +729,16 @@ def test_simhash64_candidate_selectivity(spark):
 
 
 def test_ngram_jaccard_band_assumption(spark):
-    """docs_ngram_jaccard's Spark plan prefilters with >=2-of-8 MinHash
-    bands; a true pair at jaccard j is missed w.p. P[Bin(8, j) < 2] — ~3.5%
-    at j = 0.5, ~3e-4 at 0.75, < 2e-6 at 0.89. The oracle is the exact
-    all-pairs >= 0.5 definition, so oracle equality rests on the corpus
-    having NO moderate-similarity true pairs. Guard that assumption: every
-    true pair in the driver's testdata must sit at jaccard >= 0.75 (if this
-    ever fails, lower the band threshold to >=1 or raise the band count).
-    Measured: min true-pair j = 0.889 at sf0.001, 0.9 at sf0.01."""
+    """docs_ngram_jaccard's Spark plan prefilters with >=2-of-16 MinHash
+    bands (r9; b=8 before — the 10x stress sweep planted ~900 true pairs
+    at j~0.57 where b=8's miss probability is 1.3% and measurably missed
+    14); a true pair at jaccard j is missed w.p. P[Bin(16, j) < 2] —
+    ~2.6e-4 at j = 0.5, ~3e-5 at 0.57, ~1e-8 at 0.75. The oracle is the
+    exact all-pairs >= 0.5 definition, so oracle equality rests on the
+    corpus having no true pairs pinned to the 0.5 threshold edge. Guard
+    the driver corpora at >= 0.75 as before (where the miss rate is
+    ~1e-8); the stress corpus's j~0.57 band is covered by
+    SELFCHECK_r09_sf1 exact-matching after the b=16 fix."""
     import os
 
     import duckdb
@@ -756,8 +758,9 @@ def test_ngram_jaccard_band_assumption(spark):
         assert rows, f"{sf_dir}: no true pairs — corpus regenerated?"
         min_j = min(r[2] for r in rows)
         assert min_j >= 0.75, (
-            f"{sf_dir}: true pair at jaccard {min_j:.3f} < 0.75 — the 2-of-8 "
-            "band prefilter's miss probability is no longer negligible"
+            f"{sf_dir}: true pair at jaccard {min_j:.3f} < 0.75 — the "
+            "2-of-16 band prefilter's miss probability is no longer "
+            "negligible at this corpus's similarity floor"
         )
 
 
@@ -2412,3 +2415,47 @@ def test_build_keyframe_mp4_roundtrip(spark):
 
     with _pytest.raises(ValueError):
         build_keyframe_mp4([])
+
+
+def test_ngram_jaccard_recovers_moderate_similarity_pairs(spark, tmp_path):
+    """Regression for the r9 stress-sweep find: the 2-of-8 band prefilter
+    missed 14 of ~900 true pairs at jaccard ~0.57 (P[Bin(8,.57)<2] ~ 1.3%)
+    — real data loss vs the exact all-pairs oracle. With 16 bands the miss
+    probability at j~0.57 is ~3e-5; this corpus plants 60 such pairs
+    (every-11th-word salting, the stress generator's near-dup transform)
+    and requires ALL of them recovered. Deterministic: xxhash64 banding
+    makes the outcome fixed, not a flake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    rows = []
+    for i in range(60):
+        base = [f"w{i}x{j}" for j in range(40)]
+        salted = [
+            (f"n_{w}" if j % 11 == 0 else w) for j, w in enumerate(base)
+        ]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(salted)))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["src0"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["docs_ngram_jaccard"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = {(2 * i, 2 * i + 1) for i in range(60)}
+    assert got == want, (
+        f"missed {sorted(want - got)[:5]}... / spurious {sorted(got - want)[:5]}"
+    )

@@ -1,0 +1,142 @@
+"""Deterministic >sf0.1 stress-corpus generator (r8 verdict #2).
+
+Builds a scaled documents/embeddings dataset from the driver's sf0.1
+fixtures — factor× the rows, same schema, derived with SEEDLESS
+deterministic column transforms (no rand(), no time) so every run of
+this script produces byte-equivalent content:
+
+- documents: `factor` salted copies. Copy 0 is the base corpus verbatim.
+  For c > 0, doc_id' = doc_id + c·1_000_000 and
+    · doc_id % 97 == 0  → text kept VERBATIM (cross-copy EXACT dups),
+    · doc_id % 50 == c  → every 11th word salted (cross-copy NEAR dups,
+      ~75% shared 3-gram shingles — LSH candidates),
+    · otherwise         → every word salted with the copy id (independent
+      content; shares no shingles with any other copy).
+  Dup structure therefore grows LINEARLY with factor — the volume and
+  hot-bucket pressure scale 10×, while exact DuckDB oracles (shingle
+  self-joins) stay feasible. A quadratic variant (all copies near-dup)
+  makes the n-gram oracles quadratically slower in factor, which tests
+  the oracle, not the engine.
+- embeddings: factor copies, vec_id' = vec_id + c·100_000; copy 0
+  verbatim, later copies perturbed per-component by c·0.001·((i mod 5)−2)
+  — near-identical vectors stress the ANN/semantic-dedup candidate paths.
+- every other table (TPC-H + events) is copied from the base dir
+  unchanged: the ten heaviest registry queries by SELFCHECK spark_sec are
+  all documents/embeddings-bound, and the copy keeps the sf dir complete
+  for tools/selfcheck.py.
+
+Usage: python tools/stressgen.py [base_sf_dir] [out_dir] [factor]
+Defaults: /root/testdata/sf0.1 /tmp/spark_graft_sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+COPIED_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events",
+]
+
+
+def _write_single_parquet(df, path: str) -> None:
+    """Write as ONE parquet FILE (not a directory): the sf fixtures are
+    single files and tools/selfcheck.py's oracle reads them as such."""
+    import glob
+
+    tmp = f"{path}.__tmpdir__"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = glob.glob(f"{tmp}/part-*.parquet")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(part, path)
+    shutil.rmtree(tmp)
+
+
+def generate(spark, base: str, out: str, factor: int = 10) -> dict:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for t in COPIED_TABLES:
+        shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    copies = spark.range(factor).withColumnRenamed("id", "c")
+    w = F.split(F.col("text"), " ")
+    salted_all = F.concat_ws(
+        " ",
+        F.transform(w, lambda x: F.concat(F.concat_ws("", F.lit("c"), F.col("c").cast("string"), F.lit("_")), x)),
+    )
+    salted_11 = F.concat_ws(
+        " ",
+        F.transform(
+            w,
+            lambda x, i: F.when(
+                i % 11 == 0,
+                F.concat(F.concat_ws("", F.lit("n"), F.col("c").cast("string"), F.lit("_")), x),
+            ).otherwise(x),
+        ),
+    )
+    text2 = (
+        F.when(F.col("c") == 0, F.col("text"))
+        .when(F.col("doc_id") % 97 == 0, F.col("text"))
+        .when(F.col("doc_id") % 50 == F.col("c"), salted_11)
+        .otherwise(salted_all)
+    )
+    big_docs = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("c") * 1_000_000).alias("doc_id"),
+            text2.alias("text"),
+            "lang",
+            "source",
+            F.length(text2).cast("long").alias("n_chars"),
+        )
+        .repartitionByRange(32, "doc_id")
+    )
+    _write_single_parquet(big_docs, f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + F.col("c").cast("double") * 0.001 * ((i % 5) - 2).cast("double")
+        ).cast("float"),
+    )
+    big_emb = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("c") * 100_000).alias("vec_id"),
+            F.when(F.col("c") == 0, F.col("embedding")).otherwise(pert).alias("embedding"),
+            "label",
+        )
+        .repartitionByRange(16, "vec_id")
+    )
+    _write_single_parquet(big_emb, f"{out}/embeddings.parquet")
+
+    return {
+        "documents": spark.read.parquet(f"{out}/documents.parquet").count(),
+        "embeddings": spark.read.parquet(f"{out}/embeddings.parquet").count(),
+    }
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mempool_dumpster_spark.session import get_spark
+
+    spark = get_spark("stressgen", shuffle_partitions=32)
+    counts = generate(spark, base, out, factor)
+    print(f"wrote {out}: {counts}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
