@@ -245,7 +245,7 @@ def _dup_components_cte() -> str:
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
     ),
@@ -589,15 +589,15 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_5G = """
       SELECT DISTINCT doc_id, unnest(
-               CASE WHEN len(string_split(text, ' ')) >= 5 THEN
-                 list_transform(range(1, len(string_split(text, ' ')) - 3),
-                                i -> string_split(text, ' ')[i] || ' ' ||
-                                     string_split(text, ' ')[i+1] || ' ' ||
-                                     string_split(text, ' ')[i+2] || ' ' ||
-                                     string_split(text, ' ')[i+3] || ' ' ||
-                                     string_split(text, ' ')[i+4])
+               CASE WHEN len(w) >= 5 THEN
+                 list_transform(range(1, len(w) - 3),
+                                i -> w[i] || ' ' ||
+                                     w[i+1] || ' ' ||
+                                     w[i+2] || ' ' ||
+                                     w[i+3] || ' ' ||
+                                     w[i+4])
                ELSE [] END) AS shingle
-      FROM documents
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 """
 
 
@@ -662,7 +662,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n a JOIN n b ON a.vec_id < b.vec_id
       WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) >= 0.4
     ),
-    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    edges AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
     reach(vec_id, label) AS (
       SELECT u, u FROM edges
       UNION
@@ -894,11 +894,12 @@ def _incremental_dedup_oracle(
     near-dups are near-certain candidates)."""
     shingle = (
         "SELECT DISTINCT doc_id, unnest("
-        "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
-        "list_transform(range(1, len(string_split(text, ' ')) - 1), "
-        "i -> string_split(text, ' ')[i] || ' ' || "
-        "string_split(text, ' ')[i+1] || ' ' || "
-        "string_split(text, ' ')[i+2]) ELSE [] END) AS shingle FROM {src}"
+        "CASE WHEN len(w) >= 3 THEN "
+        "list_transform(range(1, len(w) - 1), "
+        "i -> w[i] || ' ' || "
+        "w[i+1] || ' ' || "
+        "w[i+2]) ELSE [] END) AS shingle "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})"
     )
     mins = ", ".join(
         f"min(md5('{i}:' || shingle)) AS m{i}" for i in range(n_hashes)

@@ -67,15 +67,18 @@ def doc_shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFram
 
 
 #: DuckDB rendering of the same shingle set (1-based list indexing).
+#: The split happens ONCE in a subquery — inlining string_split into the
+#: list_transform lambda re-splits the text per element (O(words²) splits
+#: per doc; measured 10× slower at sf0.1, identical rows).
 DUCK_SHINGLES = """
       SELECT DISTINCT doc_id, unnest(
-               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-                 list_transform(range(1, len(string_split(text, ' ')) - 1),
-                                i -> string_split(text, ' ')[i] || ' ' ||
-                                     string_split(text, ' ')[i+1] || ' ' ||
-                                     string_split(text, ' ')[i+2])
+               CASE WHEN len(w) >= 3 THEN
+                 list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' ||
+                                     w[i+1] || ' ' ||
+                                     w[i+2])
                ELSE [] END) AS shingle
-      FROM documents
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 """
 
 
@@ -814,12 +817,12 @@ def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 0.0 END AS dup_frac
     FROM (
       SELECT doc_id,
-             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
-               list_transform(range(1, len(string_split(text, ' '))),
-                              i -> string_split(text, ' ')[i] || ' ' ||
-                                   string_split(text, ' ')[i+1])
+             CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' ||
+                                   w[i+1])
              ELSE [] END AS g
-      FROM documents
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     )
     """,
     doc="Per-document duplicate-bigram fraction (ml.text.repetition_stats) "
@@ -938,12 +941,12 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH grams AS (
       SELECT doc_id, unnest(
-               CASE WHEN len(string_split(text, ' ')) >= 2 THEN
-                 list_transform(range(1, len(string_split(text, ' '))),
-                                i -> string_split(text, ' ')[i] || ' ' ||
-                                     string_split(text, ' ')[i+1])
+               CASE WHEN len(w) >= 2 THEN
+                 list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' ||
+                                     w[i+1])
                ELSE [] END) AS gram
-      FROM documents
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     ),
     counts AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram)
     SELECT g.doc_id,
