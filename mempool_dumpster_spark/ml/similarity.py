@@ -687,3 +687,227 @@ def mmr_rerank(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- product quantization (IVF-PQ's compression half) -----------------------
+
+
+def _pq_init_codebooks(
+    dim: int, m: int, k_codes: int, seed: str
+) -> list[list[list[float]]]:
+    """Deterministic md5-uniform init, one codebook per subspace — the
+    same no-RNG policy as `_hyperplanes`/`_unit_centroids` (reproducible
+    plans, no seed state to persist). Components are scaled to ±1/√dim:
+    the data are UNIT-vector subranges whose components sit at ~1/√dim,
+    and init at the data's scale keeps every codeword inside the point
+    cloud (an unscaled [-1,1) init left most codewords dead — never
+    nearest to anything — and Lloyd cannot revive an empty code)."""
+    d_sub = dim // m
+    scale = 1.0 / dim**0.5
+    books = []
+    for s in range(m):
+        book = []
+        for c in range(k_codes):
+            row = []
+            for d in range(d_sub):
+                h = hashlib.md5(f"{seed}:{s}:{c}:{d}".encode()).digest()
+                (u,) = struct.unpack(">Q", h[:8])
+                row.append((u / 2**63 - 1.0) * scale)
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """array<int> of per-subspace nearest-codeword indices, all subspaces
+    in ONE Arrow pass: slice the (rows × dim) batch per subspace, one
+    matmul against that subspace's (k × d_sub) codebook, L2-argmin via
+    the dot − ‖c‖²/2 identity. Codes are m small ints — the 100 TB
+    artifact is m bytes/vector instead of dim floats (32× at the
+    8×16-code default on 64-dim float32)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    mats = [np.array(b) for b in codebooks]  # m × (k × d_sub)
+    halves = [0.5 * (mat * mat).sum(axis=1) for mat in mats]
+
+    @pandas_udf("array<int>")
+    def _encode(units: pd.Series) -> pd.Series:
+        x = np.vstack(units.to_numpy())
+        codes = np.empty((len(x), m), dtype="int32")
+        for s in range(m):
+            sub = x[:, s * d_sub : (s + 1) * d_sub]
+            scores = sub @ mats[s].T - halves[s]
+            codes[:, s] = scores.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def train_pq_codebooks(
+    candidates: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 3,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seed: str = "pq",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    UNIT vector into `m` subspaces and k-means each independently. Lloyd
+    iterations mirror `train_ivf_centroids`' determinism contract: per-
+    (subspace, code) sums are DECIMAL(38,18)-exact (order-independent →
+    bit-identical codebooks for any partitioning), assignment is one
+    Arrow pass, and each round's shuffle carries rows × m skinny
+    (subspace, code, subvector) rows — the same bytes as one corpus
+    scan. Empty codes keep their previous codeword (standard Lloyd
+    degeneracy handling). At 100 TB train on a deterministic hash-sample;
+    the loop shape is identical."""
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
+    d_sub = dim // m
+    u = with_unit_vector(candidates, emb_col).select("unit").cache()
+    books = _pq_init_codebooks(dim, m, k_codes, seed)
+    sum_cols = [
+        F.sum(F.element_at("sub", i + 1).cast("decimal(38,18)")).alias(f"s{i}")
+        for i in range(d_sub)
+    ]
+    for _ in range(n_iters):
+        enc = _pq_encode_udf(books)
+        subs = (
+            u.select(F.posexplode(enc(F.col("unit"))).alias("subspace", "code"),
+                     F.col("unit"))
+            .select(
+                "subspace",
+                "code",
+                F.slice(
+                    "unit",
+                    F.col("subspace") * d_sub + 1,
+                    d_sub,
+                ).alias("sub"),
+            )
+            .groupBy("subspace", "code")
+            .agg(*sum_cols, F.count("*").alias("n"))
+            .collect()
+        )
+        means: dict[tuple[int, int], list[float]] = {
+            (r["subspace"], r["code"]): [
+                float(r[f"s{i}"]) / r["n"] for i in range(d_sub)
+            ]
+            for r in subs
+        }
+        books = [
+            [
+                means.get((s, c), books[s][c])
+                for c in range(k_codes)
+            ]
+            for s in range(m)
+        ]
+    u.unpersist()
+    return books
+
+
+def pq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 3,
+    refine: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance (ADC) + exact
+    re-rank — the compression-side complement of `ivf_topk` (compose
+    them for IVF-PQ): candidates are ENCODED to m codes (the only
+    per-vector state the scan needs — m bytes instead of dim floats);
+    each query precomputes its m×k_codes dot-product table; approx
+    sim(q, c) = Σ_s T_q[s][code_s], computed in one Arrow pass over the
+    codes; the refine·k best per query then re-rank by exact cosine.
+
+    Scale: the ADC scan touches only the code artifact (no vectors),
+    emits rows × |Q| skinny score rows, and the exact re-rank fetches
+    refine·k unit vectors per query. The query table (|Q| × m × k_codes
+    doubles) is a broadcast closure — PQ serves batched query sets, not
+    one-off lookups. Deterministic end-to-end (md5 init, DECIMAL Lloyd,
+    argmax ties to the lowest code index)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            candidates, m, k_codes, n_iters, emb_col, dim
+        )
+    d_sub = dim // m
+    c = with_unit_vector(candidates, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    q_rows = q.collect()  # |Q| is small by contract (batched query set)
+    q_ids = [r["query_id"] for r in q_rows]
+    mats = [np.array(b) for b in codebooks]
+    # T[qi][s][code] = dot(q_sub, codeword)
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    mats[s] @ np.array(r["q_unit"][s * d_sub : (s + 1) * d_sub])
+                    for s in range(m)
+                ]
+            )
+            for r in q_rows
+        ]
+    )
+
+    @pandas_udf("array<double>")
+    def adc(codes: pd.Series) -> pd.Series:
+        cm = np.vstack(codes.to_numpy())  # rows × m
+        rows = len(cm)
+        out = np.empty((rows, len(q_ids)))
+        for qi in range(len(q_ids)):
+            t = tables[qi]  # m × k_codes
+            acc = np.zeros(rows)
+            for s in range(m):
+                acc += t[s][cm[:, s]]
+            out[:, qi] = acc
+        return pd.Series(list(out))
+
+    enc = _pq_encode_udf(codebooks)
+    coded = c.select("neighbor_id", enc(F.col("c_unit")).alias("codes"))
+    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
+    scored = (
+        coded.select("neighbor_id", F.posexplode(adc(F.col("codes"))).alias("qi", "approx"))
+        .select(
+            F.element_at(q_id_arr, F.col("qi") + 1).alias("query_id"),
+            "neighbor_id",
+            "approx",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), "neighbor_id"
+    )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    sims = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -340,6 +340,35 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_knn_pq",
+    oracle=None,  # approximate by construction — rows-only check
+    overflow=True,  # rows-only; recall-gated in tests + bench
+    doc="Product-quantization ADC approximate top-3 ANN "
+    "(ml.similarity.pq_topk — the compression half of IVF-PQ, Jégou et "
+    "al. 2011): unit vectors encode to 16 sub-codes from 32-codeword "
+    "codebooks (16 bytes/vector vs 256 — the artifact a 100 TB scan "
+    "actually touches), approx sim is one Arrow table-lookup pass over "
+    "the codes, then the refine·k shortlist re-ranks by exact cosine. "
+    "Codebook training is DECIMAL-exact Lloyd (bit-identical for any "
+    "partitioning, md5 init at the data's 1/√dim scale — no RNG). "
+    "Measured recall@3 = 0.967 vs emb_knn on the driver's sf0.01 "
+    "embeddings (the isotropic worst case; asserted in "
+    "tests/test_ml.py::test_pq_ann_recall_on_testdata and republished "
+    "by bench.py).",
+)
+def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.similarity import pq_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(
+        emb, queries, k=3, dim=64, m=16, k_codes=32, refine=8, n_iters=5
+    ).select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
+@register(
     "emb_knn_ivf",
     oracle=None,  # approximate by construction — rows-only check
     doc="IVF approximate top-3 ANN (ml.similarity.ivf_topk): spherical "

@@ -2459,3 +2459,57 @@ def test_ngram_jaccard_recovers_moderate_similarity_pairs(spark, tmp_path):
     assert got == want, (
         f"missed {sorted(want - got)[:5]}... / spurious {sorted(got - want)[:5]}"
     )
+
+
+def test_pq_ann_recall_on_testdata(spark):
+    """Recall@3 of the PQ-ADC path vs the exact path on the driver's
+    sf0.01 embeddings — the registered emb_knn_pq parameters (m=16,
+    k_codes=32, refine=8, 5 Lloyd iters) must stay >= 0.9 on the
+    isotropic worst case. Deterministic: md5 init + DECIMAL-exact Lloyd
+    means this is a fixed number (0.967 measured), not a flake."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn_pq"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"PQ recall@3 = {recall:.2f} < 0.9"
+
+
+def test_pq_codebooks_deterministic_and_encode_shape(spark, vectors):
+    """PQ determinism contract: two independent trainings on different
+    partitionings produce bit-identical codebooks (DECIMAL-exact Lloyd +
+    md5 init, no RNG), and the code artifact is m small ints per vector
+    with every code < k_codes."""
+    from mempool_dumpster_spark.ml.similarity import (
+        _pq_encode_udf,
+        train_pq_codebooks,
+        with_unit_vector,
+    )
+
+    a = train_pq_codebooks(vectors, m=4, k_codes=8, n_iters=2, dim=8)
+    b = train_pq_codebooks(
+        vectors.repartition(7), m=4, k_codes=8, n_iters=2, dim=8
+    )
+    assert a == b  # bit-identical across partitionings
+
+    enc = _pq_encode_udf(a)
+    rows = (
+        with_unit_vector(vectors)
+        .select(enc(F.col("unit")).alias("codes"))
+        .collect()
+    )
+    for r in rows:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
