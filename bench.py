@@ -160,7 +160,7 @@ def _bench_ann_recall(spark) -> dict[str, float] | None:
     if not exact:
         return None
     out = {}
-    for name in ("emb_knn_lsh", "emb_knn_ivf", "emb_knn_pq"):
+    for name in ("emb_knn_lsh", "emb_knn_ivf", "emb_knn_pq", "emb_knn_ivfpq"):
         approx = {
             (r["query_id"], r["neighbor_id"])
             for r in qs[name](spark, sf_dir).collect()

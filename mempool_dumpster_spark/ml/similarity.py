@@ -1,6 +1,7 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Three tiers:
+Tiers (compose freely; all trainings are deterministic — md5 init,
+DECIMAL-exact Lloyd — so indexes are bit-stable across partitionings):
 - `cosine_topk` — brute-force exact baseline: broadcast query set × full
   scan, JVM-side zip_with/aggregate dot products, per-query top-k window.
   Right whenever the query set is small (the scan is one pass regardless).
@@ -19,6 +20,15 @@ Three tiers:
   for a fixed seed, no RNG and no fp-association drift), and the centroid
   table (n_cells × dim floats) is driver-resident/broadcast — the same
   "train small, index big" split real IVF systems use.
+- `pq_topk` — product quantization (ADC): vectors compress to m sub-codes
+  (16 bytes vs 256 at the default config) and the scan ranks candidates
+  by per-query table lookups over the CODE artifact — the float vectors
+  are only touched for the refine·k exact re-rank.
+- `ivfpq_topk` — the canonical 100 TB composition (FAISS IVFPQ): IVF
+  prunes WHICH vectors a query looks at, PQ codes decide the ORDER
+  cheaply, exact cosine re-ranks the shortlist. All three approximate
+  paths carry measured recall@3 gates (0.967 on the isotropic driver
+  embeddings) in tests and bench.
 """
 
 from __future__ import annotations
@@ -894,6 +904,137 @@ def pq_topk(
     )
     shortlist = (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    sims = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_assign: int = 1,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 3,
+    refine: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the canonical 100 TB ANN composition (FAISS IVFPQ) — the
+    coarse quantizer prunes WHICH vectors a query looks at
+    (nprobe/n_cells of the corpus, a cell-key equi-join), PQ codes
+    decide the ORDER cheaply (ADC table lookups over the m-byte code
+    artifact — the pruned scan never touches float vectors), and the
+    refine·k shortlist re-ranks by exact cosine over the survivors'
+    unit vectors only.
+
+    Plan shape: candidates carry (cell, codes) — one Arrow pass each,
+    both artifacts persistable; the probe join is skinny (id, cell,
+    codes); ADC scores ride the same row; two windows (shortlist, final
+    rank). Both trainings inherit the DECIMAL-exact / md5-init
+    determinism of their standalone forms, so results are bit-stable
+    across partitionings. Pass pre-trained `centroids`/`codebooks` for
+    the train-once/serve-many lifecycle."""
+    from pyspark.sql.functions import pandas_udf
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            candidates, n_cells, n_iters, id_col, emb_col, dim
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            candidates, m, k_codes, n_iters, emb_col, dim
+        )
+    d_sub = dim // m
+    c = with_unit_vector(candidates, emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    q_rows = q.collect()  # |Q| small by contract (batched query set)
+    q_ids = [r["query_id"] for r in q_rows]
+    mats = [np.array(b) for b in codebooks]
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    mats[s] @ np.array(r["q_unit"][s * d_sub : (s + 1) * d_sub])
+                    for s in range(m)
+                ]
+            )
+            for r in q_rows
+        ]
+    )
+    qi_of = {qid: i for i, qid in enumerate(q_ids)}
+
+    enc = _pq_encode_udf(codebooks)
+    c_probe = _probe_cells_udf(centroids, top=n_assign)
+    q_probe = _probe_cells_udf(centroids, top=nprobe)
+    # the persistable index rows: (id, cell, codes) — m ints + a cell id
+    c_index = c.select(
+        "neighbor_id",
+        F.explode(c_probe(F.col("c_unit"))).alias("cell"),
+        enc(F.col("c_unit")).alias("codes"),
+    )
+    q_cells = q.select(
+        "query_id", F.explode(q_probe(F.col("q_unit"))).alias("cell")
+    )
+
+    @pandas_udf("double")
+    def adc_one(qis: pd.Series, codes: pd.Series) -> pd.Series:
+        cm = np.vstack(codes.to_numpy())
+        qv = qis.to_numpy()
+        out = np.empty(len(cm))
+        # group rows by query index so lookups stay vectorized per query
+        for qi in np.unique(qv):
+            sel = qv == qi
+            t = tables[int(qi)]
+            acc = np.zeros(sel.sum())
+            sub = cm[sel]
+            for s in range(m):
+                acc += t[s][sub[:, s]]
+            out[sel] = acc
+        return pd.Series(out)
+
+    qi_map = F.create_map(
+        *[x for qid, i in qi_of.items() for x in (F.lit(qid), F.lit(i))]
+    )
+    pruned = (
+        c_index.join(q_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "codes")
+        .distinct()  # multi-assignment duplicates collapse pre-ADC
+        .withColumn(
+            "approx",
+            adc_one(F.element_at(qi_map, F.col("query_id")), F.col("codes")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), "neighbor_id"
+    )
+    shortlist = (
+        pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= refine * k)
         .select("query_id", "neighbor_id")
     )

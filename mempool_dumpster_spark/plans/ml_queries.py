@@ -369,6 +369,35 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_knn_ivfpq",
+    oracle=None,  # approximate by construction — rows-only check
+    overflow=True,  # rows-only; recall-gated in tests + bench
+    doc="IVF-PQ approximate top-3 ANN (ml.similarity.ivfpq_topk — the "
+    "canonical 100 TB composition, FAISS IVFPQ): the coarse quantizer "
+    "prunes WHICH vectors each query touches (nprobe=6 of 16 cells, "
+    "multi-assignment 4 for the isotropic boundary regime), PQ codes "
+    "order the pruned set cheaply (ADC lookups over the 16-byte code "
+    "artifact — no float vectors in the pruned scan), and the refine·k "
+    "shortlist re-ranks by exact cosine. Both trainings are "
+    "DECIMAL-exact/md5-seeded (bit-stable across partitionings). "
+    "Measured recall@3 = 0.967 vs emb_knn on the driver's sf0.01 "
+    "embeddings; gated in tests/test_ml.py::"
+    "test_ivfpq_ann_recall_on_testdata and republished by bench.py.",
+)
+def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.similarity import ivfpq_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, queries, k=3, dim=64, n_cells=16, nprobe=6, n_assign=4,
+        m=16, k_codes=32, refine=8, n_iters=5,
+    ).select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
+@register(
     "emb_knn_ivf",
     oracle=None,  # approximate by construction — rows-only check
     doc="IVF approximate top-3 ANN (ml.similarity.ivf_topk): spherical "
