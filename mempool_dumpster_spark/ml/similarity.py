@@ -26,7 +26,7 @@ DECIMAL-exact Lloyd — so indexes are bit-stable across partitionings):
   are only touched for the refine·k exact re-rank.
 - `ivfpq_topk` — the canonical 100 TB composition (FAISS IVFPQ): IVF
   prunes WHICH vectors a query looks at, PQ codes decide the ORDER
-  cheaply, exact cosine re-ranks the shortlist. All three approximate
+  cheaply, exact cosine re-ranks the shortlist. All four approximate
   paths carry measured recall@3 gates (0.967 on the isotropic driver
   embeddings) in tests and bench.
 """
@@ -1052,3 +1052,33 @@ def ivfpq_topk(
         sims.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_codebooks_to_json(codebooks: list[list[list[float]]]) -> str:
+    """Serialize trained PQ codebooks — the persisted half of the PQ
+    train-once/serve-many lifecycle, same exact-float JSON contract as
+    `centroids_to_json` (shortest-repr round-trips bit-for-bit, so an
+    index trained on one cluster encodes identical codes on another).
+    Payload: m × k_codes × d_sub floats — a few KB at any sane config.
+    Persist it BESIDE the code artifact: codes are meaningless without
+    the codebooks that produced them."""
+    import json
+
+    return json.dumps(
+        {
+            "format": "pq-codebooks-v1",
+            "m": len(codebooks),
+            "k_codes": len(codebooks[0]),
+            "d_sub": len(codebooks[0][0]),
+            "codebooks": codebooks,
+        }
+    )
+
+
+def pq_codebooks_from_json(payload: str) -> list[list[list[float]]]:
+    import json
+
+    obj = json.loads(payload)
+    if obj.get("format") != "pq-codebooks-v1":
+        raise ValueError(f"not a PQ codebook payload: {obj.get('format')!r}")
+    return [[[float(x) for x in cw] for cw in book] for book in obj["codebooks"]]

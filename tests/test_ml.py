@@ -2538,3 +2538,39 @@ def test_ivfpq_ann_recall_on_testdata(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"IVF-PQ recall@3 = {recall:.2f} < 0.9"
+
+
+def test_pq_codebook_roundtrip_and_reuse(spark, vectors):
+    """PQ persisted-index lifecycle: codebooks round-trip through JSON
+    bit-for-bit, and a pq_topk served from the deserialized index equals
+    one served from the in-memory training (train once, serve many)."""
+    from mempool_dumpster_spark.ml.similarity import (
+        pq_codebooks_from_json,
+        pq_codebooks_to_json,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(vectors, m=4, k_codes=8, n_iters=2, dim=8)
+    back = pq_codebooks_from_json(pq_codebooks_to_json(books))
+    assert back == books  # bit-for-bit
+
+    q = vectors.filter(F.col("vec_id") < 3)
+    a = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_topk(
+            vectors, q, k=3, dim=8, m=4, k_codes=8, codebooks=books
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_topk(
+            vectors, q, k=3, dim=8, m=4, k_codes=8, codebooks=back
+        ).collect()
+    }
+    assert a == b and a
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a PQ codebook"):
+        pq_codebooks_from_json('{"format": "nope"}')

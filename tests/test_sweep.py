@@ -50,3 +50,49 @@ def test_full_selfcheck_sweep_sf01():
     instead of living only in the round ledger. Skips when the sf0.1
     directory isn't present."""
     _run_sweep("/root/testdata/sf0.1")
+
+
+#: the ten heaviest registry queries by SELFCHECK spark_sec — the stress
+#: gate's fixed target set (r9; caught the ngram_jaccard band-miss bug
+#: on its first run)
+STRESS_QUERIES = [
+    "docs_decontaminate", "docs_incremental_dedup", "docs_langid",
+    "emb_knn_ivf", "emb_knn_ivf_pretrained", "docs_boilerplate",
+    "docs_ngram_jaccard", "docs_ngram_lm_score", "emb_semantic_dedup",
+    "docs_repetition",
+]
+
+
+@pytest.mark.sweep
+def test_stress_sweep_10x():
+    """The 10×-sf0.1 stress gate (r8 verdict #2, repeatable form): derive
+    the deterministic stress corpus if absent (tools/stressgen.py), then
+    run the ten heaviest queries against the DuckDB oracle at that
+    scale. emb_semantic_dedup demotes to rows-only — its oracle is an
+    all-pairs join, quadratic at stress scale — and the demotion is
+    recorded, not silent."""
+    base = "/root/testdata/sf0.1"
+    if not os.path.isdir(base):
+        pytest.skip(f"no test data at {base}")
+    out = "/tmp/spark_graft_sf1"
+    if not os.path.isdir(out) or not os.path.exists(
+        os.path.join(out, "documents.parquet")
+    ):
+        gen = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "stressgen.py"),
+             base, out, "10"],
+            cwd=REPO, capture_output=True, text=True, timeout=1200,
+        )
+        assert gen.returncode == 0, gen.stderr[-2000:]
+    env = dict(os.environ, SELFCHECK_ROWS_ONLY="emb_semantic_dedup")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"), out]
+        + STRESS_QUERIES,
+        cwd=REPO, capture_output=True, text=True, timeout=3600, env=env,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-30:])
+    assert proc.returncode == 0, (
+        f"stress sweep failed (exit {proc.returncode}):\n{tail}\n"
+        f"stderr tail:\n{chr(10).join(proc.stderr.splitlines()[-10:])}"
+    )
+    assert f"{len(STRESS_QUERIES)}/{len(STRESS_QUERIES)} passing" in proc.stdout
