@@ -213,7 +213,7 @@ def prep_incremental(
     config: PrepConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = 64,
+    n_hashes: int | None = None,
     est_jaccard_threshold: float = 0.7,
     bands: int = 16,
     rows_per_band: int = 4,
@@ -267,7 +267,7 @@ def cross_corpus_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    n_hashes: int = 64,
+    n_hashes: int | None = None,
     near_dup: bool = True,
     est_jaccard_threshold: float = 0.7,
     bands: int = 16,
@@ -308,7 +308,22 @@ def cross_corpus_filter(
     # missing-column AnalysisException (and the upsert would schema-
     # mismatch). On mismatch the banding is re-derived at the artifact's
     # width, preferring the requested rows_per_band when it divides.
-    n_hashes = artifact_slot_count(signatures)
+    # `n_hashes` is therefore DEPRECATED (kept for call-site compat);
+    # an explicit value that disagrees with the artifact gets a warning
+    # instead of the pre-r8 ValueError — the artifact always wins.
+    artifact_width = artifact_slot_count(signatures)
+    if n_hashes is not None and n_hashes != artifact_width:
+        import warnings
+
+        warnings.warn(
+            f"cross_corpus_filter: n_hashes={n_hashes} ignored — the "
+            f"signature artifact was built with {artifact_width} slots "
+            "and the gate always compares at the artifact's width. Drop "
+            "the n_hashes argument (deprecated).",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    n_hashes = artifact_width
     if bands * rows_per_band != n_hashes:
         if n_hashes % rows_per_band != 0:
             rows_per_band = next(r for r in (4, 2, 1) if n_hashes % r == 0)

@@ -58,6 +58,60 @@ def norm(u: Column) -> Column:
     return F.sqrt(dot(u, u))
 
 
+def _empty_topk_result(q: DataFrame) -> DataFrame:
+    """Empty (query_id, neighbor_id, sim, rank) frame matching the top-k
+    output schema — returned by the query-collecting ANN paths when the
+    query set is empty (np.stack over zero rows would otherwise raise an
+    opaque 'need at least one array to stack'). Built via createDataFrame
+    rather than a limit(0) cross-join so no Cartesian enters any plan."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    id_type = q.schema["query_id"].dataType
+    return q.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("neighbor_id", id_type),
+                StructField("sim", DoubleType()),
+                StructField("rank", IntegerType(), False),
+            ]
+        ),
+    )
+
+
+def _pq_shape(
+    codebooks: list[list[list[float]]], dim: int
+) -> tuple[int, int, int]:
+    """Derive (m, k_codes, d_sub) from the codebooks' ACTUAL shape and
+    validate dim == m * d_sub — supplied codebooks are the source of
+    truth (a caller-passed m that disagreed used to mis-slice query
+    subranges in the ADC tables and silently degrade recall)."""
+    m = len(codebooks)
+    if m == 0 or not codebooks[0]:
+        raise ValueError("PQ codebooks are empty")
+    k_codes = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    for s, book in enumerate(codebooks):
+        if len(book) != k_codes or any(len(cw) != d_sub for cw in book):
+            raise ValueError(
+                f"PQ codebooks are ragged at subspace {s}: expected "
+                f"{k_codes} codewords × {d_sub} dims"
+            )
+    if dim != m * d_sub:
+        raise ValueError(
+            f"PQ codebooks cover {m} subspaces × {d_sub} dims = "
+            f"{m * d_sub}, but dim={dim} — the codebooks were trained "
+            "for a different vector width"
+        )
+    return m, k_codes, d_sub
+
+
 def with_unit_vector(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Pre-normalize once so cosine = dot downstream."""
     e = _as_double(emb_col)
@@ -851,7 +905,9 @@ def pq_topk(
         codebooks = train_pq_codebooks(
             candidates, m, k_codes, n_iters, emb_col, dim
         )
-    d_sub = dim // m
+    # supplied codebooks are the shape authority (m/k_codes params are
+    # training knobs only) — see _pq_shape
+    m, k_codes, d_sub = _pq_shape(codebooks, dim)
     c = with_unit_vector(candidates, emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
     )
@@ -859,6 +915,8 @@ def pq_topk(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
     q_rows = q.collect()  # |Q| is small by contract (batched query set)
+    if not q_rows:
+        return _empty_topk_result(q)
     q_ids = [r["query_id"] for r in q_rows]
     mats = [np.array(b) for b in codebooks]
     # T[qi][s][code] = dot(q_sub, codeword)
@@ -965,7 +1023,9 @@ def ivfpq_topk(
         codebooks = train_pq_codebooks(
             candidates, m, k_codes, n_iters, emb_col, dim
         )
-    d_sub = dim // m
+    # supplied codebooks are the shape authority (m/k_codes params are
+    # training knobs only) — see _pq_shape
+    m, k_codes, d_sub = _pq_shape(codebooks, dim)
     c = with_unit_vector(candidates, emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
     )
@@ -973,6 +1033,8 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
     q_rows = q.collect()  # |Q| small by contract (batched query set)
+    if not q_rows:
+        return _empty_topk_result(q)
     q_ids = [r["query_id"] for r in q_rows]
     mats = [np.array(b) for b in codebooks]
     tables = np.stack(

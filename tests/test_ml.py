@@ -2574,3 +2574,76 @@ def test_pq_codebook_roundtrip_and_reuse(spark, vectors):
 
     with _pytest.raises(ValueError, match="not a PQ codebook"):
         pq_codebooks_from_json('{"format": "nope"}')
+
+
+def test_pq_topk_empty_queries_and_shape_validation(spark, vectors):
+    """Review regressions (r9 advisory): (a) an EMPTY query set used to
+    crash np.stack with 'need at least one array to stack' — must return
+    an empty frame with the standard top-k schema; (b) supplied codebooks
+    are the shape authority — a caller m/k_codes that disagrees used to
+    mis-slice the ADC query subranges and silently degrade recall; now
+    the shape is derived from the codebooks and a dim mismatch raises."""
+    from mempool_dumpster_spark.ml.similarity import (
+        ivfpq_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(vectors, m=4, k_codes=8, n_iters=1, dim=8)
+    empty_q = vectors.filter(F.col("vec_id") < 0)
+    for fn in (pq_topk, ivfpq_topk):
+        out = fn(vectors, empty_q, k=3, dim=8, codebooks=books)
+        assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+        assert out.count() == 0
+
+    q = vectors.filter(F.col("vec_id") < 2)
+    # mismatched caller m/k_codes with valid codebooks: codebooks win —
+    # identical results to the correctly-parameterized call
+    good = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_topk(
+            vectors, q, k=3, dim=8, m=4, k_codes=8, codebooks=books
+        ).collect()
+    }
+    lied = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pq_topk(
+            vectors, q, k=3, dim=8, m=8, k_codes=16, codebooks=books
+        ).collect()
+    }
+    assert lied == good and good
+
+    # codebooks trained for a different width: loud error, not bad recall
+    with pytest.raises(ValueError, match="different vector width"):
+        pq_topk(vectors, q, k=3, dim=16, codebooks=books)
+    with pytest.raises(ValueError, match="ragged"):
+        ragged = [b[:-1] if i == 1 else b for i, b in enumerate(books)]
+        pq_topk(vectors, q, k=3, dim=8, codebooks=ragged)
+
+
+def test_cross_corpus_filter_n_hashes_deprecation(spark):
+    """Review regression (r9 advisory): n_hashes is overridden by the
+    artifact's slot width — an explicit caller value that disagrees must
+    warn (it used to be silently ignored), and the default (None) must
+    stay silent."""
+    import warnings
+
+    from mempool_dumpster_spark.ml.prep import (
+        corpus_signatures,
+        cross_corpus_filter,
+    )
+
+    base = spark.createDataFrame(
+        [("b0", " ".join(f"w{j}" for j in range(30)))],
+        "doc_id string, text string",
+    )
+    sigs = corpus_signatures(base, n_hashes=8)
+    new = spark.createDataFrame(
+        [("n0", " ".join(f"z{j}" for j in range(30)))],
+        "doc_id string, text string",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # silent on default
+        cross_corpus_filter(new, sigs).collect()
+    with pytest.warns(DeprecationWarning, match="n_hashes=64 ignored"):
+        cross_corpus_filter(new, sigs, n_hashes=64).collect()
