@@ -1432,7 +1432,9 @@ def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sims
     ) WHERE rank <= 3
     """,
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    # r10 slot rotation (r9 verdict #7): promoted into the driver's 50 —
+    # the multimodal family previously had no driver-slot representation
+    # beyond decode (docs_binary_stats); docs_quality ceded its slot.
     doc="Multimodal handoff END-TO-END (r8 verdict #6): synthetic MP4s "
     "(ml.multimodal.build_keyframe_mp4 — full stsd/stts/stsc/stsz/stco "
     "sample table, 3 keyframes per doc whose bytes are md5(doc_id:j)) "

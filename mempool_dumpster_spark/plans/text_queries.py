@@ -560,6 +560,11 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              / len(string_split(text, ' ')) AS stopword_ratio
     FROM documents
     """,
+    # r10 slot rotation (r9 verdict #7): ceded its driver slot to
+    # media_frame_knn — the quality family stays covered by the
+    # docs_gopher_rules and docs_quality_curriculum slots; this entry
+    # remains oracle-checked every round via the selfcheck sweep.
+    overflow=True,
     doc="Per-document quality scoring: token count, average word length, "
     "stopword ratio — the length/stopword heuristics of LLM corpus filters. "
     "Exact integer arithmetic → identical doubles across engines.",

@@ -275,17 +275,26 @@ def test_registry_driver_contract_invariants():
     # docs_bpe_merges / emb_mmr_topk took the slots.)
     # All demoted entries remain oracle-checked every round via the
     # selfcheck sweep (tests/test_sweep.py, both scales).
+    #
+    # r10 rotation (the r9 verdict's #7): one swap —
+    #   docs_quality → media_frame_knn
+    # The multimodal family had no driver-slot representation beyond
+    # decode (docs_binary_stats covers header parsing only); media_frame_knn
+    # exercises the full MP4 sample-table walk → resize → feature →
+    # knn handoff with an exact oracle. docs_quality's family stays
+    # covered by the docs_gopher_rules and docs_quality_curriculum slots.
     expected = [
         "docs_langid", "docs_redact_pii", "docs_pack_sequences",
         "docs_mix_corpus", "docs_dedup_keep", "docs_ngram_jaccard",
         "docs_minhash_lsh_pairs", "docs_simhash_pairs", "docs_token_stats",
-        "docs_quality", "docs_binary_stats", "emb_knn", "emb_near_pairs",
+        "docs_binary_stats", "emb_knn", "emb_near_pairs",
         "emb_centroids", "docs_bpe_merges", "docs_ngram_lm_score",
         "docs_quality_curriculum", "docs_dup_span_strip",
         "docs_dup_components", "docs_dedup_keeplist", "docs_gopher_rules",
         "docs_tfidf_terms", "docs_prep_pipeline", "docs_split_assign",
         "docs_decontaminate", "docs_training_order",
         "docs_incremental_dedup", "manifest_version_diff", "emb_mmr_topk",
+        "media_frame_knn",
         "sourcelog_dedup", "sources_attach", "first_source_counts",
         "exclusive_orderflow", "included_split", "per_source_counts",
         "hourly_stats", "blacklist_anti", "point_lookup",
