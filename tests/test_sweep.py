@@ -96,3 +96,57 @@ def test_stress_sweep_10x():
         f"stderr tail:\n{chr(10).join(proc.stderr.splitlines()[-10:])}"
     )
     assert f"{len(STRESS_QUERIES)}/{len(STRESS_QUERIES)} passing" in proc.stdout
+
+
+#: md5_192mb_sec measured on the box that set the floors (r10); the gate
+#: scales its thresholds by the CURRENT box's probe so a slower machine
+#: relaxes the floors instead of flapping the gate.
+REF_CPU_PROBE = 0.32
+
+#: floors at ~0.7× the best observed values (r8-r10: merge steady
+#: 1757-2272 tx/s, prep 1269-1404 docs/s, headline 7.33-8.07 s) — wide
+#: enough that session noise doesn't flap them, tight enough that a
+#: regression of the r9-driver-artifact size (if it had been real code
+#: slowdown rather than environment drift) fails the builder's own tests.
+MERGE_STEADY_FLOOR_TX_S = 1500.0
+PREP_FLOOR_DOCS_S = 800.0
+HEADLINE_CEILING_SEC = 9.0
+
+
+@pytest.mark.sweep
+def test_throughput_floor_gates():
+    """r9 verdict #6: the merge-steady and prep regressions were only
+    visible by diffing round artifacts — this gate runs the real bench
+    at sf0.1 and fails the build if throughput drops below the floors.
+    Thresholds are probe-normalized: bench.py records a deterministic
+    single-thread CPU probe, and a machine slower than the one that set
+    the floors relaxes them proportionally (environment drift — the r9
+    false alarm — must not flap the gate; real code regressions move
+    bench while the probe stays flat, so they still fail)."""
+    import json
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no test data at {sf_dir}")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    data = json.loads(proc.stdout.strip().splitlines()[-1])
+    probe = data["env"]["cpu_probe"]["md5_192mb_sec"]
+    scale = max(1.0, probe / REF_CPU_PROBE)
+    merge = data["merge_pipeline"]["tx_per_sec_steady"]
+    prep = data["prep_pipeline"]["docs_per_sec"]
+    headline = data["value"]
+    msg = (
+        f"headline={headline}s merge_steady={merge}tx/s prep={prep}docs/s "
+        f"probe={probe}s (scale {scale:.2f})"
+    )
+    assert merge >= MERGE_STEADY_FLOOR_TX_S / scale, msg
+    assert prep >= PREP_FLOOR_DOCS_S / scale, msg
+    assert headline <= HEADLINE_CEILING_SEC * scale, msg
