@@ -112,6 +112,21 @@ def _pq_shape(
     return m, k_codes, d_sub
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a THIN input (fewer partitions than cores) across the
+    cluster before the unit-vector projection. `with_unit_vector`'s norm
+    is the exact sequential JVM fold (~1.5 ms/row at dim 64, an fp-parity
+    obligation); when a small corpus arrives as 1-2 parquet files the
+    fold otherwise runs on 1-2 cores — measured 15 s/materialization at
+    the 20k-vector sf1 stress vs ~1 s spread across 32. A corpus wide
+    enough to saturate the cluster passes through untouched (no shuffle
+    added at scale)."""
+    cpus = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cpus:
+        return df.repartition(cpus)
+    return df
+
+
 def with_unit_vector(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Pre-normalize once so cosine = dot downstream."""
     e = _as_double(emb_col)
@@ -129,9 +144,9 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query → (query_id, neighbor_id, sim,
     rank). Query side is broadcast; candidate scan is a single pass."""
-    c = with_unit_vector(candidates, emb_col).select(
+    c = with_unit_vector(_spread(candidates), emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    )
+    )  # single pass — no cache
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -235,9 +250,9 @@ def lsh_bucketed_topk(
     JVM-fold re-rank, whose sim values are bit-identical to the
     all-pairs form."""
     buckets = _table_buckets_udf(dim, n_planes, n_tables)
-    c = with_unit_vector(candidates, emb_col).select(
+    c = with_unit_vector(_spread(candidates), emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    )
+    ).cache()  # re-materialized by index/encode + the exact re-rank fetch
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -323,7 +338,8 @@ def cosine_near_pairs(
     spark = df.sparkSession
     cpus = spark.sparkContext.defaultParallelism
     e = (
-        df.select(F.col(id_col).alias("id"), _as_double(emb_col).alias("emb"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), _as_double(emb_col).alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
         .cache()  # scanned three times: signature + both verify fetches
     )
@@ -363,17 +379,78 @@ def cosine_near_pairs(
             F.col("sim") >= threshold
         )
 
+    id_is_long = dict(e.dtypes)["id"] == "bigint"
+    n_vecs = e.count() if id_is_long else 0
+    fits_broadcast = id_is_long and n_vecs * dim * 8 <= broadcast_bytes
+
+    # GEMM fast path (r10, verdict #3): when the vector table fits the
+    # broadcast AND the full n²·dim multiply is affordable (≤ ~4e11
+    # flops — a few seconds of BLAS on local[32]; n ≤ ~80k at dim 64),
+    # SKIP the LSH stage entirely. On isotropic corpora the sign-LSH
+    # bucket filter admits ~all pairs as candidates (measured ~85% at
+    # sf0.1; the r9 sf1 stress paid 77 s mostly shuffling ~10⁸ candidate
+    # pairs through the bucket join + distinct), while a blocked
+    # row-panel × matrixᵀ product against the ALREADY-BROADCAST matrix
+    # computes the identical prefilter with zero candidate shuffle —
+    # each task emits only its surviving (id_a, id_b) longs, and recall
+    # is exactly 1 by construction (no banding miss probability at all).
+    # The exact JVM fold still decides membership, so the output is
+    # bit-identical to the LSH and join paths. This is also SemDeDup's
+    # production shape — within-block exact GEMM — here with one block.
+    # Panels are sub-chunked so the score slab stays ≤ ~128 MB.
+    if fits_broadcast and n_vecs * n_vecs * dim <= 4e11:
+        import pyarrow as pa
+
+        rows = e.collect()  # bounded by the broadcast guard above
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids_s = ids[order]
+        x_s = np.array([r["emb"] for r in rows], dtype=np.float64)[order]
+        nrm_s = np.array([r["nrm"] for r in rows], dtype=np.float64)[order]
+        bc = spark.sparkContext.broadcast((ids_s, x_s, nrm_s))
+        cut = threshold - 0.01
+        n = len(ids_s)
+        chunk = max(1, (16 << 20) // max(n, 1))  # ≤ 128 MB of doubles
+
+        def _block_pairs(batches):
+            sids, xb, nrb = bc.value
+            col = np.arange(len(sids))
+            for b in batches:
+                pos = b.column("pos").to_numpy()
+                for lo in range(0, len(pos), chunk):
+                    p = pos[lo : lo + chunk]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        s = (xb[p] @ xb.T) / np.outer(nrb[p], nrb)
+                        # NaN (zero-norm) compares False, as in the
+                        # join path's filter
+                        mask = s >= cut
+                    mask &= col[None, :] > p[:, None]  # id_a < id_b
+                    bi, bj = np.nonzero(mask)
+                    yield pa.record_batch(
+                        [pa.array(sids[p[bi]]), pa.array(sids[bj])],
+                        names=["id_a", "id_b"],
+                    )
+
+        panels = (
+            spark.range(n)
+            .select(F.col("id").cast("int").alias("pos"))
+            .repartition(cpus)
+        )
+        kept = panels.mapInArrow(_block_pairs, "id_a long, id_b long")
+        return _exact_on(kept)
+
     # Prefilter fast path: when the vector table fits a modest broadcast
     # (rows × dim × 8 ≤ broadcast_bytes, default 128 MB ≈ 250k vectors at
-    # dim 64) and ids are BIGINT, candidates are prefiltered by a
-    # mapInArrow gather against a broadcast id-sorted matrix: only the two
-    # ids cross the Arrow boundary (16 B/pair instead of the two fetched
-    # vectors' ~2·dim·8 B/pair) and the dot is one vectorized row product.
-    # numpy and the sequential fold agree to ~1e-12, so the 0.01 slack can
-    # never drop a true pair — the same argument as the join-path
-    # prefilter below, which remains the unguarded 100 TB form.
-    id_is_long = dict(e.dtypes)["id"] == "bigint"
-    if id_is_long and e.count() * dim * 8 <= broadcast_bytes:
+    # dim 64) and ids are BIGINT — but the corpus is too big for the full
+    # GEMM above — candidates come from the LSH bucket join and are
+    # prefiltered by a mapInArrow gather against a broadcast id-sorted
+    # matrix: only the two ids cross the Arrow boundary (16 B/pair
+    # instead of the two fetched vectors' ~2·dim·8 B/pair) and the dot is
+    # one vectorized row product. numpy and the sequential fold agree to
+    # ~1e-12, so the 0.01 slack can never drop a true pair — the same
+    # argument as the join-path prefilter below, which remains the
+    # unguarded 100 TB form.
+    if fits_broadcast:
         import pyarrow as pa
 
         rows = e.collect()  # bounded by the broadcast guard above
@@ -520,7 +597,7 @@ def train_ivf_centroids(
     round. At 100 TB you would train on a deterministic sample (filter on a
     hash of the id) — the loop shape is identical. Empty cells keep their
     previous centroid (standard Lloyd degeneracy handling)."""
-    c = with_unit_vector(candidates, emb_col).select(F.col("unit")).cache()
+    c = with_unit_vector(_spread(candidates), emb_col).select(F.col("unit")).cache()
     centroids = _unit_centroids(dim, n_cells, seed)
     # dim sums as COLUMNS of one n_cells-group aggregate (not a
     # posexplode to rows×dim — same DECIMAL-exact order-independent sums,
@@ -565,6 +642,8 @@ def ivf_topk(
     nprobe: int = 4,
     n_assign: int = 1,
     centroids: list[list[float]] | None = None,
+    refine: int = 4,
+    broadcast_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: candidates are assigned to their
     `n_assign` nearest coarse-quantizer cells (one projection, no shuffle);
@@ -576,16 +655,30 @@ def ivf_topk(
     true neighbors sit near cell boundaries — e.g. isotropic embeddings,
     where single-assignment recall plateaus. Pass pre-trained `centroids`
     to skip training (the index is reusable across query sets, exactly like
-    a persisted IVF index)."""
+    a persisted IVF index).
+
+    Scoring (r10, verdict #3): when the candidate vector table fits a
+    modest broadcast, probe-join survivors are PRESCORED by a mapInArrow
+    gather against the broadcast unit matrix (one vectorized row product
+    per pair — the interpreted JVM fold costs ~1.5 ms/dot and, at the
+    recall-tuned heavy multi-assignment this isotropic testdata needs,
+    ran on ~90% of |Q|×corpus at the r9 sf1 stress: the 30 s), and the
+    exact fold re-ranks only the approx-top refine·k per query. numpy
+    and the sequential fold agree to ~1e-12 while neighbor sim gaps sit
+    many orders above that, so the exact top-k always survives the
+    refine window; final sims and ranks still come from the exact fold.
+    Past the broadcast guard the original all-candidate exact scoring
+    runs (at that scale per-cell candidate lists are the real serving
+    shape anyway — see ivfpq_topk_pretrained)."""
     if centroids is None:
         centroids = train_ivf_centroids(
             candidates, n_cells, n_iters, id_col, emb_col, dim
         )
     c_probe = _probe_cells_udf(centroids, top=n_assign)
     q_probe = _probe_cells_udf(centroids, top=nprobe)
-    c = with_unit_vector(candidates, emb_col).select(
+    c = with_unit_vector(_spread(candidates), emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    )
+    ).cache()  # re-materialized by index/encode + the exact re-rank fetch
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -604,6 +697,46 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    id_is_long = dict(c.dtypes)["neighbor_id"] == "bigint"
+    if id_is_long and c.count() * dim * 8 <= broadcast_bytes:
+        import pyarrow as pa
+
+        spark = candidates.sparkSession
+        rows = c.collect()  # bounded by the broadcast guard
+        ids = np.array([r["neighbor_id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids_s = ids[order]
+        x_s = np.array([r["c_unit"] for r in rows], dtype=np.float64)[order]
+        bc = spark.sparkContext.broadcast((ids_s, x_s))
+
+        def _prescore(batches):
+            sids, xb = bc.value
+            for b in batches:
+                ib = np.searchsorted(sids, b.column("neighbor_id").to_numpy())
+                qm = (
+                    b.column("q_unit")
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(-1, dim)
+                )
+                s = (xb[ib] * qm).sum(axis=1)
+                yield pa.record_batch(
+                    [b.column("query_id"), b.column("neighbor_id"), pa.array(s)],
+                    names=["query_id", "neighbor_id", "approx"],
+                )
+
+        qid_t = dict(q.dtypes)["query_id"]
+        scored = cand.join(F.broadcast(q), "query_id").mapInArrow(
+            _prescore, f"query_id {qid_t}, neighbor_id long, approx double"
+        )
+        w0 = Window.partitionBy("query_id").orderBy(
+            F.col("approx").desc(), "neighbor_id"
+        )
+        cand = (
+            scored.withColumn("rk", F.row_number().over(w0))
+            .filter(F.col("rk") <= refine * k)
+            .select("query_id", "neighbor_id")
+        )
     sims = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
@@ -831,7 +964,7 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
     d_sub = dim // m
-    u = with_unit_vector(candidates, emb_col).select("unit").cache()
+    u = with_unit_vector(_spread(candidates), emb_col).select("unit").cache()
     books = _pq_init_codebooks(dim, m, k_codes, seed)
     sum_cols = [
         F.sum(F.element_at("sub", i + 1).cast("decimal(38,18)")).alias(f"s{i}")
@@ -908,9 +1041,9 @@ def pq_topk(
     # supplied codebooks are the shape authority (m/k_codes params are
     # training knobs only) — see _pq_shape
     m, k_codes, d_sub = _pq_shape(codebooks, dim)
-    c = with_unit_vector(candidates, emb_col).select(
+    c = with_unit_vector(_spread(candidates), emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    )
+    ).cache()  # re-materialized by index/encode + the exact re-rank fetch
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -1026,9 +1159,9 @@ def ivfpq_topk(
     # supplied codebooks are the shape authority (m/k_codes params are
     # training knobs only) — see _pq_shape
     m, k_codes, d_sub = _pq_shape(codebooks, dim)
-    c = with_unit_vector(candidates, emb_col).select(
+    c = with_unit_vector(_spread(candidates), emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    )
+    ).cache()  # re-materialized by index/encode + the exact re-rank fetch
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -1144,3 +1277,198 @@ def pq_codebooks_from_json(payload: str) -> list[list[list[float]]]:
     if obj.get("format") != "pq-codebooks-v1":
         raise ValueError(f"not a PQ codebook payload: {obj.get('format')!r}")
     return [[[float(x) for x in cw] for cw in book] for book in obj["codebooks"]]
+
+
+def _probe_cells_np(
+    units: np.ndarray, centroids: list[list[float]], top: int
+) -> np.ndarray:
+    """Driver-side mirror of `_probe_cells_udf`'s math (same column-
+    reversed stable argsort → identical tie-breaks) for the |Q|-small
+    query side of pretrained serving: with the queries already collected
+    for the ADC tables, probing them in numpy avoids a whole Spark job
+    and lets the probed cells become a STATIC partition filter on the
+    index table (cells known at plan time → partition pruning, no DPP
+    machinery needed)."""
+    cmat = np.array(centroids)
+    n_cells = len(centroids)
+    d = units @ cmat.T
+    rev = np.argsort(-d[:, ::-1], axis=1, kind="stable")[:, :top]
+    return (n_cells - 1) - rev
+
+
+def write_ivfpq_index(
+    candidates: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    n_assign: int = 1,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iters: int = 3,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    path: str | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize the IVF-PQ candidate index as a CELL-PARTITIONED
+    catalog table — the serve-side half of train-once/serve-many that
+    `ivfpq_topk` computes inline on every call (r9 verdict #4).
+
+    Each row is (neighbor_id, codes, cell): the m-byte PQ code plus the
+    coarse cell, written `partitionBy("cell")` so a query's nprobe cells
+    prune to nprobe/n_cells of the FILES at scan time (static partition
+    pruning — `ivfpq_topk_pretrained` knows its cells driver-side). The
+    float vectors are NOT in the index; the exact re-rank fetches the
+    shortlist's units from the corpus with a broadcast semi-join. Train
+    artifacts (centroids + codebooks) are returned for persistence via
+    `centroids_to_json` / `pq_codebooks_to_json` — codes are meaningless
+    without them.
+
+    100 TB shape: the index is rows × (8 + 4·m) bytes — ~2.5 TB per
+    trillion vectors at m=16 — written once, after which every query
+    batch scans only its probed cells' files and never touches vector
+    parquet until the refine·k·|Q| re-rank fetch. Mirrors the reference's
+    write-once parquet artifacts (cmd/merge/transactions.go:214-231) at
+    index granularity."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            candidates, n_cells, n_iters, id_col, emb_col, dim
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            candidates, m, k_codes, n_iters, emb_col, dim
+        )
+    _pq_shape(codebooks, dim)
+    c = with_unit_vector(_spread(candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    enc = _pq_encode_udf(codebooks)
+    c_probe = _probe_cells_udf(centroids, top=n_assign)
+    c_index = c.select(
+        "neighbor_id",
+        enc(F.col("c_unit")).alias("codes"),
+        F.explode(c_probe(F.col("c_unit"))).alias("cell"),
+    )
+    w = c_index.write.mode("overwrite").partitionBy("cell")
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+    return centroids, codebooks
+
+
+def ivfpq_topk_pretrained(
+    spark: SparkSession,
+    index_table: str,
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    nprobe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a `write_ivfpq_index` table with an
+    EXCHANGE-FREE candidate side: queries are probed driver-side
+    (`_probe_cells_np`, same tie-breaks as the write path), their cells
+    become a static `cell IN (...)` partition filter on the index scan,
+    and the |Q|·nprobe (query_id, cell) pairs broadcast-join the pruned
+    scan — the code artifact streams through the join with no shuffle
+    and no exchange (plan-guarded in tests/test_bucketed.py). ADC
+    ordering and the exact re-rank then match `ivfpq_topk` exactly; the
+    re-rank fetches shortlist units via broadcast semi-join against the
+    corpus, so vector parquet is touched only for refine·k·|Q| rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k_codes, d_sub = _pq_shape(codebooks, dim)
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    q_rows = q.collect()  # |Q| small by contract (batched query set)
+    if not q_rows:
+        return _empty_topk_result(q)
+    q_ids = [r["query_id"] for r in q_rows]
+    q_units = np.vstack([np.array(r["q_unit"]) for r in q_rows])
+    mats = [np.array(b) for b in codebooks]
+    tables = np.stack(
+        [
+            np.stack(
+                [mats[s] @ q_units[i, s * d_sub : (s + 1) * d_sub] for s in range(m)]
+            )
+            for i in range(len(q_ids))
+        ]
+    )
+    qi_of = {qid: i for i, qid in enumerate(q_ids)}
+
+    probed = _probe_cells_np(q_units, centroids, top=nprobe)
+    q_cells = spark.createDataFrame(
+        [
+            (qid, int(cell))
+            for qid, cells in zip(q_ids, probed)
+            for cell in cells
+        ],
+        ["query_id", "cell"],
+    )
+
+    @pandas_udf("double")
+    def adc_one(qis: pd.Series, codes: pd.Series) -> pd.Series:
+        cm = np.vstack(codes.to_numpy())
+        qv = qis.to_numpy()
+        out = np.empty(len(cm))
+        for qi in np.unique(qv):
+            sel = qv == qi
+            t = tables[int(qi)]
+            acc = np.zeros(sel.sum())
+            sub = cm[sel]
+            for s in range(m):
+                acc += t[s][sub[:, s]]
+            out[sel] = acc
+        return pd.Series(out)
+
+    all_cells = sorted({int(cell) for cells in probed for cell in cells})
+    idx = spark.table(index_table).filter(F.col("cell").isin(all_cells))
+    qi_map = F.create_map(
+        *[x for qid, i in qi_of.items() for x in (F.lit(qid), F.lit(i))]
+    )
+    pruned = (
+        idx.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "codes")
+        .distinct()  # multi-assignment duplicates collapse pre-ADC
+        .withColumn(
+            "approx",
+            adc_one(F.element_at(qi_map, F.col("query_id")), F.col("codes")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), "neighbor_id"
+    )
+    shortlist = (
+        pruned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    # fetch BEFORE normalizing: the broadcast semi-join prunes the corpus
+    # to refine*k*|Q| rows first, so the exact norm/dot fold (the ~ms-per-
+    # row interpreted path) never touches non-shortlist vectors
+    fetched = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("__emb")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    sims = (
+        with_unit_vector(fetched, "__emb")
+        .withColumnRenamed("unit", "c_unit")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

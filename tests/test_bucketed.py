@@ -619,3 +619,57 @@ def test_manifest_upsert_preserves_partition_layout(spark, tmp_path):
     assert m["partition_by"] == ["part"]
     vdir = os.path.join(path, m["data_dir"])
     assert any(d.startswith("part=") for d in os.listdir(vdir))
+
+
+def test_ivfpq_index_table_serves_without_candidate_exchange(spark, tmp_path):
+    """r9 verdict #4: the IVF-PQ candidate index persisted as a
+    cell-partitioned catalog table must serve queries with an
+    EXCHANGE-FREE candidate side — the probed cells arrive as a static
+    partition filter on the index scan and the tiny (query_id, cell)
+    side broadcasts, so the code artifact is never shuffled on the cell
+    key. Also pins exact parity with the inline ivfpq_topk composition
+    at identical parameters (same index, same ordering, same re-rank)."""
+    from mempool_dumpster_spark.ml.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_pretrained,
+        write_ivfpq_index,
+    )
+
+    rows = []
+    for i in range(60):
+        axis = i % 3
+        vec = [0.05 * ((i * 7 + d) % 5) for d in range(8)]
+        vec[axis] += 10.0
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, books = write_ivfpq_index(
+        emb,
+        "ivfpq_guard_idx",
+        dim=8,
+        n_cells=4,
+        n_assign=2,
+        m=4,
+        k_codes=8,
+        n_iters=2,
+        path=str(tmp_path / "idx"),
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    served = ivfpq_topk_pretrained(
+        spark, "ivfpq_guard_idx", emb, q, cents, books,
+        k=3, dim=8, nprobe=2, refine=4,
+    )
+    plan = _plan(served)
+    # candidate side: pruned scan streams straight into a broadcast join
+    assert "Exchange hashpartitioning(cell" not in plan, plan
+    # static partition pruning: the scan's PartitionFilters carry the
+    # probed-cell predicate (not a post-scan Filter)
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any("cell" in ln for ln in pf_lines), plan
+
+    inline = ivfpq_topk(
+        emb, q, k=3, dim=8, nprobe=2, n_assign=2, refine=4,
+        centroids=cents, codebooks=books,
+    )
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want and got
