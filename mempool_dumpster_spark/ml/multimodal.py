@@ -1393,3 +1393,110 @@ def build_keyframe_mp4(
     trak = box(b"trak", mdia)
     moov = box(b"moov", trak)
     return ftyp + mdat + moov
+
+
+def build_pcm_wav(
+    samples: list[int],
+    rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Deterministic integer-PCM WAV container for `samples` (signed
+    int16 when bits=16, unsigned bytes when bits=8) — the audio
+    complement of `build_keyframe_mp4`: build_pcm_wav → audio_header /
+    _wav_pcm_samples must round-trip exactly, which the audio_clip_knn
+    registry query pins cross-engine (the oracle recomputes the sample
+    values analytically, so a wrong fmt field, byte order, or data
+    offset shows up as a hash mismatch). Interleave multi-channel input
+    yourself (frame-major), exactly as a real WAV stores it."""
+    import struct as _struct
+
+    if bits not in (8, 16):
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    if channels < 1:
+        raise ValueError("channels must be >= 1")
+    if bits == 8:
+        data = bytes(s & 0xFF for s in samples)
+    else:
+        data = b"".join(_struct.pack("<h", s) for s in samples)
+    block_align = channels * bits // 8
+    byte_rate = rate * block_align
+    fmt = _struct.pack(
+        "<HHIIHH", 1, channels, rate, byte_rate, block_align, bits
+    )
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+    )
+
+
+PCM_PROFILE_SCHEMA = (
+    "media_id long, mime string, n_samples long, profile array<double>, "
+    "decode_ok boolean"
+)
+
+
+def pcm_segment_profile(media: DataFrame, n_segments: int = 8) -> DataFrame:
+    """FIXED-WIDTH audio feature vector per clip: the loudness envelope —
+    mono-mixed samples split into `n_segments` equal spans (floor
+    boundaries s·n//S), each emitting Σ|x_i| — the cheap audio
+    fingerprint that feeds the similarity layer the way byte histograms
+    do for video stills (media_frame_knn). Exactness contract: for
+    integer PCM each |x_i| is k/2^(bits-1) with small k, so every
+    partial sum is exactly representable and the profile is
+    BIT-IDENTICAL regardless of summation order — a DuckDB oracle
+    recomputes it from integer sums. Undecodable payloads emit a NULL
+    profile with decode_ok=False (same contract as pcm_features). Same
+    100 TB plumbing: one Arrow-batched mapInPandas pass, payloads never
+    re-emitted, output is media_id + n_segments doubles."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for media_id, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": media_id,
+                    "mime": mime,
+                    "n_samples": None,
+                    "profile": None,
+                    "decode_ok": False,
+                }
+                try:
+                    x = _wav_pcm_samples(payload)
+                except ValueError:
+                    x = None
+                if x is not None and len(x):
+                    n = len(x)
+                    ax = np.abs(x)
+                    row.update(
+                        n_samples=int(n),
+                        profile=[
+                            float(
+                                ax[s * n // n_segments : (s + 1) * n // n_segments].sum()
+                            )
+                            for s in range(n_segments)
+                        ],
+                        decode_ok=True,
+                    )
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "mime", "n_samples", "profile", "decode_ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=PCM_PROFILE_SCHEMA)

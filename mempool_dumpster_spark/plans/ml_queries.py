@@ -1601,3 +1601,145 @@ def media_frame_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "sim_r", "rank")
     )
+
+
+@register(
+    "audio_clip_knn",
+    oracle="""
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS clip_id FROM documents
+      WHERE doc_id < 20
+    ),
+    samp AS (
+      SELECT clip_id, i,
+             CAST(('0x' || substr(
+                      md5(CAST(clip_id AS VARCHAR) || ':'
+                          || CAST(i // 8 AS VARCHAR)),
+                      CAST((i % 8) * 4 + 1 AS BIGINT), 4))::UBIGINT
+                  AS BIGINT) AS v
+      FROM ids, (SELECT unnest(range(0, 256)) AS i)
+    ),
+    seg AS (
+      SELECT clip_id, i * 8 // 256 AS seg,
+             CAST(sum(CASE WHEN v >= 32768 THEN abs(v - 65536) ELSE v END)
+                  AS DOUBLE) / 32768 AS f
+      FROM samp GROUP BY clip_id, i * 8 // 256
+    ),
+    vec AS (
+      SELECT clip_id, list(f ORDER BY seg) AS emb FROM seg GROUP BY clip_id
+    ),
+    n AS (
+      SELECT clip_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM vec
+    ),
+    q AS (SELECT * FROM n WHERE clip_id < 8),
+    sims AS (
+      SELECT q.clip_id AS query_id, c.clip_id AS neighbor_id,
+             round(list_dot_product(q.emb, c.emb) / (q.nrm * c.nrm), 4)
+               AS sim_r
+      FROM q JOIN n c ON c.clip_id <> q.clip_id
+    )
+    SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 3
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Second modality through the multimodal→similarity handoff (r9 "
+    "verdict #8, generalizing media_frame_knn beyond video stills): "
+    "synthetic 16-bit PCM WAVs (ml.multimodal.build_pcm_wav — full "
+    "RIFF/fmt/data container; 256 samples per clip, sample i = signed "
+    "int16 from md5(clip:i//8)) flow through the REAL decode path — "
+    "_wav_pcm_samples' RIFF walk and PCM scaling — into "
+    "pcm_segment_profile's fixed-width loudness envelope (8 segments, "
+    "each Σ|x|, every partial sum an exact dyadic rational so the "
+    "profile is bit-identical across engines and summation orders), "
+    "then the exact cosine top-3 of emb_knn's shape. The oracle "
+    "recomputes the samples analytically from md5, so a wrong fmt "
+    "field, byte order, data offset, or segment boundary surfaces as a "
+    "cross-engine hash mismatch. Scale: one mapInPandas pass per stage, "
+    "profiles (not payloads) cross stages, query side broadcast.",
+)
+def audio_clip_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.multimodal import (
+        build_pcm_wav,
+        pcm_segment_profile,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+    )
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                samples = []
+                for blk in range(32):
+                    h = hashlib.md5(f"{mid}:{blk}".encode()).hexdigest()
+                    for j in range(8):
+                        v = int(h[4 * j : 4 * j + 4], 16)
+                        samples.append(v - 65536 if v >= 32768 else v)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "payload": build_pcm_wav(samples),
+                        "mime": "audio/wav",
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "mime", "meta"]
+            )
+
+    media = docs.mapInPandas(
+        build,
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    vecs = pcm_segment_profile(media, n_segments=8).select(
+        F.col("media_id").alias("clip_id"), F.col("profile").alias("emb")
+    )
+    dot = lambda u, v: F.aggregate(  # noqa: E731 — emb_knn's exact fold
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    from pyspark.sql import Window
+
+    vecs = vecs.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    q = vecs.filter(F.col("clip_id") < 8).select(
+        F.col("clip_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sims = (
+        vecs.select(
+            F.col("clip_id").alias("neighbor_id"),
+            F.col("emb").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                4,
+            ).alias("sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "sim_r", "rank")
+    )

@@ -2100,6 +2100,59 @@ def test_ngram_frequency_score_hand_computed(spark):
         ngram_frequency_score(df, n=0)
 
 
+def test_build_pcm_wav_roundtrip_and_segment_profile(spark):
+    """build_pcm_wav → the real decode path must round-trip exactly, and
+    pcm_segment_profile's loudness envelope must be the EXACT per-segment
+    Σ|x| (each term a dyadic rational — order-independent, the contract
+    the audio_clip_knn oracle leans on). Also pins the decode_ok=False
+    contract for undecodable payloads and 8-bit / stereo variants."""
+    from mempool_dumpster_spark.ml.multimodal import (
+        _wav_pcm_samples,
+        audio_header,
+        build_pcm_wav,
+        pcm_segment_profile,
+    )
+
+    samples = [100 * i - 800 for i in range(16)]  # ramp crossing zero
+    wav = build_pcm_wav(samples, rate=8000)
+    kind, rate, channels, bits, _dur = audio_header(wav)
+    assert (kind, rate, channels, bits) == ("wav", 8000, 1, 16)
+    x = _wav_pcm_samples(wav)
+    assert [round(v * 32768) for v in x] == samples  # exact round-trip
+
+    # stereo interleaved: decode mono-mixes frame pairs
+    st = build_pcm_wav([100, 300, -100, -300], channels=2)
+    assert list(_wav_pcm_samples(st) * 32768) == [200.0, -200.0]
+
+    # 8-bit unsigned variant
+    w8 = build_pcm_wav([0, 128, 255], bits=8)
+    x8 = _wav_pcm_samples(w8)
+    assert [round(v * 128) for v in x8] == [-128, 0, 127]
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav), "audio/wav", None),
+            (2, bytearray(b"OggS not pcm"), "audio/ogg", None),
+        ],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    rows = {r["media_id"]: r for r in pcm_segment_profile(df, 4).collect()}
+    ok = rows[1]
+    assert ok["decode_ok"] and ok["n_samples"] == 16
+    # 4 segments of 4 samples: exact integer sums / 32768
+    expect = [
+        sum(abs(s) for s in samples[lo : lo + 4]) / 32768
+        for lo in range(0, 16, 4)
+    ]
+    assert ok["profile"] == expect  # bitwise, not approx
+    assert not rows[2]["decode_ok"] and rows[2]["profile"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        build_pcm_wav([0], bits=24)
+
+
 def test_pcm_features_wav_and_contract(spark):
     """pcm_features: RMS/peak/zero-crossings/clipped over real 16-bit PCM
     samples (hand-built square wave: rms=peak=1 after normalization... or
