@@ -291,6 +291,27 @@ def _bench_text_microcost(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _load_merge_stress() -> dict | None:
+    """Embed the committed 10×-day merge-stress artifact
+    (MERGE_STRESS_r{N}.json, produced by tools/merge_stress.py — a
+    ~25-min 15 M-receipt run, far too heavy to re-run per bench). The
+    artifact name rides along so a stale embed is attributable;
+    regenerate it whenever plans/merge.py or the parse UDF change."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "MERGE_STRESS_r*.json")))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            d = json.load(f)
+    except Exception:
+        return None
+    d["artifact"] = os.path.basename(paths[-1])
+    return d
+
+
 def _cpu_probe() -> dict:
     """Deterministic single-thread CPU probe — a fixed amount of md5 and
     a fixed numpy matmul, timed. The probe is CODE-INDEPENDENT, so when a
@@ -452,6 +473,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_dispersion": dispersion,
                 "merge_pipeline": merge_stats,
+                "merge_stress_10x": _load_merge_stress(),
                 "ann_recall_at3": ann_recall,
                 "prep_pipeline": prep_stats,
                 "minhash_gate_calibration": gate_cal,

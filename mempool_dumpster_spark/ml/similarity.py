@@ -1357,6 +1357,43 @@ def write_ivfpq_index(
     return centroids, codebooks
 
 
+def append_ivfpq_index(
+    new_candidates: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_assign: int = 1,
+) -> None:
+    """Append newly-arrived vectors to an existing `write_ivfpq_index`
+    table — the index-growth half of the lifecycle (a corpus that gains
+    documents daily must not re-encode the historical corpus). New rows
+    are encoded with the SAME persisted centroids + codebooks (codes are
+    only comparable within one codebook generation — retraining means
+    rebuilding, exactly as in FAISS), keyed to their cells, and appended
+    partition-wise: untouched cells' files are never rewritten, and
+    `ivfpq_topk_pretrained` serves the union with no change. Mirrors the
+    corpus-signature upsert contract (ml.prep) at index granularity."""
+    _pq_shape(codebooks, dim)
+    c = with_unit_vector(_spread(new_candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    enc = _pq_encode_udf(codebooks)
+    c_probe = _probe_cells_udf(centroids, top=n_assign)
+    c_index = c.select(
+        "neighbor_id",
+        enc(F.col("c_unit")).alias("codes"),
+        F.explode(c_probe(F.col("c_unit"))).alias("cell"),
+    )
+    # append matches columns BY NAME (saveAsTable semantics), so the
+    # (neighbor_id, codes, cell) order stays aligned with the write path
+    c_index.write.mode("append").partitionBy("cell").format(
+        "parquet"
+    ).saveAsTable(table)
+
+
 def ivfpq_topk_pretrained(
     spark: SparkSession,
     index_table: str,

@@ -673,3 +673,71 @@ def test_ivfpq_index_table_serves_without_candidate_exchange(spark, tmp_path):
     got = sorted(map(tuple, served.collect()))
     want = sorted(map(tuple, inline.collect()))
     assert got == want and got
+
+
+def test_ivfpq_index_append_grows_without_rewrite(spark, tmp_path):
+    """append_ivfpq_index: new vectors encode with the PERSISTED train
+    artifacts and append partition-wise — serving the appended table
+    equals serving a from-scratch index over the union (same artifacts),
+    and the base cells' parquet files are untouched (mtime-stable)."""
+    import os as _os
+
+    from mempool_dumpster_spark.ml.similarity import (
+        append_ivfpq_index,
+        ivfpq_topk_pretrained,
+        write_ivfpq_index,
+    )
+
+    def mkvecs(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            axis = i % 3
+            vec = [0.05 * ((i * 7 + d) % 5) for d in range(8)]
+            vec[axis] += 10.0
+            rows.append((i, vec))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    base, newer = mkvecs(0, 40), mkvecs(40, 60)
+    idx_path = str(tmp_path / "grow_idx")
+    cents, books = write_ivfpq_index(
+        base, "ivfpq_grow_idx", dim=8, n_cells=4, n_assign=2, m=4,
+        k_codes=8, n_iters=2, path=idx_path,
+    )
+    before = {
+        p: _os.path.getmtime(_os.path.join(r, p))
+        for r, _d, fs in _os.walk(idx_path)
+        for p in fs
+        if p.endswith(".parquet")
+    }
+    append_ivfpq_index(
+        newer, "ivfpq_grow_idx", cents, books, dim=8, n_assign=2
+    )
+    after = {
+        p: _os.path.getmtime(_os.path.join(r, p))
+        for r, _d, fs in _os.walk(idx_path)
+        for p in fs
+        if p.endswith(".parquet")
+    }
+    assert set(before) <= set(after) and len(after) > len(before)
+    assert all(after[p] == t for p, t in before.items())  # no rewrite
+
+    q = base.filter(F.col("vec_id") < 3)
+    union = base.union(newer)
+    grown = ivfpq_topk_pretrained(
+        spark, "ivfpq_grow_idx", union, q, cents, books,
+        k=3, dim=8, nprobe=2, refine=4,
+    )
+    write_ivfpq_index(
+        union, "ivfpq_grow_scratch", dim=8, n_cells=4, n_assign=2,
+        centroids=cents, codebooks=books,
+        path=str(tmp_path / "scratch_idx"),
+    )
+    scratch = ivfpq_topk_pretrained(
+        spark, "ivfpq_grow_scratch", union, q, cents, books,
+        k=3, dim=8, nprobe=2, refine=4,
+    )
+    got = sorted(map(tuple, grown.collect()))
+    want = sorted(map(tuple, scratch.collect()))
+    assert got == want and got

@@ -60,6 +60,9 @@ STRESS_QUERIES = [
     "emb_knn_ivf", "emb_knn_ivf_pretrained", "docs_boilerplate",
     "docs_ngram_jaccard", "docs_ngram_lm_score", "emb_semantic_dedup",
     "docs_repetition",
+    # r10 additions: the serve-side IVFPQ path (cell-partitioned index
+    # table + static partition pruning) must hold at stress scale too
+    "emb_knn_ivfpq_pretrained",
 ]
 
 
