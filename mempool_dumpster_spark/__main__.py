@@ -354,6 +354,114 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
     return 0
 
 
+def cmd_ann(args, spark: SparkSession | None = None) -> int:
+    """IVF-PQ ANN index lifecycle as a CLI, mirroring `prep`'s corpus
+    lifecycle: `build` trains + lands the cell-partitioned code-artifact
+    table and persists the train artifacts (centroids + codebooks) as
+    one JSON file; `append` encodes NEW vectors with those artifacts and
+    appends partition-wise (no retrain, untouched cells unmodified);
+    `query` serves top-k from the table with the exchange-free pruned
+    probe (ml.similarity.ivfpq_topk_pretrained)."""
+    import json
+
+    from mempool_dumpster_spark.ml.similarity import (
+        append_ivfpq_index,
+        centroids_from_json,
+        centroids_to_json,
+        ivfpq_topk_pretrained,
+        pq_codebooks_from_json,
+        pq_codebooks_to_json,
+        write_ivfpq_index,
+    )
+
+    spark = _session(spark)
+    vecs = spark.read.parquet(*args.vectors)
+
+    def load_artifacts() -> tuple[list, list]:
+        with open(args.artifacts) as f:
+            obj = json.load(f)
+        if obj.get("format") != "ivfpq-index-artifacts-v1":
+            raise SystemExit(
+                f"{args.artifacts}: not an IVF-PQ artifact file "
+                f"(format={obj.get('format')!r})"
+            )
+        return (
+            centroids_from_json(json.dumps(obj["centroids"])),
+            pq_codebooks_from_json(json.dumps(obj["codebooks"])),
+        )
+
+    if args.action == "build":
+        centroids, codebooks = write_ivfpq_index(
+            vecs,
+            args.table,
+            id_col=args.id_col,
+            emb_col=args.emb_col,
+            dim=args.dim,
+            n_cells=args.n_cells,
+            n_assign=args.n_assign,
+            m=args.m,
+            k_codes=args.k_codes,
+            n_iters=args.n_iters,
+            path=args.path,
+        )
+        with open(args.artifacts, "w") as f:
+            json.dump(
+                {
+                    "format": "ivfpq-index-artifacts-v1",
+                    "dim": args.dim,
+                    "n_assign": args.n_assign,
+                    "centroids": json.loads(centroids_to_json(centroids)),
+                    "codebooks": json.loads(pq_codebooks_to_json(codebooks)),
+                },
+                f,
+            )
+        n = spark.table(args.table).count()
+        print(json.dumps({"table": args.table, "index_rows": n,
+                          "artifacts": args.artifacts}))
+        return 0
+    if args.action == "append":
+        centroids, codebooks = load_artifacts()
+        append_ivfpq_index(
+            vecs,
+            args.table,
+            centroids,
+            codebooks,
+            id_col=args.id_col,
+            emb_col=args.emb_col,
+            dim=args.dim,
+            n_assign=args.n_assign,
+        )
+        n = spark.table(args.table).count()
+        print(json.dumps({"table": args.table, "index_rows": n}))
+        return 0
+    # query
+    if not args.queries:
+        raise SystemExit("ann query requires --queries")
+    centroids, codebooks = load_artifacts()
+    queries = spark.read.parquet(*args.queries)
+    out = ivfpq_topk_pretrained(
+        spark,
+        args.table,
+        vecs,
+        queries,
+        centroids,
+        codebooks,
+        k=args.k,
+        id_col=args.id_col,
+        emb_col=args.emb_col,
+        dim=args.dim,
+        nprobe=args.nprobe,
+        refine=args.refine,
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": spark.read.parquet(args.out).count()}))
+    else:
+        for row in out.collect():
+            print(row.asDict())
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mempool_dumpster_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -505,6 +613,40 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--no-exact-dedup", action="store_true")
     t.add_argument("--no-near-dedup", action="store_true")
     t.set_defaults(fn=cmd_prep)
+
+    n = sub.add_parser(
+        "ann",
+        help="IVF-PQ ANN index lifecycle: build / append / query a "
+        "cell-partitioned code-artifact table",
+    )
+    n.add_argument("action", choices=["build", "append", "query"])
+    n.add_argument(
+        "vectors", nargs="+",
+        help="embedding parquet input paths (the candidate corpus)",
+    )
+    n.add_argument("--table", required=True, help="index catalog table name")
+    n.add_argument(
+        "--artifacts", required=True,
+        help="train-artifact JSON path (written by build, read by "
+        "append/query; codes are meaningless without it)",
+    )
+    n.add_argument("--path", default=None, help="external table location")
+    n.add_argument("--id-col", default="vec_id")
+    n.add_argument("--emb-col", default="embedding")
+    n.add_argument("--dim", type=int, default=64)
+    n.add_argument("--n-cells", type=int, default=16)
+    n.add_argument("--n-assign", type=int, default=1)
+    n.add_argument("--m", type=int, default=8)
+    n.add_argument("--k-codes", type=int, default=16)
+    n.add_argument("--n-iters", type=int, default=3)
+    n.add_argument("--queries", nargs="+", default=None,
+                   help="query parquet paths (query action)")
+    n.add_argument("-k", type=int, default=10)
+    n.add_argument("--nprobe", type=int, default=4)
+    n.add_argument("--refine", type=int, default=4)
+    n.add_argument("--out", default=None,
+                   help="write query results parquet instead of printing")
+    n.set_defaults(fn=cmd_ann)
     return p
 
 

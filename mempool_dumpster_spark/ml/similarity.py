@@ -1350,6 +1350,26 @@ def write_ivfpq_index(
         enc(F.col("c_unit")).alias("codes"),
         F.explode(c_probe(F.col("c_unit"))).alias("cell"),
     )
+    # Overwrite must win over ORPHANED locations too: a previous
+    # session's table directory can survive in the warehouse while the
+    # new session's metastore has never heard of the table (observed in
+    # the r10 sweep — fresh in-memory catalog, persistent disk), and
+    # saveAsTable then refuses with LOCATION_ALREADY_EXISTS. Drop the
+    # catalog entry if any, then delete the target location through the
+    # Hadoop FS API (works for any scheme, not just local disk).
+    spark = candidates.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        jvm = spark._jvm
+        loc = path if path is not None else (
+            spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+            + "/" + table.split(".")[-1].lower()
+        )
+        jpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        pass  # nothing to clean, or non-JVM-reachable path: let the write speak
     w = c_index.write.mode("overwrite").partitionBy("cell")
     if path is not None:
         w = w.option("path", path)

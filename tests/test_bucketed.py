@@ -741,3 +741,41 @@ def test_ivfpq_index_append_grows_without_rewrite(spark, tmp_path):
     got = sorted(map(tuple, grown.collect()))
     want = sorted(map(tuple, scratch.collect()))
     assert got == want and got
+
+
+def test_ivfpq_index_overwrites_orphaned_location(spark, tmp_path):
+    """r10 sweep regression: a PREVIOUS session's managed-table directory
+    can survive in the warehouse while the new session's metastore has
+    never registered the table — saveAsTable then refused with
+    LOCATION_ALREADY_EXISTS. write_ivfpq_index must treat overwrite as
+    overwrite: drop any catalog entry AND clear the orphaned location."""
+    import os as _os
+
+    from mempool_dumpster_spark.ml.similarity import write_ivfpq_index
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    # orphaned managed location (no catalog entry)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = wh.replace("file:", "")
+    orphan = _os.path.join(wh_path, "ivfpq_orphan_idx")
+    _os.makedirs(orphan, exist_ok=True)
+    with open(_os.path.join(orphan, "leftover.parquet"), "w") as f:
+        f.write("stale")
+    spark.sql("DROP TABLE IF EXISTS ivfpq_orphan_idx")
+    write_ivfpq_index(
+        emb, "ivfpq_orphan_idx", dim=8, n_cells=2, m=4, k_codes=4, n_iters=1
+    )
+    assert spark.table("ivfpq_orphan_idx").count() == 12
+    # and an orphaned EXTERNAL location as well
+    ext = str(tmp_path / "ext_idx")
+    _os.makedirs(ext, exist_ok=True)
+    with open(_os.path.join(ext, "leftover"), "w") as f:
+        f.write("stale")
+    write_ivfpq_index(
+        emb, "ivfpq_orphan_ext", dim=8, n_cells=2, m=4, k_codes=4,
+        n_iters=1, path=ext,
+    )
+    assert spark.table("ivfpq_orphan_ext").count() == 12

@@ -517,3 +517,94 @@ def test_cli_prep_append_heals_stale_signatures_and_packs(spark, tmp_path):
     # the packed companion refreshed on the append run
     packed = read_committed(spark, out + "_packed")
     assert packed.count() > 0
+
+
+def test_cli_ann_lifecycle(spark, tmp_path, capsys):
+    """ann build -> append -> query: the IVF-PQ index lifecycle end-to-end
+    through the CLI — train artifacts round-trip through the JSON file,
+    the appended batch becomes searchable without retraining, and the
+    served top-k equals the inline composition over the union."""
+    import json
+
+    rows = []
+    for i in range(50):
+        axis = i % 3
+        vec = [0.05 * ((i * 7 + d) % 5) for d in range(8)]
+        vec[axis] += 10.0
+        rows.append((i, vec))
+    base = spark.createDataFrame(
+        rows[:40], "vec_id long, embedding array<float>"
+    )
+    newer = spark.createDataFrame(
+        rows[40:], "vec_id long, embedding array<float>"
+    )
+    base_p, new_p = tmp_path / "base.parquet", tmp_path / "new.parquet"
+    base.write.parquet(str(base_p))
+    newer.write.parquet(str(new_p))
+    art = tmp_path / "artifacts.json"
+
+    rc = main(
+        [
+            "ann", "build", str(base_p),
+            "--table", "cli_ann_idx", "--artifacts", str(art),
+            "--path", str(tmp_path / "idx"),
+            "--dim", "8", "--n-cells", "4", "--n-assign", "2",
+            "--m", "4", "--k-codes", "8", "--n-iters", "2",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["index_rows"] == 80  # 40 vectors x n_assign 2
+    assert json.load(open(art))["format"] == "ivfpq-index-artifacts-v1"
+
+    rc = main(
+        [
+            "ann", "append", str(new_p),
+            "--table", "cli_ann_idx", "--artifacts", str(art),
+            "--dim", "8", "--n-assign", "2",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["index_rows"] == 100
+
+    union_p = tmp_path / "union.parquet"
+    base.union(newer).write.parquet(str(union_p))
+    q_p = tmp_path / "q.parquet"
+    base.filter("vec_id < 3").write.parquet(str(q_p))
+    out_p = tmp_path / "topk.parquet"
+    rc = main(
+        [
+            "ann", "query", str(union_p),
+            "--table", "cli_ann_idx", "--artifacts", str(art),
+            "--queries", str(q_p), "--dim", "8",
+            "-k", "3", "--nprobe", "2", "--refine", "4",
+            "--out", str(out_p),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    served = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in spark.read.parquet(str(out_p)).collect()
+    }
+    from mempool_dumpster_spark.ml.similarity import (
+        centroids_from_json,
+        ivfpq_topk,
+        pq_codebooks_from_json,
+    )
+
+    obj = json.load(open(art))
+    inline = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            spark.read.parquet(str(union_p)),
+            spark.read.parquet(str(q_p)),
+            k=3, dim=8, nprobe=2, n_assign=2, refine=4,
+            centroids=centroids_from_json(json.dumps(obj["centroids"])),
+            codebooks=pq_codebooks_from_json(json.dumps(obj["codebooks"])),
+        ).collect()
+    }
+    assert served == inline and served
