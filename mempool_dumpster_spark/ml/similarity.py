@@ -291,6 +291,7 @@ def cosine_near_pairs(
     n_tables: int = 48,
     round_digits: int = 4,
     broadcast_bytes: int = 128 << 20,
+    gemm_flops_cap: float = 4e11,
 ) -> DataFrame:
     """All near-duplicate pairs (sim >= threshold) via LSH bucketing — the
     scale-safe replacement for the |C|²/2 all-pairs self-join.
@@ -398,7 +399,7 @@ def cosine_near_pairs(
     # bit-identical to the LSH and join paths. This is also SemDeDup's
     # production shape — within-block exact GEMM — here with one block.
     # Panels are sub-chunked so the score slab stays ≤ ~128 MB.
-    if fits_broadcast and n_vecs * n_vecs * dim <= 4e11:
+    if fits_broadcast and n_vecs * n_vecs * dim <= gemm_flops_cap:
         import pyarrow as pa
 
         rows = e.collect()  # bounded by the broadcast guard above

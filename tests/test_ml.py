@@ -647,12 +647,15 @@ def test_emb_near_pairs_bucketed_parity(spark):
 
 
 def test_cosine_near_pairs_prefilter_paths_agree(spark):
-    """cosine_near_pairs has two prefilter physical paths — the broadcast
-    mapInArrow gather (vector table fits broadcast_bytes) and the
-    vector-fetch join + pandas-UDF fallback (broadcast_bytes=0 forces it).
-    Both must emit the identical (id_a, id_b, sim) set: sim comes from the
-    same exact JVM fold on survivors, and the prefilters share the same
-    0.01 slack argument, so any divergence is a gather/indexing bug."""
+    """cosine_near_pairs has THREE physical paths — the full-GEMM panel
+    product (default below the flop cap, r10), the LSH + broadcast
+    mapInArrow gather (gemm_flops_cap=0 forces it while the table still
+    fits broadcast_bytes), and the LSH + vector-fetch join + pandas-UDF
+    fallback (broadcast_bytes=0 forces it). All three must emit the
+    identical (id_a, id_b, sim) set: sim comes from the same exact JVM
+    fold on survivors, the LSH prefilters share the 0.01 slack argument,
+    and the GEMM path's recall is exactly 1 by construction — so any
+    divergence is a gather/indexing/banding bug."""
     import os
 
     from mempool_dumpster_spark.ml.similarity import cosine_near_pairs
@@ -663,15 +666,19 @@ def test_cosine_near_pairs_prefilter_paths_agree(spark):
         pytest.skip("driver testdata not present")
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     kw = dict(threshold=0.4, dim=64, n_planes=3, n_tables=48)
-    fast = {
+    gemm = {
         (r["id_a"], r["id_b"], r["sim"])
         for r in cosine_near_pairs(emb, **kw).collect()
     }
-    slow = {
+    gather = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in cosine_near_pairs(emb, gemm_flops_cap=0, **kw).collect()
+    }
+    join = {
         (r["id_a"], r["id_b"], r["sim"])
         for r in cosine_near_pairs(emb, broadcast_bytes=0, **kw).collect()
     }
-    assert fast == slow and len(fast) > 0
+    assert gemm == gather == join and len(gemm) > 0
 
 
 def test_simhash64_candidate_selectivity(spark):
