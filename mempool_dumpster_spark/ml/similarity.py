@@ -1413,6 +1413,10 @@ def append_ivfpq_index(
     c_index.write.mode("append").partitionBy("cell").format(
         "parquet"
     ).saveAsTable(table)
+    # same-session readers see the append immediately; this refresh is
+    # for THIS session's cached relation (cross-session readers refresh
+    # on their side — ivfpq_topk_pretrained does it on entry)
+    new_candidates.sparkSession.catalog.refreshTable(table)
 
 
 def ivfpq_topk_pretrained(
@@ -1442,6 +1446,10 @@ def ivfpq_topk_pretrained(
     from pyspark.sql.functions import pandas_udf
 
     m, k_codes, d_sub = _pq_shape(codebooks, dim)
+    # refresh the index relation: appends land from OTHER sessions (the
+    # streaming gate's cloned session, another writer process), and a
+    # cached file listing would silently serve the pre-append index
+    spark.catalog.refreshTable(index_table)
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )

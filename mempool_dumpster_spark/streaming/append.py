@@ -115,3 +115,120 @@ def start_corpus_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: the vector-stream projection every transport must yield
+VEC_STREAM_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def vector_file_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """JSONL embedding stream for tests/local runs: one {"vec_id": ...,
+    "embedding": [...]} object per line. A Kafka/queue transport plugs in
+    with the same two-column projection."""
+    return (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+
+def start_index_append(
+    spark: SparkSession,
+    stream: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_assign: int = 1,
+    log_dir: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming ANN-index maintenance: grow a `write_ivfpq_index` table
+    from a LIVE embedding stream — the vector twin of
+    `start_corpus_append`. Each micro-batch is
+
+        · GATED for idempotence: batch ids anti-join the index's
+          existing ids, so an at-least-once replay (or an upstream
+          duplicate) never double-inserts a vector — the same replay
+          contract as the corpus gate, enforced on the id column of the
+          code artifact (a skinny scan, never the vectors);
+        · ENCODED with the PERSISTED train artifacts (no retrain inside
+          the stream — codes are only comparable within one codebook
+          generation; retraining is an offline rebuild, as in FAISS);
+        · APPENDED partition-wise (`ml.similarity.append_ivfpq_index`):
+          untouched cells' files are never rewritten, and
+          `ivfpq_topk_pretrained` serves the union immediately.
+
+    Why foreachBatch: the idempotence gate joins each micro-batch
+    against the index table AS OF the previous commits — a growing
+    static side — and the append itself is a batch-side catalog write.
+    Appended counts journal to `log_dir` (tmp + os.replace, crash-safe)
+    so operators can watch index growth without scanning the table.
+
+    Visibility: the micro-batch writes run in the stream's CLONED
+    session, which refreshes its own relation cache but not other
+    sessions' — a session that cached the table's file listing before
+    the stream ran keeps serving the stale listing (standard Spark
+    semantics for any external writer to a catalog table). Serving
+    through `ivfpq_topk_pretrained` is safe — it refreshes the table
+    relation on entry; raw `spark.table(...)` readers must
+    `spark.catalog.refreshTable(table)` themselves."""
+    from mempool_dumpster_spark.ml.similarity import (
+        _pq_shape,
+        append_ivfpq_index,
+    )
+
+    _pq_shape(codebooks, dim)  # fail fast, before the query starts
+    spark.table(table)  # and the base index must exist
+
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        from pyspark.sql import functions as F
+
+        # the clone inherits the parent session's relation cache — after
+        # a stream restart that cache may predate earlier appends, and a
+        # stale id listing would let replayed vectors back in
+        sess.catalog.refreshTable(table)
+        fresh = batch.dropDuplicates([id_col]).join(
+            sess.table(table).select(
+                F.col("neighbor_id").alias(id_col)
+            ).distinct(),
+            id_col,
+            "left_anti",
+        )
+        n = fresh.count()
+        if not n:
+            return
+        append_ivfpq_index(
+            fresh,
+            table,
+            centroids,
+            codebooks,
+            id_col=id_col,
+            emb_col=emb_col,
+            dim=dim,
+            n_assign=n_assign,
+        )
+        if log_dir:
+            path = os.path.join(log_dir, f"batch-{batch_id:06d}.json")
+            tmp = f"{path}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"batch_id": batch_id, "appended_vectors": n}, f)
+            os.replace(tmp, path)
+
+    writer = stream.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint or f"/tmp/{table}_append_checkpoint"
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

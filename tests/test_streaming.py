@@ -1272,3 +1272,117 @@ def test_streaming_corpus_append_checkpoint_restart(
     appended = [json.load(open(p))["appended"] for p in logs]
     assert sum(sum(c.values()) for c in appended) == 1  # n2 only
     assert not glob.glob(out + "_append_log/*.tmp")  # atomic journal
+
+
+def test_streaming_index_append(spark, tmp_path):
+    """start_index_append: an embedding stream grows the IVFPQ index
+    table through the idempotence gate — duplicate/replayed vectors
+    never double-insert, encoding uses the persisted artifacts, and the
+    grown index serves identically to a from-scratch index over the
+    union (same artifacts)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.ml.similarity import (
+        ivfpq_topk_pretrained,
+        write_ivfpq_index,
+    )
+    from mempool_dumpster_spark.streaming.append import (
+        start_index_append,
+        vector_file_stream,
+    )
+
+    def vec(i):
+        v = [0.05 * ((i * 7 + d) % 5) for d in range(8)]
+        v[i % 3] += 10.0
+        return v
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    cents, books = write_ivfpq_index(
+        base, "stream_ann_idx", dim=8, n_cells=4, n_assign=2, m=4,
+        k_codes=8, n_iters=2, path=str(tmp_path / "idx"),
+    )
+    base_rows = spark.table("stream_ann_idx").count()
+
+    landing = tmp_path / "landing"
+    _os.makedirs(landing)
+    # file 1: new vectors 30-39; file 2: REPLAYS 35-39 plus new 40-44 —
+    # the overlap must be gated out
+    with open(landing / "a.jsonl", "w") as f:
+        for i in range(30, 40):
+            f.write(_json.dumps({"vec_id": i, "embedding": vec(i)}) + "\n")
+    with open(landing / "b.jsonl", "w") as f:
+        for i in range(35, 45):
+            f.write(_json.dumps({"vec_id": i, "embedding": vec(i)}) + "\n")
+
+    log_dir = str(tmp_path / "log")
+    q = start_index_append(
+        spark,
+        vector_file_stream(spark, str(landing)),
+        "stream_ann_idx",
+        cents,
+        books,
+        dim=8,
+        n_assign=2,
+        log_dir=log_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    # the stream's clone refreshed ITS relation cache, not this
+    # session's — raw table readers refresh explicitly (serving via
+    # ivfpq_topk_pretrained refreshes on entry; pinned below)
+    spark.catalog.refreshTable("stream_ann_idx")
+    grown = spark.table("stream_ann_idx")
+    # 15 unique new vectors x n_assign 2, duplicates gated out
+    assert grown.count() == base_rows + 15 * 2
+    assert grown.select("neighbor_id").distinct().count() == 45
+    appended = sum(
+        _json.load(open(_os.path.join(log_dir, p)))["appended_vectors"]
+        for p in sorted(_os.listdir(log_dir))
+    )
+    assert appended == 15
+
+    # replay the whole landing dir with a FRESH checkpoint: fully gated
+    q2 = start_index_append(
+        spark,
+        vector_file_stream(spark, str(landing)),
+        "stream_ann_idx",
+        cents,
+        books,
+        dim=8,
+        n_assign=2,
+        checkpoint=str(tmp_path / "ckpt2"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    spark.catalog.refreshTable("stream_ann_idx")
+    assert spark.table("stream_ann_idx").count() == base_rows + 30
+
+    # serve parity vs a from-scratch index over the union
+    union = base.union(
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(30, 45)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    queries = union.filter(F.col("vec_id") < 3)
+    grown_served = ivfpq_topk_pretrained(
+        spark, "stream_ann_idx", union, queries, cents, books,
+        k=3, dim=8, nprobe=2, refine=4,
+    )
+    write_ivfpq_index(
+        union, "stream_ann_scratch", dim=8, n_cells=4, n_assign=2,
+        centroids=cents, codebooks=books, path=str(tmp_path / "scratch"),
+    )
+    scratch_served = ivfpq_topk_pretrained(
+        spark, "stream_ann_scratch", union, queries, cents, books,
+        k=3, dim=8, nprobe=2, refine=4,
+    )
+    got = sorted(map(tuple, grown_served.collect()))
+    want = sorted(map(tuple, scratch_served.collect()))
+    assert got == want and got
