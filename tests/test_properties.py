@@ -719,3 +719,52 @@ def test_mmr_unrolled_equals_sequential_greedy(spark, vecs, tmp_path_factory):
         assert got_k == greedy(k), f"k={k}"
     pool.unpersist()
     pair.unpersist()
+
+
+@given(
+    st.integers(min_value=1, max_value=6),   # n_cells (pre-duplication)
+    st.integers(min_value=1, max_value=4),   # dim
+    st.integers(min_value=1, max_value=8),   # n vectors
+    st.integers(min_value=0, max_value=10_000),  # value seed
+)
+@settings(max_examples=60, deadline=None)
+def test_probe_cells_np_matches_udf(spark, n_cells, dim, n_vecs, seed):
+    # `spark` (session-scoped) is needed only because pandas_udf parses
+    # its return-type DDL through the active context; no job runs here.
+    """The driver-side query prober (`_probe_cells_np`, used by
+    ivfpq_topk_pretrained) must match the Arrow UDF prober
+    (`_probe_cells_udf`, used by the index WRITE path) bit-for-bit,
+    including exact-dot ties — a tie-break divergence would silently
+    probe the wrong cells and degrade pretrained recall with no error.
+    Centroid list deliberately contains an exact duplicate (a guaranteed
+    tie) and low-precision values (likely further ties)."""
+    import numpy as np
+    import pandas as pd
+
+    from mempool_dumpster_spark.ml.similarity import (
+        _probe_cells_np,
+        _probe_cells_udf,
+    )
+
+    # deterministic low-entropy data: quarter-step grid values force dot
+    # collisions; duplicated first centroid forces at least one exact tie
+    def val(i):
+        return ((seed + i * 7) % 5 - 2) / 4.0
+
+    centroids = [
+        [val(c * dim + d) for d in range(dim)] for c in range(n_cells)
+    ]
+    centroids.append(list(centroids[0]))  # exact duplicate
+    vecs = np.array(
+        [[val(99 + v * dim + d) for d in range(dim)] for v in range(n_vecs)]
+    )
+    for top in (1, 2, len(centroids)):
+        got_np = _probe_cells_np(vecs, centroids, top)
+        got_udf = np.vstack(
+            _probe_cells_udf(centroids, top)
+            .func(pd.Series(list(vecs)))
+            .to_numpy()
+        )
+        assert (got_np == got_udf).all(), (
+            f"probe divergence at top={top}:\nnp  {got_np}\nudf {got_udf}"
+        )
