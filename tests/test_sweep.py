@@ -61,8 +61,10 @@ STRESS_QUERIES = [
     "docs_ngram_jaccard", "docs_ngram_lm_score", "emb_semantic_dedup",
     "docs_repetition",
     # r10 additions: the serve-side IVFPQ path (cell-partitioned index
-    # table + static partition pruning) must hold at stress scale too
-    "emb_knn_ivfpq_pretrained",
+    # table + static partition pruning) must hold at stress scale too,
+    # and the PQ/IVFPQ inline compositions ride along (7-12 s each at
+    # 20k vectors after the _spread/prescore work)
+    "emb_knn_ivfpq_pretrained", "emb_knn_pq", "emb_knn_ivfpq",
 ]
 
 
