@@ -155,3 +155,27 @@ def test_throughput_floor_gates():
     assert merge >= MERGE_STEADY_FLOOR_TX_S / scale, msg
     assert prep >= PREP_FLOOR_DOCS_S / scale, msg
     assert headline <= HEADLINE_CEILING_SEC * scale, msg
+
+
+@pytest.mark.sweep
+def test_merge_stress_harness_small_scale():
+    """The 10×-day stress harness itself is CI-checked at a small scale:
+    deterministic generation (receipts = Σ 1+i%3), the full merge +
+    three real sinks, and NO row loss — rows_out must equal n_unique
+    exactly (the r10 full run shipped 7.5 M/7.5 M; this gate keeps the
+    harness honest between full runs)."""
+    import json
+
+    out_json = "/tmp/spark_graft_merge_stress_selftest.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "merge_stress.py"),
+         "20000", out_json],
+        cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with open(out_json) as f:
+        r = json.load(f)
+    assert r["n_unique"] == 20000 and r["rows_out"] == 20000
+    assert r["n_receipts"] == sum(1 + i % 3 for i in range(20000))
+    assert r["plan_ops"].get("CartesianProduct", 0) == 0
+    assert r["plan_ops"].get("BroadcastNestedLoopJoin", 0) == 0
