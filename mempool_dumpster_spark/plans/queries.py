@@ -925,6 +925,70 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cohort_retention",
+    overflow=True,
+    oracle="""
+    WITH acts AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY cohort_day
+    )
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM acts a
+    JOIN firsts f USING (user_id)
+    JOIN sizes s ON s.cohort_day = f.cohort_day
+    GROUP BY f.cohort_day, day_offset, s.cohort_size
+    """,
+    doc="Cohort retention matrix: users are cohorted by first-active date "
+    "and each (cohort_day, day_offset) cell counts how many came back, "
+    "with retention as a fraction of cohort size — the canonical product-"
+    "analytics rollup (the reference has no cohort surface; this extends "
+    "its daily stats family, common/analyzer.go, to a self-derived "
+    "dimension). Scale shape: the (user, day) distinct and the per-user "
+    "min() both shuffle on user_id — AQE-coalesced, and the cohort join "
+    "is a user_id equi-join against the already-clustered activity set; "
+    "cohort sizes are a tiny broadcast (≤ |days| rows). Since activity is "
+    "pre-deduped per (user, day), the cell count is count(*), not "
+    "count(DISTINCT) — no second distinct shuffle. retention divides two "
+    "exact BIGINTs, so the DOUBLE is deterministic across engines.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    acts = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return (
+        acts.join(firsts, "user_id")
+        .join(F.broadcast(sizes), "cohort_day")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+            "cohort_size",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+@register(
     "events_distinct_users",
     overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""
