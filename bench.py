@@ -245,7 +245,16 @@ def _bench_text_microcost(spark, sf_dir: str) -> dict | None:
     distinct ids (~200k docs at sf0.1): at the raw sf row count these
     operators are dominated by fixed query-launch overhead and the number
     says nothing; at 200k the per-doc slope dominates. Median of 3 after
-    one priming run, forced through the noop sink."""
+    one priming run, forced through the noop sink.
+
+    Each op is ALSO timed at 1/5 the doc count so the report can separate
+    the marginal per-doc slope from fixed query-launch overhead:
+    `us_per_doc_marginal` = (t_big − t_small)/(n_big − n_small) is
+    scale-invariant and is the number to compare across rounds and sf
+    dirs — `us_per_doc` (total/n) reads 5-10× higher at sf0.01 than
+    sf0.1 purely because ~0.3-0.7 s of launch overhead amortizes over
+    20k docs instead of 200k (this exact misreading happened comparing
+    the r9 driver artifact against an sf0.01 run)."""
     from pyspark.sql import functions as F
 
     from mempool_dumpster_spark.ml.text import (
@@ -260,14 +269,20 @@ def _bench_text_microcost(spark, sf_dir: str) -> dict | None:
 
     try:
         docs0 = load_tables(spark, sf_dir, ["documents"])["documents"]
-        docs = (
-            docs0.crossJoin(spark.range(40).withColumnRenamed("id", "rep"))
-            .withColumn("doc_id", F.concat_ws("_", "doc_id", "rep"))
-            .drop("rep")
-            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-            .cache()
-        )
+
+        def replicated(reps: int):
+            return (
+                docs0.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+                .withColumn("doc_id", F.concat_ws("_", "doc_id", "rep"))
+                .drop("rep")
+                .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+                .cache()
+            )
+
+        docs = replicated(40)
+        docs_small = replicated(8)
         n = docs.count()
+        n_small = docs_small.count()
         ops = {
             "language_id": lambda d: language_id(d).select(
                 "doc_id", "predicted_lang"
@@ -279,21 +294,30 @@ def _bench_text_microcost(spark, sf_dir: str) -> dict | None:
             "boilerplate_ngrams": boilerplate_ngrams,
             "gopher_rules": gopher_rules,
         }
-        out: dict = {"n_docs": n}
-        for name, op in ops.items():
+        out: dict = {"n_docs": n, "n_docs_small": n_small}
+
+        def timed(frame, op, n_timed: int) -> float:
             runs = []
-            for i in range(4):
+            for i in range(n_timed + 1):
                 t0 = time.time()
-                op(docs).write.format("noop").mode("overwrite").save()
+                op(frame).write.format("noop").mode("overwrite").save()
                 if i:  # first pass primes
                     runs.append(time.time() - t0)
             runs.sort()
-            sec = runs[len(runs) // 2]
+            return runs[len(runs) // 2]
+
+        for name, op in ops.items():
+            sec = timed(docs, op, 3)
+            sec_small = timed(docs_small, op, 2)
+            slope = max(sec - sec_small, 0.0) / (n - n_small)
             out[name] = {
                 "sec": round(sec, 3),
                 "us_per_doc": round(sec / n * 1e6, 2),
+                "us_per_doc_marginal": round(slope * 1e6, 2),
+                "fixed_overhead_sec": round(max(sec_small - slope * n_small, 0.0), 3),
             }
         docs.unpersist()
+        docs_small.unpersist()
         return out
     except Exception:
         return None
