@@ -989,6 +989,65 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ohlc",
+    overflow=True,
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS bucket,
+           arg_min(value, epoch_us(ts)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, epoch_us(ts)) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+    doc="OHLC bar resample: per (event_type, 6-hour bucket) the opening "
+    "value (earliest event), high, low, closing value (latest event), "
+    "count, and total volume — the canonical timeseries downsample, and "
+    "the registry's only use of the argmin/argmax aggregate family "
+    "(min_by/max_by). Unlike the window-function first/last pattern "
+    "(first_source_counts), min_by carries one (value, key) pair of "
+    "state per group through a map-side partial aggregate — ONE shuffle "
+    "of |groups| rows and no sort, the 100 TB shape for 'first/last "
+    "per bucket' when the full row order isn't needed. Determinism: ts "
+    "is globally unique in the events table (checked at sf0.001/0.01/"
+    "0.1), so the argmin is tie-free; the 6-hour bucket is exact "
+    "integer division over epoch-µs (epoch_us handles TIMESTAMP_NTZ "
+    "identically in both engines); volume sums DECIMAL(18,2) before the "
+    "DOUBLE cast per the cross-engine float rule.",
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.functions.scalars import epoch_us
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    us = epoch_us(F.col("ts"))
+    return (
+        ev.groupBy(
+            "event_type",
+            # (us - us % d) / d, not us / d: the numerator is an exact
+            # multiple of d, so the double division is exactly the integer
+            # quotient — plain us / d could truncate to bucket-1 at an
+            # exact boundary if the double quotient rounds just below it.
+            ((us - us % F.lit(21_600_000_000)) / F.lit(21_600_000_000))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .agg(
+            F.min_by("value", us).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", us).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
+
+
+@register(
     "events_distinct_users",
     overflow=True,  # r9 slot rotation: redundant with a retained sibling; still oracle-checked via selfcheck
     oracle="""

@@ -52,6 +52,9 @@ GUARDED = [
     "shipments_in_order_window",
     "docs_decontaminate",
     "emb_semantic_dedup",
+    # round-10 late adds
+    "events_cohort_retention",
+    "events_ohlc",
     # round-6 extended TPC-H shapes (q22_idle_customers is deliberately
     # absent: its average-gate is a broadcast of a literal ONE-ROW aggregate
     # — the nested-loop is 1×n by construction, same class as emb_knn)
@@ -310,4 +313,33 @@ def test_registry_driver_contract_invariants():
         f"  dropped: {[n for n in expected if n not in first50]}\n"
         "If this swap is deliberate, update `expected` here with the "
         "rationale for each slot change."
+    )
+
+
+def test_ohlc_single_shuffle_and_tie_free_argmin(spark):
+    """events_ohlc is the registry's only argmin/argmax aggregate: its whole
+    point vs the window first/last pattern is ONE map-side-combined shuffle
+    of |groups| rows and no sort. Guard both halves of that contract:
+
+    - exactly one Exchange, and no Sort anywhere in the plan;
+    - the determinism assumption — min_by(value, ts) is only well-defined
+      because ts is globally unique in the events table. If a regenerated
+      testdata drop ever introduces duplicate timestamps, this fails before
+      the oracle can flake on tie order.
+    """
+    plan = _plan_of(spark, "events_ohlc")
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}:\n{plan}"
+    assert ") Sort" not in plan, f"argmin aggregate should not sort:\n{plan}"
+
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR, ["events"])["events"]
+    row = ev.agg(
+        F.count("*").alias("n"), F.countDistinct("ts").alias("d")
+    ).first()
+    assert row["n"] == row["d"], (
+        f"events.ts has {row['n'] - row['d']} duplicate timestamps — "
+        "min_by/max_by tie order is engine-dependent; add a tiebreak "
+        "column to events_ohlc before trusting its oracle"
     )
