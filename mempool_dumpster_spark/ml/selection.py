@@ -1,0 +1,242 @@
+"""Training-data SELECTION operators — deciding *which* documents and
+vectors feed the model once dedup/quality filters have run (no reference
+twin; part of the LLM-pipeline extension surface alongside ml/dedup,
+ml/decontam, ml/splits).
+
+Three selection modalities, each with a deterministic, oracle-checkable
+formulation:
+
+- `dsir_importance` — Data Selection via Importance Resampling (Xie et
+  al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): score every raw document by how much its hashed n-gram
+  feature mass looks like a small high-quality TARGET distribution, then
+  keep the top of the ranking. The published recipe scores docs by a
+  bigram log-likelihood ratio between two hashed-feature LMs; logs over
+  doubles drift in the last ulps across engines, so this implementation
+  keeps the same ordering signal as exact integer mass ratios (see
+  `dsir_importance` docstring) — one IEEE division per document.
+
+- `semantic_contamination` — embedding-space benchmark decontamination:
+  the cosine twin of ml/decontam's n-gram contamination. N-gram overlap
+  misses paraphrased benchmark leakage; max-cosine against the benchmark
+  set catches it (the recipe used for GSM8K/MATH paraphrase sweeps).
+
+- `cluster_coreset` — cluster-balanced coreset sampling: per cluster,
+  keep the m vectors closest to the cluster centroid. Balanced sampling
+  across clusters is the standard guard against majority-cluster
+  domination when subsampling an embedded corpus for curation.
+
+Scale shapes (the part that matters at 100 TB):
+
+- DSIR's bucket-count table is bounded by `n_buckets` (default 4096)
+  regardless of corpus size — it BROADCASTS, the corpus is never
+  shuffled by the stats join, and the only corpus-keyed shuffle is the
+  per-doc aggregate. Train-once/apply-many: the bucket table is the
+  persistable artifact.
+- Semantic decontamination broadcasts the benchmark side (benchmark
+  suites are MBs); the corpus side is one map-side scan + per-id max.
+- The coreset's centroid table is n_clusters × dim values — broadcast;
+  distances are computed in the same pass that scans the vectors, and
+  the per-cluster top-m is one window over a cluster-keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.ml.dedup import shingles
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic engine-portable feature bucket in [0, n_buckets):
+    first 6 hex chars of md5 as an integer, mod n_buckets — the same
+    md5-prefix trick as ml.splits.split_bucket, sized so any practical
+    bucket count (DSIR's paper uses 10^4) divides evenly."""
+    h = F.conv(F.substring(F.md5(col), 1, 6), 16, 10)
+    return (h.cast("bigint") % n_buckets).alias("bucket")
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target_pred: Column,
+    n: int = 2,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance score against a target distribution.
+
+    `target_pred` is a boolean Column selecting the target (high-quality
+    proxy) subset of `corpus` — DSIR fits the target feature distribution
+    from it and the raw distribution from the whole corpus.
+
+    Features are hashed word n-gram INSTANCES (n=2 per the paper),
+    bucketed by md5 prefix mod `n_buckets`. The importance score is
+
+        importance = t_mass / r_mass
+
+    where t_mass = Σ over the doc's gram instances of the TARGET count of
+    that gram's bucket, and r_mass = the same sum over RAW counts. Both
+    masses are exact BIGINTs (r_mass ≥ n_grams ≥ 1 since the doc's own
+    instances are in the raw counts), so the one IEEE division yields
+    bit-identical doubles in every engine — same ranking signal as the
+    paper's log-ratio (monotone in the per-bucket target/raw rate), none
+    of the cross-engine log drift.
+
+    Plan: one corpus scan explodes gram instances; the bucket-stats
+    aggregate is map-side-combined down to ≤ n_buckets rows and
+    BROADCAST back; the per-doc fold is the only corpus-keyed shuffle.
+    Docs with < n words have no grams and are omitted (they carry no
+    feature evidence — rank them by a length filter instead).
+    """
+    grams = corpus.select(
+        F.col(id_col),
+        target_pred.alias("__is_t"),
+        F.explode(shingles(text_col, n)).alias("gram"),
+    ).select(id_col, "__is_t", _bucket(F.col("gram"), n_buckets))
+    stats = grams.groupBy("bucket").agg(
+        F.count("*").alias("__c_r"),
+        F.count(F.when(F.col("__is_t"), 1)).alias("__c_t"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(stats), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("__c_t").alias("t_mass"),
+            F.sum("__c_r").alias("r_mass"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "t_mass",
+        "r_mass",
+        (F.col("t_mass").cast("double") / F.col("r_mass").cast("double")).alias(
+            "importance"
+        ),
+    )
+
+
+def dsir_top_k(
+    corpus: DataFrame,
+    target_pred: Column,
+    k: int,
+    n: int = 2,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k selection by DSIR importance (importance desc, id asc —
+    fully deterministic). The global top-k is a rank over an unpartitioned
+    window; at corpus scale swap in a per-partition top-k + merge
+    (`F.row_number` after `repartitionByRange` on the score) — the score
+    artifact itself is what `dsir_importance` hands to the pipeline."""
+    scored = dsir_importance(
+        corpus, target_pred, n=n, n_buckets=n_buckets, id_col=id_col, text_col=text_col
+    )
+    w = Window.orderBy(F.col("importance").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _dot(u, v) -> Column:
+    # emb_knn's exact left-fold — index-order summation, identical in any
+    # engine that folds lists sequentially
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per corpus vector: max cosine similarity (rounded to 4 decimals
+    for cross-engine determinism, as everywhere in this package) against
+    any benchmark vector, plus a 0/1 `contaminated` flag at `threshold`.
+
+    The benchmark side is broadcast — the corpus is scanned once, scored
+    map-side against every benchmark vector, and reduced by a per-id max
+    (identical doubles → order-independent). This is the embedding twin
+    of ml.decontam.contamination and shares its scale contract: cost is
+    one corpus scan × |benchmark|, no corpus shuffle before the max."""
+    prep = lambda df, idc, ec, nc: df.select(
+        F.col(id_col).alias(idc),
+        F.transform(vec_col, lambda x: x.cast("double")).alias(ec),
+    ).withColumn(nc, F.sqrt(_dot(F.col(ec), F.col(ec))))
+    c = prep(corpus, "vec_id", "c_emb", "c_nrm")
+    b = prep(benchmark, "bench_id", "b_emb", "b_nrm")
+    sims = c.crossJoin(F.broadcast(b)).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("c_emb"), F.col("b_emb")) / (F.col("c_nrm") * F.col("b_nrm")),
+            4,
+        ).alias("sim_r"),
+    )
+    return sims.groupBy("vec_id").agg(
+        F.max("sim_r").alias("max_sim_r"),
+        (F.max("sim_r") >= threshold).cast("bigint").alias("contaminated"),
+    )
+
+
+def cluster_coreset(
+    vectors: DataFrame,
+    m: int,
+    dim: int,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced coreset: per cluster, the m vectors closest to
+    the cluster centroid (euclidean, rounded to 4 decimals, tiebreak id).
+
+    Centroids are the per-cluster componentwise means, computed with the
+    package's DECIMAL-exact summation idiom (cast each component to
+    DECIMAL(20,10), sum exactly — order-independent — then one double
+    division per component), so Spark's parallel partial aggregation and
+    any oracle engine agree bit-for-bit. The squared deviations are cast
+    to DECIMAL(24,10) before the per-vector sum for the same reason: the
+    64-term distance fold must not depend on join row order.
+
+    Plan: the dim-explode (posexplode) feeds one map-side-combined
+    centroid aggregate bounded by n_clusters × dim rows — BROADCAST back
+    onto the same exploded frame; the per-vector distance sum is the one
+    corpus-keyed shuffle, and the per-cluster top-m is a window over the
+    (tiny) cluster key. Any clustering can feed `cluster_col` — the
+    registered query uses the corpus labels; ml.similarity's k-means
+    assignment plugs in unchanged."""
+    dims = vectors.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "i", "x"
+        ),
+    )
+    cent = dims.groupBy("cluster", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    dist = (
+        dims.join(F.broadcast(cent), ["cluster", "i"])
+        .groupBy("cluster", "vec_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(sq.cast("decimal(24,10)")).cast("double")), 4
+            ).alias("dist_r")
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("dist_r"), F.col("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= m)
+        .select("cluster", "vec_id", "dist_r", "rank")
+    )

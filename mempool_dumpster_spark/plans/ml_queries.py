@@ -1743,3 +1743,158 @@ def audio_clip_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "sim_r", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data selection (ml.selection): DSIR importance resampling,
+# semantic decontamination, cluster-balanced coreset
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of ml.selection._bucket: first 6 hex chars of md5(gram) as an
+# integer (nibble-by-nibble strpos math, same trick as docs_simhash), mod
+# the bucket count. Spark side is conv(substring(md5, 1, 6), 16, 10).
+_DSIR_BUCKET_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(gram), {c + 1}, 1)) - 1) * {16 ** (5 - c)}"
+        for c in range(6)
+    )
+    + ") % 4096"
+)
+
+
+@register(
+    "docs_dsir_sample",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(CASE WHEN len(w) >= 2 THEN
+                      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE [] END) AS gram
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    ),
+    b AS (SELECT doc_id, is_t, {_DSIR_BUCKET_DUCK} AS bucket FROM g),
+    stats AS (
+      SELECT bucket, count(*) AS c_r,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+      FROM b GROUP BY bucket
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(c_t) AS BIGINT) AS t_mass,
+             CAST(sum(c_r) AS BIGINT) AS r_mass
+      FROM b JOIN stats USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, t_mass, r_mass,
+           CAST(t_mass AS DOUBLE) / CAST(r_mass AS DOUBLE) AS importance,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY CAST(t_mass AS DOUBLE) / CAST(r_mass AS DOUBLE) DESC,
+                     doc_id) AS rank
+          FROM per)
+    WHERE rank <= 50
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="DSIR importance resampling (ml.selection.dsir_top_k — Xie et al. "
+    "2023): rank every document by how much its hashed-bigram feature mass "
+    "resembles the target distribution (here lang='en' as the high-quality "
+    "proxy) vs the raw corpus, keep the top 50. Importance = t_mass/r_mass "
+    "over exact BIGINT bucket-count sums (md5-prefix buckets mod 4096, "
+    "engine-portable) — the same ordering signal as the paper's hashed-LM "
+    "log-ratio without cross-engine log drift. Plan: one gram explode, a "
+    "≤4096-row broadcast stats artifact (the train-once/apply-many half), "
+    "one per-doc shuffle. The oracle replays bucket hashing, both count "
+    "tables, and the ranking gram-for-gram.",
+)
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.selection import dsir_top_k
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return dsir_top_k(docs, F.col("lang") == "en", k=50, n_buckets=4096)
+
+
+@register(
+    "emb_semantic_decontaminate",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    b AS (SELECT * FROM n WHERE vec_id < 25),
+    c AS (SELECT * FROM n WHERE vec_id >= 25),
+    m AS (
+      SELECT c.vec_id,
+             max(round(list_dot_product(c.emb, b.emb) / (c.nrm * b.nrm), 4))
+               AS max_sim_r
+      FROM c CROSS JOIN b GROUP BY c.vec_id
+    )
+    SELECT vec_id, max_sim_r,
+           CAST(max_sim_r >= 0.35 AS BIGINT) AS contaminated
+    FROM m
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Embedding-space benchmark decontamination "
+    "(ml.selection.semantic_contamination) — the cosine twin of the n-gram "
+    "docs_decontaminate entry: per corpus vector, the max 4-decimal-rounded "
+    "cosine against a 25-vector benchmark set and a 0/1 flag at 0.35. "
+    "N-gram overlap misses paraphrased benchmark leakage; max-cosine "
+    "catches it. The benchmark side broadcasts (suites are MBs at any "
+    "corpus scale); the corpus is one map-side scan + per-id max — no "
+    "corpus shuffle before the reduce.",
+)
+def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.selection import semantic_contamination
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return semantic_contamination(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        threshold=0.35,
+    )
+
+
+@register(
+    "emb_cluster_coreset",
+    oracle="""
+    WITH dims AS (
+      SELECT label AS cluster, vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    cent AS (
+      SELECT cluster, i,
+             CAST(sum(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS c
+      FROM dims GROUP BY cluster, i
+    ),
+    dist AS (
+      SELECT d.cluster, d.vec_id,
+             round(sqrt(CAST(sum(CAST((d.x - c.c) * (d.x - c.c)
+                                       AS DECIMAL(24,10))) AS DOUBLE)), 4)
+               AS dist_r
+      FROM dims d JOIN cent c ON c.cluster = d.cluster AND c.i = d.i
+      GROUP BY d.cluster, d.vec_id
+    )
+    SELECT cluster, vec_id, dist_r, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY cluster ORDER BY dist_r, vec_id) AS rank
+          FROM dist)
+    WHERE rank <= 10
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Cluster-balanced coreset sampling (ml.selection.cluster_coreset): "
+    "per cluster, the 10 vectors closest to the cluster centroid — the "
+    "standard guard against majority-cluster domination when subsampling "
+    "an embedded corpus for curation. Centroids use the package's "
+    "DECIMAL-exact mean idiom and the 64-term distance fold sums "
+    "DECIMAL(24,10) squared deviations, so Spark's parallel partials and "
+    "the oracle agree bit-for-bit regardless of row order; distances are "
+    "rounded to 4 decimals with vec_id tiebreak. Plan: posexplode → "
+    "n_clusters×dim broadcast centroid artifact → one corpus-keyed "
+    "distance shuffle → per-cluster window. Any clustering plugs into "
+    "cluster_col — here the corpus labels; ml.similarity k-means "
+    "assignment works unchanged.",
+)
+def emb_cluster_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.selection import cluster_coreset
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return cluster_coreset(emb, m=10, dim=64)

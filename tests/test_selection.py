@@ -1,0 +1,113 @@
+"""Unit tests for ml.selection — DSIR importance resampling, semantic
+decontamination, cluster-balanced coreset (semantics beyond the DuckDB
+oracle parity the selfcheck sweep already enforces)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mempool_dumpster_spark.ml.selection import (
+    cluster_coreset,
+    dsir_importance,
+    dsir_top_k,
+    semantic_contamination,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # Target docs (is_t) share the distinctive bigrams of "alpha beta gamma";
+    # doc 10 is made of those bigrams, doc 11 of never-in-target bigrams,
+    # doc 12 mixes both, doc 13 is a single word (no bigram evidence).
+    rows = [
+        (0, "alpha beta gamma alpha beta", "t"),
+        (1, "alpha beta gamma delta", "t"),
+        (2, "beta gamma alpha beta", "t"),
+        (10, "alpha beta gamma", "r"),
+        (11, "zig zag zog zig zag", "r"),
+        (12, "alpha beta zig zag", "r"),
+        (13, "solo", "r"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, grp string")
+
+
+def test_dsir_importance_orders_target_like_docs_first(corpus):
+    out = dsir_importance(corpus, F.col("grp") == "t", n_buckets=4096)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # no bigrams -> no row (single-word doc carries no feature evidence)
+    assert 13 not in got
+    # every doc's raw mass covers at least its own gram instances
+    for r in got.values():
+        assert r["r_mass"] >= r["n_grams"] >= 1
+        assert 0.0 <= r["importance"] <= 1.0
+    # target-like > mixed > target-free
+    assert got[10]["importance"] > got[12]["importance"] > got[11]["importance"]
+    # doc 11's bigrams never occur in a target doc: only its own instances
+    # (and any md5-bucket collisions) contribute, so t_mass must be 0 here
+    assert got[11]["t_mass"] == 0 and got[11]["importance"] == 0.0
+
+
+def test_dsir_top_k_rank_is_deterministic(corpus):
+    out = dsir_top_k(corpus, F.col("grp") == "t", k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    ordered = sorted(
+        out, key=lambda r: (-r["importance"], r["doc_id"])
+    )
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in ordered]
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    # benchmark = axis vectors e0, e1; corpus: 100 == e0 (leaked copy),
+    # 101 orthogonal to both, 102 at cos 0.6 from e0
+    dim = 4
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(dim)]
+    rows = [
+        (0, e(0)),
+        (1, e(1)),
+        (100, e(0)),
+        (101, e(2)),
+        (102, [0.6, 0.0, 0.8, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_contamination_flags_leaked_vectors(planted_vectors):
+    bench = planted_vectors.filter(F.col("vec_id") < 100)
+    corp = planted_vectors.filter(F.col("vec_id") >= 100)
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_contamination(corp, bench, threshold=0.5).collect()
+    }
+    assert got[100]["max_sim_r"] == 1.0 and got[100]["contaminated"] == 1
+    assert got[101]["max_sim_r"] == 0.0 and got[101]["contaminated"] == 0
+    assert got[102]["max_sim_r"] == 0.6 and got[102]["contaminated"] == 1
+
+
+def test_cluster_coreset_picks_centroid_neighbors(spark):
+    # cluster 0: three points on a line, centroid at x=1 -> nearest is the
+    # middle point; cluster 1: two coincident points, both dist 0, tiebreak id
+    rows = [
+        (0, 0, [0.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [2.0, 0.0]),
+        (10, 1, [5.0, 5.0]),
+        (11, 1, [5.0, 5.0]),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = cluster_coreset(vecs, m=2, dim=2).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert sorted(by_cluster) == [0, 1]
+    c0 = sorted(by_cluster[0], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in c0] == [1, 0]  # center first, tiebreak id
+    assert c0[0]["dist_r"] == 0.0 and c0[1]["dist_r"] == 1.0
+    c1 = sorted(by_cluster[1], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in c1] == [10, 11]
+    assert all(r["dist_r"] == 0.0 for r in c1)
+    # balanced: never more than m per cluster
+    assert all(len(v) <= 2 for v in by_cluster.values())
