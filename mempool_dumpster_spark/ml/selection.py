@@ -99,13 +99,24 @@ def dsir_importance(
         F.count("*").alias("__c_r"),
         F.count(F.when(F.col("__is_t"), 1)).alias("__c_t"),
     )
+    return _score_against_stats(grams, stats, id_col)
+
+
+def _score_against_stats(
+    grams: DataFrame, stats: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared apply step: fold broadcast (bucket, __c_r, __c_t) stats over
+    a (id, bucket) gram-instance frame into per-doc masses + importance.
+    Buckets absent from the stats table (possible only in pretrained
+    apply, never in-corpus training where every instance counts itself)
+    contribute zero mass; importance is 0.0 when no known raw mass."""
     per_doc = (
-        grams.join(F.broadcast(stats), "bucket")
+        grams.join(F.broadcast(stats), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum("__c_t").alias("t_mass"),
-            F.sum("__c_r").alias("r_mass"),
+            F.sum(F.coalesce("__c_t", F.lit(0))).alias("t_mass"),
+            F.sum(F.coalesce("__c_r", F.lit(0))).alias("r_mass"),
         )
     )
     return per_doc.select(
@@ -113,10 +124,91 @@ def dsir_importance(
         "n_grams",
         "t_mass",
         "r_mass",
-        (F.col("t_mass").cast("double") / F.col("r_mass").cast("double")).alias(
-            "importance"
-        ),
+        F.when(
+            F.col("r_mass") > 0,
+            F.col("t_mass").cast("double") / F.col("r_mass").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("importance"),
     )
+
+
+def dsir_bucket_stats(
+    corpus: DataFrame,
+    target_pred: Column,
+    n: int = 2,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the DSIR artifact alone: (bucket, __c_r, __c_t) — raw and
+    target gram-instance counts per hashed bucket, ≤ n_buckets rows.
+    This is the persistable train-once half (`dsir_stats_to_json`);
+    `dsir_apply` scores any later corpus against it without re-reading
+    the training corpus — the same artifact contract as the PQ/IVF
+    codebook lifecycle (ml.similarity)."""
+    return (
+        corpus.select(
+            target_pred.alias("__is_t"),
+            F.explode(shingles(text_col, n)).alias("gram"),
+        )
+        .select("__is_t", _bucket(F.col("gram"), n_buckets))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("__c_r"),
+            F.count(F.when(F.col("__is_t"), 1)).alias("__c_t"),
+        )
+    )
+
+
+def dsir_stats_to_json(stats: DataFrame, n: int, n_buckets: int) -> str:
+    """Serialize a `dsir_bucket_stats` frame. Counts are exact integers,
+    so the round-trip is trivially bit-for-bit; n and n_buckets ride
+    along because scores are meaningless against a differently-hashed
+    or differently-shingled gram stream."""
+    import json
+
+    rows = {int(r["bucket"]): [int(r["__c_r"]), int(r["__c_t"])] for r in stats.collect()}
+    return json.dumps(
+        {
+            "format": "dsir-stats-v1",
+            "n": n,
+            "n_buckets": n_buckets,
+            "buckets": {str(k): v for k, v in sorted(rows.items())},
+        }
+    )
+
+
+def dsir_stats_from_json(spark, payload: str) -> tuple[DataFrame, int, int]:
+    """Deserialize back to (stats frame, n, n_buckets)."""
+    import json
+
+    obj = json.loads(payload)
+    if obj.get("format") != "dsir-stats-v1":
+        raise ValueError(f"not a DSIR stats payload: {obj.get('format')!r}")
+    rows = [
+        (int(b), int(cr), int(ct)) for b, (cr, ct) in obj["buckets"].items()
+    ]
+    df = spark.createDataFrame(rows, "bucket bigint, __c_r bigint, __c_t bigint")
+    return df, int(obj["n"]), int(obj["n_buckets"])
+
+
+def dsir_apply(
+    corpus: DataFrame,
+    stats: DataFrame,
+    n: int = 2,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a NEW corpus against a pretrained DSIR stats artifact —
+    the serve-many half. Same output schema as `dsir_importance`; grams
+    hashing into buckets the artifact never saw contribute zero mass
+    (importance 0.0 when nothing matches). One corpus scan + the ≤
+    n_buckets-row broadcast; the training corpus is never re-read."""
+    grams = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
+    ).select(id_col, _bucket(F.col("gram"), n_buckets))
+    return _score_against_stats(grams, stats, id_col)
 
 
 def dsir_top_k(

@@ -111,3 +111,40 @@ def test_cluster_coreset_picks_centroid_neighbors(spark):
     assert all(r["dist_r"] == 0.0 for r in c1)
     # balanced: never more than m per cluster
     assert all(len(v) <= 2 for v in by_cluster.values())
+
+
+def test_dsir_artifact_roundtrip_and_apply_parity(spark, corpus):
+    from mempool_dumpster_spark.ml.selection import (
+        dsir_apply,
+        dsir_bucket_stats,
+        dsir_stats_from_json,
+        dsir_stats_to_json,
+    )
+
+    stats = dsir_bucket_stats(corpus, F.col("grp") == "t", n_buckets=4096)
+    payload = dsir_stats_to_json(stats, n=2, n_buckets=4096)
+    # bit-for-bit: serializing the deserialized frame yields the same JSON
+    back, n, n_buckets = dsir_stats_from_json(spark, payload)
+    assert (n, n_buckets) == (2, 4096)
+    assert dsir_stats_to_json(back, n, n_buckets) == payload
+
+    # scoring the training corpus with its own artifact == inline training
+    inline = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_importance(corpus, F.col("grp") == "t").collect()
+    }
+    applied = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_apply(corpus, back, n=n, n_buckets=n_buckets).collect()
+    }
+    assert applied == inline
+
+    # unseen grams carry no mass: a doc of never-trained words scores 0.0
+    new = spark.createDataFrame(
+        [(99, "qqq www eee rrr")], "doc_id long, text string"
+    )
+    got = dsir_apply(new, back).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["t_mass"] == 0 and r["r_mass"] == 0 and r["importance"] == 0.0
+    assert r["n_grams"] == 3
