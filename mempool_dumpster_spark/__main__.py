@@ -199,6 +199,12 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
             "val": parts[0] + parts[1],
             "test": 100,
         }
+    if (args.dsir_target is None) != (args.dsir_keep is None):
+        print("--dsir-target and --dsir-keep must be given together")
+        return 2
+    if args.dsir_keep is not None and args.dsir_keep < 1:
+        print(f"--dsir-keep must be positive, got {args.dsir_keep}")
+        return 2
     cfg = PrepConfig(
         gopher=not args.no_gopher,
         exact=not args.no_exact_dedup,
@@ -206,6 +212,8 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
         decontaminate=benchmark is not None,
         redact=args.redact_pii,
         boundaries=bounds,
+        dsir_target=args.dsir_target,
+        dsir_keep=args.dsir_keep,
     )
     if args.pack_tokens is not None and args.pack_tokens < 1:
         print(f"--pack-tokens must be positive, got {args.pack_tokens}")
@@ -608,6 +616,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--bucket-count", type=int, default=32,
         help="bucket count for --bucketed (match it across the dataset "
         "family you join against)",
+    )
+    t.add_argument(
+        "--dsir-target", default=None, metavar="SQL_EXPR",
+        help="DSIR selection stage: SQL boolean expression over the "
+        "document columns selecting the high-quality target subset "
+        "(e.g. \"lang = 'en'\"); requires --dsir-keep",
+    )
+    t.add_argument(
+        "--dsir-keep", type=int, default=None, metavar="K",
+        help="keep only the K docs ranking highest by DSIR importance "
+        "against --dsir-target (runs after dedup/decontamination)",
     )
     t.add_argument("--no-gopher", action="store_true", help="skip quality gates")
     t.add_argument("--no-exact-dedup", action="store_true")

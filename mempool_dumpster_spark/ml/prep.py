@@ -51,6 +51,13 @@ class PrepConfig:
     shingle_k: int = 3
     decontam_n: int = 5
     boundaries: dict[str, int] | None = None  # assign_split default 90/5/5
+    # DSIR selection stage (ml.selection): when both are set, keep only
+    # the dsir_keep docs ranking highest by importance against the
+    # target subset selected by the SQL boolean expression dsir_target
+    # (e.g. "lang = 'en'"). Runs AFTER dedup/decontamination so the
+    # importance ranking isn't spent on rows later gates would drop.
+    dsir_target: str | None = None
+    dsir_keep: int | None = None
 
 
 def near_dup_keeplist(
@@ -111,6 +118,17 @@ def prep_corpus(
             .select(id_col)
         )
         out = out.join(dirty, id_col, "left_anti")
+    if cfg.dsir_target is not None and cfg.dsir_keep is not None:
+        from mempool_dumpster_spark.ml.selection import dsir_top_k
+
+        keep = dsir_top_k(
+            out,
+            F.expr(cfg.dsir_target),
+            k=cfg.dsir_keep,
+            id_col=id_col,
+            text_col=text_col,
+        ).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
     if cfg.redact:
         out = redact_pii(out, text_col=text_col)
     return assign_split(out, id_col=id_col, boundaries=cfg.boundaries)

@@ -148,3 +148,36 @@ def test_dsir_artifact_roundtrip_and_apply_parity(spark, corpus):
     r = got[0].asDict()
     assert r["t_mass"] == 0 and r["r_mass"] == 0 and r["importance"] == 0.0
     assert r["n_grams"] == 3
+
+
+def test_prep_corpus_dsir_stage(spark, corpus):
+    from mempool_dumpster_spark.ml.prep import PrepConfig, prep_corpus
+
+    # disable the other gates so the DSIR stage's effect is isolated;
+    # grp serves as the target predicate column
+    cfg = PrepConfig(
+        gopher=False,
+        exact=False,
+        near_dup=False,
+        dsir_target="grp = 't'",
+        dsir_keep=3,
+    )
+    kept = prep_corpus(corpus, config=cfg)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    expected = sorted(
+        r["doc_id"]
+        for r in dsir_top_k(corpus, F.col("grp") == "t", k=3).collect()
+    )
+    assert ids == expected
+    assert "split" in kept.columns  # selection composes with the split stage
+
+
+def test_prep_cli_rejects_half_dsir_flags(tmp_path, corpus):
+    from mempool_dumpster_spark.__main__ import build_parser, cmd_prep
+
+    src = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(src)
+    args = build_parser().parse_args(
+        ["prep", src, "--out", str(tmp_path / "out"), "--dsir-keep", "3"]
+    )
+    assert cmd_prep(args, spark=corpus.sparkSession) == 2
