@@ -65,6 +65,10 @@ STRESS_QUERIES = [
     # and the PQ/IVFPQ inline compositions ride along (7-12 s each at
     # 20k vectors after the _spread/prescore work)
     "emb_knn_ivfpq_pretrained", "emb_knn_pq", "emb_knn_ivfpq",
+    # r10 selection family: DSIR's corpus-wide gram explode ×2 and the
+    # two embedding-selection entries are exact-oracle even at 10×
+    # (19.1/4.3/5.9 s at 50k docs / 20k vectors on first run)
+    "docs_dsir_sample", "emb_semantic_decontaminate", "emb_cluster_coreset",
 ]
 
 
