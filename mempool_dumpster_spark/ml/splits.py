@@ -55,3 +55,36 @@ def assign_split(
         cond = b < bound
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(out_col, expr)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    boundaries: dict[str, int] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Split assignment where every near-duplicate cluster lands in ONE
+    split. Per-doc content-addressed splitting (``assign_split``) leaks
+    evaluation data when a near-duplicate of a test doc hashes into
+    train — the classic silent-contamination path. Here the hash key is
+    the duplicate-component head (``component_id`` from
+    ml.dedup.duplicate_components) for clustered docs and the doc's own
+    id for untouched singletons, so duplicates can never straddle a
+    split boundary, while singletons keep exactly the assignment
+    ``assign_split`` would give them.
+
+    Adds ``split_key`` (the id actually hashed) beside ``out_col``.
+    Scale shape: one equi-join of the corpus against the components
+    frame (only docs that belong to some cluster — typically a small
+    fraction; AQE broadcasts it when it fits) and the same shuffle-free
+    bucket projection as ``assign_split``."""
+    comp = components.select(
+        F.col(id_col), F.col("component_id").alias("__head")
+    )
+    keyed = docs.join(comp, id_col, "left").withColumn(
+        "split_key", F.coalesce("__head", F.col(id_col))
+    ).drop("__head")
+    return assign_split(
+        keyed, id_col="split_key", boundaries=boundaries, out_col=out_col
+    )

@@ -1898,3 +1898,50 @@ def emb_cluster_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return cluster_coreset(emb, m=10, dim=64)
+
+
+def _leakage_safe_split_oracle() -> str:
+    bucket = (
+        "('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::UBIGINT % 100"
+    )
+    return (
+        _dup_components_cte()
+        + f""",
+    comp AS (
+      SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN {bucket} < 90 THEN 'train'
+                WHEN {bucket} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """
+    )
+
+
+@register(
+    "docs_leakage_safe_split",
+    oracle=_leakage_safe_split_oracle(),
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Leakage-safe train/val/test split (ml.splits.leakage_safe_split): "
+    "the content-addressed 90/5/5 assignment of docs_split_assign, but "
+    "hashed on the near-duplicate component head (MinHash-LSH pairs → "
+    "connected components) so a near-duplicate of a test doc can never "
+    "land in train — the classic silent eval-contamination path of "
+    "per-doc splitting. Singletons keep exactly their assign_split "
+    "assignment (coalesce to own id). The oracle replays the full chain: "
+    "recursive-CTE components + the md5-prefix bucket, per doc. One "
+    "corpus-keyed equi-join + a shuffle-free bucket projection on top of "
+    "the dedup pipeline the corpus already runs.",
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.splits import leakage_safe_split
+    from mempool_dumpster_spark.plans.text_queries import docs_minhash_lsh_pairs
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    comp = duplicate_components(docs_minhash_lsh_pairs(spark, sf_dir))
+    return leakage_safe_split(docs, comp).select("doc_id", "split_key", "split")

@@ -181,3 +181,27 @@ def test_prep_cli_rejects_half_dsir_flags(tmp_path, corpus):
         ["prep", src, "--out", str(tmp_path / "out"), "--dsir-keep", "3"]
     )
     assert cmd_prep(args, spark=corpus.sparkSession) == 2
+
+
+def test_leakage_safe_split_clusters_share_split(spark):
+    from mempool_dumpster_spark.ml.splits import assign_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # components: {0,7,13} headed by 0, {20,21} headed by 20
+    comp = spark.createDataFrame(
+        [(0, 0), (7, 0), (13, 0), (20, 20), (21, 20)],
+        "doc_id long, component_id long",
+    )
+    out = {r["doc_id"]: r.asDict() for r in leakage_safe_split(docs, comp).collect()}
+    assert {out[i]["split"] for i in (0, 7, 13)} == {out[0]["split"]}
+    assert out[20]["split"] == out[21]["split"]
+    assert all(out[i]["split_key"] == 0 for i in (0, 7, 13))
+    # singletons keep exactly the per-doc content-addressed assignment
+    plain = {
+        r["doc_id"]: r["split"] for r in assign_split(docs).collect()
+    }
+    for i in out:
+        if i not in (0, 7, 13, 20, 21):
+            assert out[i]["split"] == plain[i] and out[i]["split_key"] == i
