@@ -1945,3 +1945,81 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     comp = duplicate_components(docs_minhash_lsh_pairs(spark, sf_dir))
     return leakage_safe_split(docs, comp).select("doc_id", "split_key", "split")
+
+
+@register(
+    "docs_corpus_card",
+    oracle="""
+    WITH base AS (
+      SELECT lang, source,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) AS n_chr,
+             md5(text) AS h
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM base),
+    g AS (
+      SELECT CASE WHEN grouping(lang) = 0 THEN 'lang'
+                  WHEN grouping(source) = 0 THEN 'source'
+                  ELSE 'total' END AS section,
+             coalesce(lang, source, 'all') AS key,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chr) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts
+      FROM base GROUP BY GROUPING SETS ((lang), (source), ())
+    )
+    SELECT section, key, n_docs, n_tokens, n_chars, n_unique_texts,
+           CAST((n_docs * 10000) // tot.n AS BIGINT) AS share_bp
+    FROM g, tot
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Corpus card (data-statement summary): per-language, per-source, "
+    "and total doc/token/char counts, distinct-text counts (exact dup "
+    "rate), and floor-rounded basis-point doc shares — the documents-table "
+    "analogue of the reference's summary report sink (common/analyzer.go "
+    "renders the mempool equivalent). ONE corpus pass via GROUPING SETS "
+    "((lang),(source),()) — Spark expands the sets map-side and "
+    "aggregates once instead of three scans; all outputs are exact "
+    "integers (share in basis points via integer division) so the "
+    "cross-engine hash is exact with zero float discipline needed.",
+)
+def docs_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.dedup import words
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = docs.select(
+        "lang",
+        "source",
+        F.size(words("text")).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chr"),
+        F.md5("text").alias("h"),
+    )
+    g = base.groupingSets(
+        [["lang"], ["source"], []], "lang", "source"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chr").alias("n_chars"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        F.grouping("lang").alias("__gl"),
+        F.grouping("source").alias("__gs"),
+    )
+    total = base.select(F.count("*").alias("__n"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            F.when(F.col("__gl") == 0, "lang")
+            .when(F.col("__gs") == 0, "source")
+            .otherwise("total")
+            .alias("section"),
+            F.coalesce("lang", "source", F.lit("all")).alias("key"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_unique_texts",
+            # `div` = exact BIGINT floor division, matching DuckDB's `//`
+            # (a double `/` + cast could round x.999… up at scale)
+            F.expr("(n_docs * 10000) div __n").alias("share_bp"),
+        )
+    )

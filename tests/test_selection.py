@@ -205,3 +205,24 @@ def test_leakage_safe_split_clusters_share_split(spark):
     for i in out:
         if i not in (0, 7, 13, 20, 21):
             assert out[i]["split"] == plain[i] and out[i]["split_key"] == i
+
+
+def test_corpus_card_sections_consistent(spark):
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    out = all_queries()["docs_corpus_card"](spark, "/root/testdata/sf0.001")
+    rows = [r.asDict() for r in out.collect()]
+    by_sec: dict[str, list] = {}
+    for r in rows:
+        by_sec.setdefault(r["section"], []).append(r)
+    assert set(by_sec) == {"lang", "source", "total"}
+    total = by_sec["total"][0]
+    assert total["key"] == "all"
+    # each section partitions the corpus: doc/token sums equal the total
+    for sec in ("lang", "source"):
+        assert sum(r["n_docs"] for r in by_sec[sec]) == total["n_docs"]
+        assert sum(r["n_tokens"] for r in by_sec[sec]) == total["n_tokens"]
+        # floor-rounded shares never exceed 10000 in aggregate
+        assert sum(r["share_bp"] for r in by_sec[sec]) <= 10000
+    assert total["share_bp"] == 10000
+    assert total["n_unique_texts"] <= total["n_docs"]
