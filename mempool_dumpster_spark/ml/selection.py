@@ -84,11 +84,15 @@ def dsir_importance(
     paper's log-ratio (monotone in the per-bucket target/raw rate), none
     of the cross-engine log drift.
 
-    Plan: one corpus scan explodes gram instances; the bucket-stats
-    aggregate is map-side-combined down to ≤ n_buckets rows and
-    BROADCAST back; the per-doc fold is the only corpus-keyed shuffle.
-    Docs with < n words have no grams and are omitted (they carry no
-    feature evidence — rank them by a length filter instead).
+    Plan: the bucket-stats aggregate scans the gram stream once
+    (map-side-combined down to ≤ n_buckets rows, BROADCAST back); the
+    scoring side re-derives the gram stream in a second corpus scan —
+    the canonical train/apply split. At corpus scale, train once with
+    `dsir_bucket_stats`, persist the artifact, and `dsir_apply` is a
+    single scan per serving corpus. The per-doc fold is the only
+    corpus-keyed shuffle either way. Docs with < n words have no grams
+    and are omitted (they carry no feature evidence — rank them by a
+    length filter instead).
     """
     grams = corpus.select(
         F.col(id_col),
@@ -331,4 +335,45 @@ def cluster_coreset(
         dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= m)
         .select("cluster", "vec_id", "dist_r", "rank")
+    )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled sampling weights per group — the multilingual /
+    multi-source mixing primitive (temperature sampling as in mT5;
+    UniMax is the budget-capped refinement): weight_i ∝ n_i^alpha, so
+    alpha=1 reproduces natural proportions, alpha→0 approaches uniform,
+    and 0<alpha<1 up-samples small groups without letting giants drown
+    them. Emits per group: n_docs, the normalized weight, and the
+    floor-rounded document quota out of `budget`.
+
+    Cross-engine determinism: n^alpha is one libm double per group
+    (identical everywhere for identical n), but a FLOAT normalizer
+    Σ w_i would be summation-order-dependent — so each weight is
+    rounded to 6 decimals and cast to DECIMAL(24,6) first, making the
+    total an exact, order-independent sum; the final division and
+    floor then see bit-identical inputs in every engine. One
+    |groups|-row aggregate + a broadcast of the 1-row total — group
+    cardinality, not corpus size, bounds everything after the first
+    map-side-combined count."""
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)), 6).cast(
+        "decimal(24,6)"
+    )
+    weighted = counts.withColumn("__w", w)
+    total = weighted.agg(F.sum("__w").alias("__t"))
+    ratio = F.col("__w").cast("double") / F.col("__t").cast("double")
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(ratio, 6).alias("weight_r"),
+            F.floor(F.lit(budget) * ratio).cast("bigint").alias("quota"),
+        )
     )

@@ -2023,3 +2023,41 @@ def docs_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_docs * 10000) div __n").alias("share_bp"),
         )
     )
+
+
+@register(
+    "docs_mix_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(24,6)) AS wd
+      FROM c
+    ),
+    t AS (SELECT sum(wd) AS td FROM w)
+    SELECT source, n_docs,
+           round(CAST(wd AS DOUBLE) / CAST(td AS DOUBLE), 6) AS weight_r,
+           CAST(floor(100000 * (CAST(wd AS DOUBLE) / CAST(td AS DOUBLE)))
+                AS BIGINT) AS quota
+    FROM w, t
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Temperature-scaled mixing weights (ml.selection.temperature_weights, "
+    "alpha=0.5, budget=100k): per-source sampling weight ∝ n^0.5 and the "
+    "floor-rounded doc quota — the multilingual/multi-source temperature-"
+    "sampling primitive (mT5; UniMax refines it with per-group caps), "
+    "complementing the rate-based docs_mix_corpus. The normalizer is an "
+    "exact DECIMAL(24,6) sum of 6-decimal-rounded weights, so the one "
+    "float division per group sees bit-identical inputs in both engines — "
+    "no order-dependent double summation anywhere. |groups|-row state "
+    "after one map-side-combined count; corpus size never crosses an "
+    "exchange.",
+)
+def docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.selection import temperature_weights
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return temperature_weights(docs, alpha=0.5, budget=100_000)

@@ -226,3 +226,22 @@ def test_corpus_card_sections_consistent(spark):
         assert sum(r["share_bp"] for r in by_sec[sec]) <= 10000
     assert total["share_bp"] == 10000
     assert total["n_unique_texts"] <= total["n_docs"]
+
+
+def test_temperature_weights_interpolates_natural_and_uniform(spark):
+    from mempool_dumpster_spark.ml.selection import temperature_weights
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 90 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    nat = {r["source"]: r for r in temperature_weights(docs, alpha=1.0).collect()}
+    sqr = {r["source"]: r for r in temperature_weights(docs, alpha=0.5).collect()}
+    uni = {r["source"]: r for r in temperature_weights(docs, alpha=0.0).collect()}
+    assert abs(nat["a"]["weight_r"] - 0.9) < 1e-6
+    assert abs(uni["a"]["weight_r"] - 0.5) < 1e-6
+    # 0<alpha<1 up-samples the small group relative to natural proportions
+    assert nat["b"]["weight_r"] < sqr["b"]["weight_r"] < uni["b"]["weight_r"]
+    # quotas never exceed the budget in aggregate (floor rounding)
+    for d in (nat, sqr, uni):
+        assert sum(r["quota"] for r in d.values()) <= 1_000_000
