@@ -3,8 +3,11 @@ vectors feed the model once dedup/quality filters have run (no reference
 twin; part of the LLM-pipeline extension surface alongside ml/dedup,
 ml/decontam, ml/splits).
 
-Three selection modalities, each with a deterministic, oracle-checkable
-formulation:
+Four selection modalities, each with a deterministic, oracle-checkable
+formulation (plus the DSIR artifact lifecycle:
+`dsir_bucket_stats` → `dsir_stats_to/from_json` → `dsir_apply` for
+train-once/serve-many, and `temperature_weights` for the
+temperature-scaled multi-source mixing quota):
 
 - `dsir_importance` — Data Selection via Importance Resampling (Xie et
   al. 2023, "Data Selection for Language Models via Importance
@@ -25,6 +28,10 @@ formulation:
   keep the m vectors closest to the cluster centroid. Balanced sampling
   across clusters is the standard guard against majority-cluster
   domination when subsampling an embedded corpus for curation.
+
+- `temperature_weights` — per-group sampling weights ∝ n^α (temperature
+  sampling as in mT5; UniMax refines it with per-group caps), turning
+  raw group counts into mixing quotas without drowning small sources.
 
 Scale shapes (the part that matters at 100 TB):
 

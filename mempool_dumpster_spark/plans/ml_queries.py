@@ -1794,7 +1794,8 @@ _DSIR_BUCKET_DUCK = (
           FROM per)
     WHERE rank <= 50
     """,
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    # r10 slot promotion: took docs_simhash_pairs' driver slot — the
+    # selection family's flagship entry, exact-oracle both scales + 10×.
     doc="DSIR importance resampling (ml.selection.dsir_top_k — Xie et al. "
     "2023): rank every document by how much its hashed-bigram feature mass "
     "resembles the target distribution (here lang='en' as the high-quality "

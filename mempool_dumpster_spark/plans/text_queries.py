@@ -407,6 +407,11 @@ def _simhash64_spark() -> Column:
 
 @register(
     "docs_simhash_pairs",
+    # r10 slot rotation: ceded its driver slot to docs_dsir_sample — the
+    # near-dup pair family keeps two slots (docs_minhash_lsh_pairs,
+    # docs_ngram_jaccard) while the selection family had none; this entry
+    # remains oracle-checked every round via the selfcheck sweep.
+    overflow=True,
     oracle=f"""
     WITH w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

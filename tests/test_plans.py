@@ -286,10 +286,20 @@ def test_registry_driver_contract_invariants():
     # exercises the full MP4 sample-table walk → resize → feature →
     # knn handoff with an exact oracle. docs_quality's family stays
     # covered by the docs_gopher_rules and docs_quality_curriculum slots.
+    #
+    # r10 late rotation: one swap —
+    #   docs_simhash_pairs → docs_dsir_sample
+    # The new training-data SELECTION family (ml/selection.py) had no
+    # driver-slot representation, while near-dup pair mining held THREE
+    # slots; docs_minhash_lsh_pairs and docs_ngram_jaccard keep covering
+    # that family, and docs_simhash_pairs stays oracle-checked every
+    # round via the selfcheck sweep (both scales). docs_dsir_sample is
+    # the selection flagship: exact oracle at sf0.01/sf0.1 and in the
+    # 10× stress set.
     expected = [
         "docs_langid", "docs_redact_pii", "docs_pack_sequences",
         "docs_mix_corpus", "docs_dedup_keep", "docs_ngram_jaccard",
-        "docs_minhash_lsh_pairs", "docs_simhash_pairs", "docs_token_stats",
+        "docs_minhash_lsh_pairs", "docs_token_stats",
         "docs_binary_stats", "emb_knn", "emb_near_pairs",
         "emb_centroids", "docs_bpe_merges", "docs_ngram_lm_score",
         "docs_quality_curriculum", "docs_dup_span_strip",
@@ -297,7 +307,7 @@ def test_registry_driver_contract_invariants():
         "docs_tfidf_terms", "docs_prep_pipeline", "docs_split_assign",
         "docs_decontaminate", "docs_training_order",
         "docs_incremental_dedup", "manifest_version_diff", "emb_mmr_topk",
-        "media_frame_knn",
+        "media_frame_knn", "docs_dsir_sample",
         "sourcelog_dedup", "sources_attach", "first_source_counts",
         "exclusive_orderflow", "included_split", "per_source_counts",
         "hourly_stats", "blacklist_anti", "point_lookup",
