@@ -238,6 +238,53 @@ def _bench_prep(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _bench_selection(spark, sf_dir: str) -> dict | None:
+    """Time the r10 training-data selection family at the bench SF:
+    DSIR train (bucket-stats artifact), DSIR apply (pretrained scoring —
+    the serve-many path whose docs/s is the 100 TB figure), and the
+    leakage-safe split composition (LSH pairs → components → grouped
+    split)."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.ml.dedup import duplicate_components
+    from mempool_dumpster_spark.ml.selection import dsir_apply, dsir_bucket_stats
+    from mempool_dumpster_spark.ml.splits import leakage_safe_split
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    try:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        n_docs = docs.count()
+        t0 = time.time()
+        stats = dsir_bucket_stats(docs, F.col("lang") == "en").cache()
+        n_buckets = stats.count()  # materialize the artifact
+        train_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        dsir_apply(docs, stats).write.format("noop").mode("overwrite").save()
+        apply_sec = round(time.time() - t0, 3)
+        stats.unpersist()
+        t0 = time.time()
+        from mempool_dumpster_spark.plans.registry import all_queries
+
+        pairs = all_queries()["docs_minhash_lsh_pairs"](spark, sf_dir)
+        comp = duplicate_components(pairs)
+        leakage_safe_split(docs, comp).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        split_sec = round(time.time() - t0, 3)
+        return {
+            "n_docs": n_docs,
+            "dsir_train_sec": train_sec,
+            "dsir_train_buckets": n_buckets,
+            "dsir_apply_sec": apply_sec,
+            "dsir_apply_docs_per_sec": (
+                round(n_docs / apply_sec, 1) if apply_sec else None
+            ),
+            "leakage_safe_split_sec": split_sec,
+        }
+    except Exception:
+        return None
+
+
 def _bench_text_microcost(spark, sf_dir: str) -> dict | None:
     """Per-document CPU microcost (µs/doc, wall over local[32]) of the
     heaviest text-stack projections — what a 1-10 B-doc prep run actually
@@ -495,6 +542,7 @@ def main() -> None:
     prep_stats = _bench_prep(spark, sf_dir)
     gate_cal = _bench_gate_calibration(spark, sf_dir)
     text_micro = _bench_text_microcost(spark, sf_dir)
+    selection = _bench_selection(spark, sf_dir)
     env["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
     env["bench_wall_sec"] = round(time.time() - wall0, 1)
     print(
@@ -512,6 +560,7 @@ def main() -> None:
                 "prep_pipeline": prep_stats,
                 "minhash_gate_calibration": gate_cal,
                 "text_microcost": text_micro,
+                "selection": selection,
                 "env": env,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
