@@ -245,3 +245,54 @@ def test_temperature_weights_interpolates_natural_and_uniform(spark):
     # quotas never exceed the budget in aggregate (floor rounding)
     for d in (nat, sqr, uni):
         assert sum(r["quota"] for r in d.values()) <= 1_000_000
+
+
+def test_selection_plan_guards(spark, corpus):
+    """Pin the 100 TB shapes: DSIR's stats join must be a broadcast hash
+    join (never a corpus shuffle on the bucket key), semantic
+    contamination must not shuffle the corpus before the per-id max, and
+    cluster_coreset's centroid join must broadcast."""
+    plan_of = lambda df: df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of(dsir_importance(corpus, F.col("grp") == "t"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+
+    vecs = corpus.sparkSession.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    p = plan_of(
+        semantic_contamination(
+            vecs.filter("vec_id >= 4"), vecs.filter("vec_id < 4"), 0.5
+        )
+    )
+    # the only join is the broadcast NLJ against the benchmark side; the
+    # single Exchange is the per-id max aggregate
+    assert "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # partial+final agg
+
+    lv = corpus.sparkSession.createDataFrame(
+        [(i, i % 2, [float(i), 0.0]) for i in range(8)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    p = plan_of(cluster_coreset(lv, m=2, dim=2))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+
+
+def test_dsir_partition_invariance(spark, corpus):
+    """Integer masses make the score independent of physical layout —
+    the property that lets any cluster reproduce the ranking."""
+    base = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_importance(corpus, F.col("grp") == "t").collect()
+    }
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in dsir_importance(
+                corpus.repartition(parts), F.col("grp") == "t"
+            ).collect()
+        }
+        assert got == base
