@@ -58,6 +58,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", token_count: Column | None = None
+) -> DataFrame:
+    """Soft deduplication: down-weight duplicates instead of dropping them.
+
+    SoftDeDup (Xue et al. 2024) reweights the training loss so a document
+    duplicated m times contributes as much total gradient as one copy —
+    weight = 1/m, where m is the exact content-hash multiplicity. This is
+    the sampling-side dual of `exact_dedup`: no document is lost (rare
+    high-quality duplicates keep representation), but the duplicated mass
+    stops dominating the token budget. Composes with the mixing operators
+    (ml/splits.py): eff_tokens is the multiplicity-discounted token count a
+    budget allocator should charge per doc.
+
+    Scale shape: the multiplicity is a window count over the map-side md5 —
+    ONE shuffle on the 128-bit digest, same as exact_dedup; weights are a
+    post-shuffle projection, no second exchange. The weight divisions are
+    double/bigint — bit-identical IEEE across engines.
+    """
+    toks = (
+        token_count
+        if token_count is not None
+        else F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    )
+    mult = F.count("*").over(Window.partitionBy(F.md5(text_col)))
+    return (
+        df.withColumn("multiplicity", mult.cast("bigint"))
+        .withColumn("weight", F.lit(1.0) / F.col("multiplicity"))
+        .withColumn("n_tokens", toks)
+        .withColumn(
+            "eff_tokens", F.col("n_tokens").cast("double") / F.col("multiplicity")
+        )
+    )
+
+
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(id, shingle) distinct — the set representation used by minhash and
     exact Jaccard. Splits once per doc and spreads the CPU-bound k-gram

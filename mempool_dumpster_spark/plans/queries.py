@@ -989,6 +989,58 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_transition_matrix",
+    overflow=True,
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+                                    AS BIGINT) AS prob
+    FROM c
+    """,
+    doc="Markov transition matrix over per-user event sequences: lead() "
+    "pairs each event with the user's next event, and each (from_type, "
+    "to_type) cell carries the count plus the row-normalized transition "
+    "probability — the behavioral next-step model behind funnel and "
+    "session analysis (extends the reference's per-source counters, "
+    "common/analyzer.go, to sequence structure). Scale shape: ONE shuffle "
+    "on user_id for the lead window (users are independent, so the window "
+    "never sees cross-partition state), then the pair aggregate collapses "
+    "to ≤ |types|² rows before the row-normalizing window runs on a "
+    "trivially small frame. prob divides exact BIGINTs into a DOUBLE — "
+    "deterministic across engines.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / row_total).alias("prob"),
+    )
+
+
+@register(
     "events_ohlc",
     overflow=True,
     oracle="""

@@ -111,6 +111,87 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_soft_dedup_weights",
+    overflow=True,
+    oracle="""
+    SELECT doc_id, source,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+             AS multiplicity,
+           CAST(1 AS DOUBLE) / count(*) OVER (PARTITION BY md5(text))
+             AS weight,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(text, ' ')) AS DOUBLE)
+             / count(*) OVER (PARTITION BY md5(text)) AS eff_tokens
+    FROM documents
+    """,
+    doc="Soft deduplication (SoftDeDup, Xue et al. 2024): instead of "
+    "dropping duplicates, every doc gets sampling weight 1/multiplicity "
+    "so a document duplicated m times contributes one copy's worth of "
+    "gradient — no data is lost, but duplicated mass stops dominating "
+    "the token budget. eff_tokens is what a budget allocator "
+    "(docs_budget_fill / docs_mix_corpus) should charge per doc. Scale "
+    "shape: identical to exact dedup — ONE shuffle on the map-side md5 "
+    "digest; the weights are a post-shuffle projection. All divisions "
+    "are double/bigint — bit-identical IEEE across engines.",
+)
+def docs_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.dedup import soft_dedup_weights
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return soft_dedup_weights(docs).select(
+        "doc_id", "source", "multiplicity", "weight", "n_tokens", "eff_tokens"
+    )
+
+
+@register(
+    "docs_ngram_novelty",
+    overflow=True,
+    oracle=f"""
+    WITH sh AS ({DUCK_SHINGLES}),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    novel AS (
+      SELECT first_doc AS doc_id, count(*) AS n_novel
+      FROM firsts GROUP BY first_doc
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_grams AS novelty
+    FROM totals t LEFT JOIN novel n USING (doc_id)
+    """,
+    doc="N-gram novelty curve: for each doc, the fraction of its distinct "
+    "word-3-grams that no earlier doc (by training order = doc_id) "
+    "contains — the freshness signal data-constrained scaling studies "
+    "(Muennighoff et al. 2023) use to decide when repeating data stops "
+    "paying, and a per-doc diagnostic for curriculum placement "
+    "(docs_training_order). Scale shape: the only corpus-sized shuffle "
+    "is the groupBy(shingle) min — the same exchange decontamination "
+    "pays; first-doc credits and per-doc totals are doc-level aggregates "
+    "joined on doc_id. No all-pairs anything: novelty against ALL "
+    "predecessors falls out of the global min, not a pairwise compare.",
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sh = doc_shingles(docs)
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        (
+            F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_grams")
+        ).alias("novelty"),
+    )
+
+
+@register(
     "docs_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({DUCK_SHINGLES}),

@@ -48,6 +48,21 @@ def test_exact_dedup(docs):
     assert ids == {0, 2, 3, 4, 5}
 
 
+def test_soft_dedup_weights(docs):
+    from mempool_dumpster_spark.ml.dedup import soft_dedup_weights
+
+    got = {r["doc_id"]: r.asDict() for r in soft_dedup_weights(docs).collect()}
+    # the exact-dup pair shares the mass; everyone else keeps full weight
+    assert got[0]["multiplicity"] == 2 and got[1]["multiplicity"] == 2
+    assert got[0]["weight"] == 0.5 and got[2]["weight"] == 1.0
+    # per content group the weights sum to exactly 1 → total gradient mass
+    # equals the deduped corpus size
+    assert sum(r["weight"] for r in got.values()) == len(got) - 1
+    # eff_tokens = n_tokens * weight, and near-dups are NOT discounted
+    assert got[0]["eff_tokens"] == got[0]["n_tokens"] / 2
+    assert got[2]["eff_tokens"] == got[2]["n_tokens"]
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     sh = shingle_sets(docs)
     sig = minhash_signatures(sh, n_hashes=16)

@@ -77,6 +77,10 @@ GUARDED = [
     "docs_filter_funnel",
     "events_user_day_outer",
     "docs_source_quality_mix",
+    # round-10 late adds: soft dedup / novelty / transitions
+    "docs_soft_dedup_weights",
+    "docs_ngram_novelty",
+    "events_transition_matrix",
 ]
 
 
@@ -353,3 +357,47 @@ def test_ohlc_single_shuffle_and_tie_free_argmin(spark):
         "min_by/max_by tie order is engine-dependent; add a tiebreak "
         "column to events_ohlc before trusting its oracle"
     )
+
+
+def test_soft_dedup_weights_single_shuffle(spark):
+    """soft dedup must cost exactly what exact dedup costs: one Exchange on
+    the content digest — the weights are a post-shuffle projection."""
+    plan = _plan_of(spark, "docs_soft_dedup_weights")
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}:\n{plan}"
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Each from_type row of the transition matrix is a probability
+    distribution over to_type, and counts conserve: every event with a
+    successor is counted exactly once."""
+    from mempool_dumpster_spark.plans.registry import all_queries
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    rows = all_queries()["events_transition_matrix"](spark, SF_DIR).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for fr, cells in by_from.items():
+        assert abs(sum(c["prob"] for c in cells) - 1.0) < 1e-9, fr
+    ev = load_tables(spark, SF_DIR, ["events"])["events"]
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == ev.count() - n_users  # last-per-user
+
+
+def test_ngram_novelty_conserves_and_bounds(spark):
+    """Novelty credits partition the corpus vocabulary: sum(n_novel) equals
+    the number of distinct shingles, the earliest doc is fully novel, and
+    every ratio is a valid fraction of the doc's own shingle set."""
+    from mempool_dumpster_spark.plans.registry import all_queries
+    from mempool_dumpster_spark.plans.tables import load_tables
+    from mempool_dumpster_spark.plans.text_queries import doc_shingles
+
+    rows = all_queries()["docs_ngram_novelty"](spark, SF_DIR).collect()
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    vocab = doc_shingles(docs).select("shingle").distinct().count()
+    assert sum(r["n_novel"] for r in rows) == vocab
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["novelty"] == 1.0
+    assert all(0.0 <= r["novelty"] <= 1.0 and r["n_novel"] <= r["n_grams"]
+               for r in rows)
