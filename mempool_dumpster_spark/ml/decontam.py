@@ -65,3 +65,63 @@ def contamination(
             (F.coalesce("n_hits", F.lit(0)) > 0).cast("bigint").alias("contaminated"),
         )
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The benchmark-side inversion of `contamination`: per benchmark item,
+    how much of it leaked into the corpus. One row per benchmark doc with
+    its distinct n-gram count, how many of those n-grams appear anywhere
+    in the corpus (`n_leaked`, with `leak_frac` = n_leaked/n_grams), and
+    the total number of (corpus doc, n-gram) incidences touching it —
+    the report an eval owner reads to decide whether a benchmark is
+    burned, vs `contamination`'s per-corpus-doc drop list.
+
+    Scale shape: the benchmark gram set broadcasts TWICE — first as a
+    map-side semi-filter on the exploded corpus grams (so the per-gram
+    corpus aggregate shuffles only grams the benchmark contains, a
+    benchmark-bounded volume, never the corpus vocabulary), then to pin
+    per-gram hit counts back onto benchmark docs. The corpus is read once
+    and never shuffled on its own keys.
+    """
+    b_grams = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    b_gram_set = b_grams.select("shingle").distinct()
+    per_gram = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+        )
+        .join(F.broadcast(b_gram_set), "shingle")
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_corpus_docs"))
+    )
+    per_item = (
+        b_grams.join(F.broadcast(per_gram), "shingle", "left")
+        .groupBy("bench_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("n_corpus_docs").alias("n_leaked"),
+            F.sum(F.coalesce("n_corpus_docs", F.lit(0))).alias("n_corpus_hits"),
+        )
+    )
+    base = benchmark.select(F.col(id_col).alias("bench_id")).distinct()
+    return base.join(per_item, "bench_id", "left").select(
+        "bench_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.coalesce("n_leaked", F.lit(0)).cast("double") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("leak_frac"),
+        F.coalesce("n_corpus_hits", F.lit(0)).alias("n_corpus_hits"),
+    )

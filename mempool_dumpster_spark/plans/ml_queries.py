@@ -756,6 +756,61 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_contamination_report",
+    overflow=True,
+    oracle=f"""
+    WITH sh AS ({_DUCK_5G}),
+    bg AS (
+      SELECT s.doc_id AS bench_id, s.shingle FROM sh s
+      JOIN documents d ON d.doc_id = s.doc_id AND d.source = 'src0'
+    ),
+    per_gram AS (
+      SELECT s.shingle, count(*) AS n_corpus_docs FROM sh s
+      JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
+      WHERE s.shingle IN (SELECT shingle FROM bg)
+      GROUP BY s.shingle
+    ),
+    per_item AS (
+      SELECT bg.bench_id,
+             count(*) AS n_grams,
+             count(p.n_corpus_docs) AS n_leaked,
+             sum(coalesce(p.n_corpus_docs, 0)) AS n_corpus_hits
+      FROM bg LEFT JOIN per_gram p ON p.shingle = bg.shingle
+      GROUP BY bg.bench_id
+    )
+    SELECT d.doc_id AS bench_id,
+           CAST(coalesce(i.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(i.n_leaked, 0) AS BIGINT) AS n_leaked,
+           CASE WHEN coalesce(i.n_grams, 0) > 0
+                THEN CAST(coalesce(i.n_leaked, 0) AS DOUBLE) / i.n_grams
+                ELSE 0.0 END AS leak_frac,
+           CAST(coalesce(i.n_corpus_hits, 0) AS BIGINT) AS n_corpus_hits
+    FROM documents d LEFT JOIN per_item i ON i.bench_id = d.doc_id
+    WHERE d.source = 'src0'
+    """,
+    doc="Contamination report, benchmark side (ml.decontam."
+    "contamination_report): for every held-out item (source 'src0'), how "
+    "many of its distinct word-5-grams leaked into the training corpus, "
+    "the leaked fraction, and the total (corpus doc, gram) incidences — "
+    "the report an eval owner reads to decide whether a benchmark is "
+    "burned; docs_decontaminate is the corpus-side drop list of the same "
+    "join. Scale shape: the benchmark gram set broadcasts as a map-side "
+    "semi-filter on exploded corpus grams, so the only corpus-volume "
+    "work is the scan — the per-gram aggregate shuffles a benchmark-"
+    "bounded gram set, and the report join is broadcast again.",
+)
+def docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.decontam import contamination_report
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return contamination_report(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+@register(
     "emb_semantic_dedup",
     oracle="""
     WITH RECURSIVE e AS (

@@ -132,6 +132,38 @@ def test_contamination_flags_and_short_docs(spark):
     assert out[3]["n_shingles"] == 0 and out[3]["contaminated"] == 0
 
 
+def test_contamination_report_benchmark_side(spark):
+    """The inversion of `contamination`: per benchmark item, leaked-gram
+    fraction and (corpus doc, gram) incidence totals."""
+    from mempool_dumpster_spark.ml.decontam import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # carries abcde + bcdef
+            (2, "z a b c d e"),     # carries abcde again
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (99, "x a b c d e f y"),  # 4 grams; abcde leaks 2x, bcdef 1x
+            (98, "totally clean benchmark question here ok"),
+            (97, "tiny"),             # < 5 words -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["bench_id"]: r
+        for r in contamination_report(corpus, bench, n=5).collect()
+    }
+    assert out[99]["n_grams"] == 4 and out[99]["n_leaked"] == 2
+    assert out[99]["leak_frac"] == 0.5
+    assert out[99]["n_corpus_hits"] == 3  # abcde in docs 1+2, bcdef in doc 1
+    assert out[98]["n_leaked"] == 0 and out[98]["leak_frac"] == 0.0
+    assert out[97]["n_grams"] == 0 and out[97]["leak_frac"] == 0.0
+
+
 def test_redact_pii(spark):
     from mempool_dumpster_spark.ml.text import redact_pii
 

@@ -81,6 +81,7 @@ GUARDED = [
     "docs_soft_dedup_weights",
     "docs_ngram_novelty",
     "events_transition_matrix",
+    "docs_contamination_report",
 ]
 
 

@@ -69,9 +69,10 @@ STRESS_QUERIES = [
     # two embedding-selection entries are exact-oracle even at 10×
     # (19.1/4.3/5.9 s at 50k docs / 20k vectors on first run)
     "docs_dsir_sample", "emb_semantic_decontaminate", "emb_cluster_coreset",
-    # r10 second batch: both corpus-gram-scale with linear exact oracles
+    # r10 second batch: corpus-gram-scale with linear exact oracles
     # (6.7/5.8 s at 50k docs on first run)
     "docs_soft_dedup_weights", "docs_ngram_novelty",
+    "docs_contamination_report",
 ]
 
 
