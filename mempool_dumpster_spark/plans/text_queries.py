@@ -169,25 +169,34 @@ def docs_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the groupBy(shingle) min — the same exchange decontamination "
     "pays; first-doc credits and per-doc totals are doc-level aggregates "
     "joined on doc_id. No all-pairs anything: novelty against ALL "
-    "predecessors falls out of the global min, not a pairwise compare.",
+    "predecessors falls out of the global min, not a pairwise compare. "
+    "Single-scan form: the first-seen flag is a min() window over the "
+    "gram partition, so the corpus is exploded ONCE and both per-doc "
+    "counts come out of one aggregate — no join, no second explode "
+    "(the explode is the dominant CPU at corpus scale, see the "
+    "text_microcost bench section).",
 )
 def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    sh = doc_shingles(docs)
-    novel = (
-        sh.groupBy("shingle")
-        .agg(F.min("doc_id").alias("doc_id"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("shingle"))
+    return (
+        doc_shingles(docs)
+        .withColumn(
+            "is_novel", (F.col("doc_id") == first_doc).cast("bigint")
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_novel"))
-    )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    return totals.join(novel, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
-        (
-            F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_grams")
-        ).alias("novelty"),
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("is_novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
     )
 
 
