@@ -35,6 +35,15 @@ HEADLINE = [
 ]
 
 
+def _median(xs: list[float]) -> float:
+    """True median: averages the middle two on even counts. The old
+    `sorted(xs)[len//2]` was the MAX of a 2-run sample — one contended
+    run halved the published steady throughput."""
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
 def _bench_merge(spark, n: int | None = None, n_runs: int = 4) -> dict:
     """Time the engine's signature operator — the full merge pipeline over a
     synthetic day of collector CSVs (dedup → blacklist → RLP/ECDSA parse UDF →
@@ -139,7 +148,7 @@ def _bench_merge(spark, n: int | None = None, n_runs: int = 4) -> dict:
     times = [one_run()]
     for _ in range(n_runs):
         times.append(one_run())
-    steady = sorted(times[1:])[len(times[1:]) // 2]
+    steady = _median(times[1:])
     return {
         "sec": round(times[0], 3),
         "sec_steady": round(steady, 3),
@@ -350,8 +359,7 @@ def _bench_text_microcost(spark, sf_dir: str) -> dict | None:
                 op(frame).write.format("noop").mode("overwrite").save()
                 if i:  # first pass primes
                     runs.append(time.time() - t0)
-            runs.sort()
-            return runs[len(runs) // 2]
+            return _median(runs)
 
         for name, op in ops.items():
             sec = timed(docs, op, 3)
@@ -378,8 +386,18 @@ def _load_merge_stress() -> dict | None:
     regenerate it whenever plans/merge.py or the parse UDF change."""
     import glob
 
+    import re
+
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "MERGE_STRESS_r*.json")))
+    # numeric round sort: lexicographic order puts r9 after r10 (and r2x
+    # after r100), which would embed a stale artifact as current
+    def round_no(p: str) -> int:
+        m = re.search(r"_r0*(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(
+        glob.glob(os.path.join(here, "MERGE_STRESS_r*.json")), key=round_no
+    )
     if not paths:
         return None
     try:

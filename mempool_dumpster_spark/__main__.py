@@ -385,7 +385,7 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
     spark = _session(spark)
     vecs = spark.read.parquet(*args.vectors)
 
-    def load_artifacts() -> tuple[list, list]:
+    def load_artifacts() -> tuple[list, list, dict]:
         with open(args.artifacts) as f:
             obj = json.load(f)
         if obj.get("format") != "ivfpq-index-artifacts-v1":
@@ -396,9 +396,28 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
         return (
             centroids_from_json(json.dumps(obj["centroids"])),
             pq_codebooks_from_json(json.dumps(obj["codebooks"])),
+            obj,
         )
 
+    def from_artifact(obj: dict, key: str, cli_value, fallback):
+        """append/query parameters the artifact already records (dim,
+        n_assign) default to the ARTIFACT's value — a CLI override must
+        match or it is a hard error, never a silent recall degradation
+        (e.g. appending at n_assign=1 into an index built at 4)."""
+        stored = obj.get(key)
+        if cli_value is None:
+            return stored if stored is not None else fallback
+        if stored is not None and cli_value != stored:
+            raise SystemExit(
+                f"--{key.replace('_', '-')} {cli_value} contradicts the "
+                f"index artifact ({args.artifacts} records {key}={stored}); "
+                "drop the flag or rebuild the index"
+            )
+        return cli_value
+
     if args.action == "build":
+        args.dim = 64 if args.dim is None else args.dim
+        args.n_assign = 1 if args.n_assign is None else args.n_assign
         centroids, codebooks = write_ivfpq_index(
             vecs,
             args.table,
@@ -428,7 +447,7 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
                           "artifacts": args.artifacts}))
         return 0
     if args.action == "append":
-        centroids, codebooks = load_artifacts()
+        centroids, codebooks, meta = load_artifacts()
         append_ivfpq_index(
             vecs,
             args.table,
@@ -436,8 +455,8 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
             codebooks,
             id_col=args.id_col,
             emb_col=args.emb_col,
-            dim=args.dim,
-            n_assign=args.n_assign,
+            dim=from_artifact(meta, "dim", args.dim, 64),
+            n_assign=from_artifact(meta, "n_assign", args.n_assign, 1),
         )
         n = spark.table(args.table).count()
         print(json.dumps({"table": args.table, "index_rows": n}))
@@ -445,7 +464,7 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
     # query
     if not args.queries:
         raise SystemExit("ann query requires --queries")
-    centroids, codebooks = load_artifacts()
+    centroids, codebooks, meta = load_artifacts()
     queries = spark.read.parquet(*args.queries)
     out = ivfpq_topk_pretrained(
         spark,
@@ -457,7 +476,7 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
         k=args.k,
         id_col=args.id_col,
         emb_col=args.emb_col,
-        dim=args.dim,
+        dim=from_artifact(meta, "dim", args.dim, 64),
         nprobe=args.nprobe,
         refine=args.refine,
     )
@@ -652,9 +671,17 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--path", default=None, help="external table location")
     n.add_argument("--id-col", default="vec_id")
     n.add_argument("--emb-col", default="embedding")
-    n.add_argument("--dim", type=int, default=64)
+    n.add_argument(
+        "--dim", type=int, default=None,
+        help="vector width (build default 64; append/query default to "
+        "the artifact's recorded value)",
+    )
     n.add_argument("--n-cells", type=int, default=16)
-    n.add_argument("--n-assign", type=int, default=1)
+    n.add_argument(
+        "--n-assign", type=int, default=None,
+        help="cells per vector (build default 1; append defaults to the "
+        "artifact's recorded value — a mismatched override is an error)",
+    )
     n.add_argument("--m", type=int, default=8)
     n.add_argument("--k-codes", type=int, default=16)
     n.add_argument("--n-iters", type=int, default=3)

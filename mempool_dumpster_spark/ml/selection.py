@@ -276,12 +276,20 @@ def semantic_contamination(
     ).withColumn(nc, F.sqrt(_dot(F.col(ec), F.col(ec))))
     c = prep(corpus, "vec_id", "c_emb", "c_nrm")
     b = prep(benchmark, "bench_id", "b_emb", "b_nrm")
+    # zero-norm guard: a zero vector has no direction — define its cosine
+    # as 0 (never contaminated / never contaminating) instead of letting
+    # the division produce NULL, which would poison F.max into NULL and
+    # make the row invisible to BOTH `contaminated == 1` and `== 0`
+    # filters (and diverge from engines that apply IEEE inf/nan division)
+    denom = F.col("c_nrm") * F.col("b_nrm")
     sims = c.crossJoin(F.broadcast(b)).select(
         "vec_id",
-        F.round(
-            _dot(F.col("c_emb"), F.col("b_emb")) / (F.col("c_nrm") * F.col("b_nrm")),
-            4,
-        ).alias("sim_r"),
+        F.when(
+            denom > 0,
+            F.round(_dot(F.col("c_emb"), F.col("b_emb")) / denom, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sim_r"),
     )
     return sims.groupBy("vec_id").agg(
         F.max("sim_r").alias("max_sim_r"),
@@ -315,12 +323,24 @@ def cluster_coreset(
     (tiny) cluster key. Any clustering can feed `cluster_col` — the
     registered query uses the corpus labels; ml.similarity's k-means
     assignment plugs in unchanged."""
+    # dim is a validation contract, not a hint: a ragged or wrong-width
+    # row would silently smear the posexplode index space (and desync any
+    # fixed-width oracle), so it fails the job loudly instead
+    checked = F.when(
+        F.size(vec_col) == dim,
+        F.transform(vec_col, lambda x: x.cast("double")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"cluster_coreset: expected {dim}-wide embeddings, got "),
+                F.size(vec_col).cast("string"),
+            )
+        )
+    )
     dims = vectors.select(
         F.col(cluster_col).alias("cluster"),
         F.col(id_col).alias("vec_id"),
-        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
-            "i", "x"
-        ),
+        F.posexplode(checked).alias("i", "x"),
     )
     cent = dims.groupBy("cluster", "i").agg(
         (

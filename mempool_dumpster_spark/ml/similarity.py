@@ -1362,10 +1362,23 @@ def write_ivfpq_index(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     try:
         jvm = spark._jvm
-        loc = path if path is not None else (
-            spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-            + "/" + table.split(".")[-1].lower()
-        )
+        if path is not None:
+            loc = path
+        else:
+            # managed-table location is <warehouse>/<db>.db/<name>, with
+            # the `.db` level omitted only for the default database — a
+            # qualified name or a non-default current database must
+            # resolve the same way saveAsTable will, or this cleanup
+            # deletes the wrong (nonexistent) directory and the
+            # LOCATION_ALREADY_EXISTS failure survives
+            parts = table.split(".")
+            name = parts[-1].lower()
+            db = (
+                parts[-2] if len(parts) >= 2
+                else spark.catalog.currentDatabase()
+            ).lower()
+            wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+            loc = f"{wh}/{name}" if db == "default" else f"{wh}/{db}.db/{name}"
         jpath = jvm.org.apache.hadoop.fs.Path(loc)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)

@@ -1880,8 +1880,10 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT * FROM n WHERE vec_id >= 25),
     m AS (
       SELECT c.vec_id,
-             max(round(list_dot_product(c.emb, b.emb) / (c.nrm * b.nrm), 4))
-               AS max_sim_r
+             max(CASE WHEN c.nrm * b.nrm > 0
+                      THEN round(list_dot_product(c.emb, b.emb)
+                                 / (c.nrm * b.nrm), 4)
+                      ELSE 0.0 END) AS max_sim_r
       FROM c CROSS JOIN b GROUP BY c.vec_id
     )
     SELECT vec_id, max_sim_r,

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from mempool_dumpster_spark.__main__ import main
 from txgen import make_tx, tx_hash_of
 
@@ -558,17 +560,31 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     assert built["index_rows"] == 80  # 40 vectors x n_assign 2
     assert json.load(open(art))["format"] == "ivfpq-index-artifacts-v1"
 
+    # append WITHOUT repeating --dim/--n-assign: both must come from the
+    # artifact (build recorded n_assign=2) — the silent-n_assign=1 recall
+    # degradation this used to allow is the regression under test
     rc = main(
         [
             "ann", "append", str(new_p),
             "--table", "cli_ann_idx", "--artifacts", str(art),
-            "--dim", "8", "--n-assign", "2",
         ],
         spark=spark,
     )
     assert rc == 0
     appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert appended["index_rows"] == 100
+    assert appended["index_rows"] == 100  # 80 + 10 vectors x n_assign 2
+
+    # an explicit override that contradicts the artifact is a hard error
+    with pytest.raises(SystemExit, match="n-assign 1 contradicts"):
+        main(
+            [
+                "ann", "append", str(new_p),
+                "--table", "cli_ann_idx", "--artifacts", str(art),
+                "--n-assign", "1",
+            ],
+            spark=spark,
+        )
+    capsys.readouterr()
 
     union_p = tmp_path / "union.parquet"
     base.union(newer).write.parquet(str(union_p))

@@ -85,6 +85,37 @@ def test_semantic_contamination_flags_leaked_vectors(planted_vectors):
     assert got[102]["max_sim_r"] == 0.6 and got[102]["contaminated"] == 1
 
 
+def test_semantic_contamination_zero_norm_vectors(spark):
+    """A zero vector has no direction: its cosine is defined as 0 on both
+    sides of the join, so the row stays visible to `contaminated == 0`
+    filters instead of becoming NULL (which matches neither flag)."""
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],  # one real, one zero-norm
+        "vec_id long, embedding array<float>",
+    )
+    corp = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (101, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_contamination(corp, bench, threshold=0.5).collect()
+    }
+    assert got[100]["max_sim_r"] == 0.0 and got[100]["contaminated"] == 0
+    assert got[101]["max_sim_r"] == 1.0 and got[101]["contaminated"] == 1
+
+
+def test_cluster_coreset_rejects_wrong_width(spark):
+    """dim is a validation contract: a ragged row fails the job loudly
+    instead of silently smearing the posexplode index space."""
+    vecs = spark.createDataFrame(
+        [(0, 0, [1.0, 2.0]), (1, 0, [1.0, 2.0, 3.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="expected 2-wide|USER_RAISED"):
+        cluster_coreset(vecs, m=1, dim=2).collect()
+
+
 def test_cluster_coreset_picks_centroid_neighbors(spark):
     # cluster 0: three points on a line, centroid at x=1 -> nearest is the
     # middle point; cluster 1: two coincident points, both dist 0, tiebreak id

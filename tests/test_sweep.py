@@ -126,6 +126,28 @@ PREP_FLOOR_DOCS_S = 800.0
 HEADLINE_CEILING_SEC = 9.0
 
 
+def test_bench_median_and_artifact_round_sort():
+    """Two r9-advice-class bugs pinned: the 'steady' reducer must be a
+    true median (the old upper-middle pick was the MAX of a 2-run
+    sample), and the embedded MERGE_STRESS artifact must be chosen by
+    NUMERIC round, not lexicographically (r9 sorts after r10)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench._median([5.0, 1.0]) == 3.0          # not max(2-sample)
+    assert bench._median([5.0, 1.0, 2.0]) == 2.0
+    assert bench._median([4.0, 1.0, 2.0, 3.0]) == 2.5
+
+    import inspect
+
+    src = inspect.getsource(bench._load_merge_stress)
+    assert "_r0*" in src  # numeric-round sort key, not plain sorted()
+
+
 @pytest.mark.sweep
 def test_throughput_floor_gates():
     """r9 verdict #6: the merge-steady and prep regressions were only

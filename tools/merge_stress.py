@@ -121,19 +121,23 @@ def _plan_ops(df) -> dict[str, int]:
     with redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    ops = {}
+    # Count ONLY the formatted-details headers "(<n>) OpName" — exactly one
+    # per physical node — and match the op NAME token, not a substring:
+    # the old per-line contains() counted each node twice (tree line +
+    # details header) and counted every SortMergeJoin as a Sort too.
+    import re
+
+    wanted = {
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "Exchange", "BroadcastExchange", "ReusedExchange",
+        "HashAggregate", "Sort", "Window",
+        "CartesianProduct", "BroadcastNestedLoopJoin",
+    }
+    ops: dict[str, int] = {}
     for ln in plan.splitlines():
-        ln = ln.strip()
-        if ln.startswith(("* ", "+- ", ":- ")) or (
-            ln and ln[0].isdigit() is False and "(" in ln
-        ):
-            for key in (
-                "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-                "Exchange", "HashAggregate", "Sort", "Window",
-                "CartesianProduct", "BroadcastNestedLoopJoin",
-            ):
-                if key in ln:
-                    ops[key] = ops.get(key, 0) + 1
+        m = re.match(r"\(\d+\)\s+(\w+)", ln.strip())
+        if m and m.group(1) in wanted:
+            ops[m.group(1)] = ops.get(m.group(1), 0) + 1
     return ops
 
 
