@@ -77,5 +77,14 @@ def dedup_min_timestamp(
     Reference common/sourcelog.go:52-62. Pure hash aggregate — partial
     aggregation makes the shuffle proportional to distinct (hash, source)
     pairs, not receipts.
+
+    Output carries keys + ts_col in the INPUT's column order; any other
+    input column is dropped (it has no well-defined value after a min
+    aggregate). The old `select(*df.columns)` instead raised
+    UNRESOLVED_COLUMN the moment the input carried extra columns — e.g.
+    a sourcelog read back from the collector's date=/hour= partitioned
+    archive, where the partition dirs come back as columns.
     """
-    return df.groupBy(*keys).agg(F.min(ts_col).alias(ts_col)).select(*df.columns)
+    wanted = set(keys) | {ts_col}
+    out_cols = [c for c in df.columns if c in wanted]
+    return df.groupBy(*keys).agg(F.min(ts_col).alias(ts_col)).select(*out_cols)

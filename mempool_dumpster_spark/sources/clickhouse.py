@@ -37,7 +37,18 @@ def dedup_pushdown_query(
 ) -> str:
     """The earliest-wins dedup as a ClickHouse-side query: min(received_at)
     + any(raw_tx) grouped by all metadata columns, date-bounded for
-    partition pruning (PARTITION BY toDate(received_at))."""
+    partition pruning (PARTITION BY toDate(received_at)).
+
+    table/date bounds are typically CLI inputs interpolated into SQL
+    shipped over JDBC — validate them against strict shapes so a stray
+    quote can neither break the statement nor inject predicates."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][\w.]*", table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    for label, d in (("date_from", date_from), ("date_to", date_to)):
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2})?", d):
+            raise ValueError(f"{label} must be YYYY-MM-DD[ HH:MM:SS], got {d!r}")
     cols = ", ".join(f"`{c}`" for c in DEDUP_META_COLS)
     return (
         f"SELECT min(received_at) AS received_at, {cols}, any(raw_tx) AS raw_tx "

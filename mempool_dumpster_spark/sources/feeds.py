@@ -142,21 +142,43 @@ def run_feed(
 
 
 def csv_landing_sink(landing_dir: str, rotate_every: int = 1000):
-    """TxIn sink appending `received_at,raw_tx,source` CSV rows to a landing
-    directory consumed by streaming.collector.file_stream_source. Rotates
-    files every `rotate_every` rows so the file stream sees closed files
-    promptly (a file-based stand-in for a Kafka topic)."""
+    """TxIn sink writing `received_at,raw_tx,source` CSV rows to a landing
+    directory consumed by streaming.collector.file_stream_source (a
+    file-based stand-in for a Kafka topic).
+
+    Two invariants the naive append-in-place version violated:
+
+    - **Files become visible ATOMICALLY and only when complete.** Spark's
+      file stream source reads each path exactly once at discovery — rows
+      appended to an already-discovered file are silently lost. Rows are
+      therefore written to a dot-prefixed temp file (which the file
+      source ignores) and renamed into the visible name on rotation/close,
+      so the stream only ever sees closed, complete files.
+    - **Names are unique per sink, not per process.** Multiple feeds run
+      as threads in one process (run_feed blocks); a PID-only name made
+      two sinks append to the same file with interleaved rows and
+      double-closed handles. A per-sink random token disambiguates.
+    """
     import os
+    import uuid
 
     os.makedirs(landing_dir, exist_ok=True)
-    state = {"n": 0, "file": None, "seq": 0}
+    token = uuid.uuid4().hex[:8]
+    state: dict = {"n": 0, "file": None, "seq": 0, "tmp": None, "final": None}
+
+    def _promote() -> None:
+        if state["file"] is not None:
+            state["file"].close()
+            os.rename(state["tmp"], state["final"])
+            state["file"] = None
 
     def sink(received_at: datetime, raw_tx: str, source: str) -> None:
         if state["file"] is None or state["n"] >= rotate_every:
-            if state["file"] is not None:
-                state["file"].close()
-            path = f"{landing_dir}/feed_{os.getpid()}_{state['seq']:06d}.csv"
-            state["file"] = open(path, "a")  # noqa: SIM115 — rotating handle
+            _promote()
+            name = f"feed_{os.getpid()}_{token}_{state['seq']:06d}.csv"
+            state["final"] = f"{landing_dir}/{name}"
+            state["tmp"] = f"{landing_dir}/.{name}.tmp"
+            state["file"] = open(state["tmp"], "w")  # noqa: SIM115 — rotating handle
             state["seq"] += 1
             state["n"] = 0
         # millisecond precision: the reference records ms receive timestamps
@@ -168,5 +190,5 @@ def csv_landing_sink(landing_dir: str, rotate_every: int = 1000):
         state["file"].flush()
         state["n"] += 1
 
-    sink.close = lambda: state["file"] and state["file"].close()  # type: ignore[attr-defined]
+    sink.close = _promote  # type: ignore[attr-defined]
     return sink

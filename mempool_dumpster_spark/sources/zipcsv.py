@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 def expand_zip_inputs(paths: list[str], scratch_dir: str | None = None) -> list[str]:
     """Replace any `.zip`/`.csv.zip` path with the extracted `.csv` members;
-    non-zip paths pass through untouched."""
+    non-zip paths pass through untouched.
+
+    Extraction names carry a digest of the FULL archive path and the FULL
+    member path: basenames alone collide for the reference's actual layout
+    (every day's archive is `transactions.csv.zip` in a dated directory),
+    and a collision silently replaced day 1's data with two copies of
+    day 2's."""
+    import hashlib
+
     out: list[str] = []
     scratch = scratch_dir or tempfile.mkdtemp(prefix="zipcsv_")
     os.makedirs(scratch, exist_ok=True)
@@ -36,8 +44,12 @@ def expand_zip_inputs(paths: list[str], scratch_dir: str | None = None) -> list[
             for member in zf.namelist():
                 if not member.endswith(".csv"):
                     continue
+                tag = hashlib.sha256(
+                    f"{os.path.abspath(path)}::{member}".encode()
+                ).hexdigest()[:16]
                 target = os.path.join(
-                    scratch, os.path.basename(path) + "__" + os.path.basename(member)
+                    scratch,
+                    f"{tag}__{os.path.basename(path)}__{os.path.basename(member)}",
                 )
                 with zf.open(member) as src, open(target, "wb") as dst:
                     dst.write(src.read())
@@ -60,6 +72,7 @@ def read_zip_members_distributed(
     schema = ", ".join(f"{c} string" for c in cols)
 
     def unzip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import csv
         import io
 
         for pdf in batches:
@@ -69,8 +82,13 @@ def read_zip_members_distributed(
                     for member in zf.namelist():
                         if not member.endswith(".csv"):
                             continue
-                        for line in zf.read(member).decode().splitlines():
-                            parts = line.split(",", n_columns - 1)
+                        # RFC-4180 parse, not line.split(','): quoted
+                        # fields containing commas (Spark's own CSV writer
+                        # quotes them) must not shift columns, and quote
+                        # characters must be stripped like the plain
+                        # readers do
+                        text = io.StringIO(zf.read(member).decode())
+                        for parts in csv.reader(text):
                             parts += [None] * (n_columns - len(parts))
                             rows.append(parts[:n_columns])
                 yield pd.DataFrame(rows, columns=cols)

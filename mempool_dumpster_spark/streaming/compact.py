@@ -178,8 +178,8 @@ def compact_partitions(
         if len(files) < max(min_files_to_compact, want + 1):
             continue
         rel = os.path.relpath(part_dir, root)
-        staging = os.path.join(staging_root, rel)
-        retired = os.path.join(retired_root, rel)
+        staging = os.path.normpath(os.path.join(staging_root, rel))
+        retired = os.path.normpath(os.path.join(retired_root, rel))
         shutil.rmtree(staging, ignore_errors=True)
         # Read the SNAPSHOTTED files only — partition values live in the
         # directory name, not the rows, so the rewrite is value-identical,
@@ -224,16 +224,29 @@ def compact_partitions(
         with open(marker_tmp, "w") as mf:
             json.dump(sorted(os.path.basename(f) for f in files), mf)
         os.replace(marker_tmp, retired + ".snapshot.json")
-        os.rename(part_dir, retired)
-        try:
-            os.rename(staging, part_dir)
-        except OSError:
-            # a concurrent writer re-created the dir inside the rename
-            # window: merge the compacted files in file-by-file instead
-            os.makedirs(part_dir, exist_ok=True)
+        if rel == ".":
+            # root itself is the leaf (unpartitioned dataset): it cannot
+            # be renamed into its own _compaction subtree, so swap
+            # file-by-file under the same staging-manifest + snapshot
+            # markers — every crash window lands in a _recover branch
+            # that is already lossless for partial file moves.
+            os.makedirs(retired, exist_ok=True)
+            for f in files:
+                os.rename(f, os.path.join(retired, os.path.basename(f)))
             for f in _partition_files(staging):
                 os.rename(f, os.path.join(part_dir, os.path.basename(f)))
             shutil.rmtree(staging, ignore_errors=True)
+        else:
+            os.rename(part_dir, retired)
+            try:
+                os.rename(staging, part_dir)
+            except OSError:
+                # a concurrent writer re-created the dir inside the rename
+                # window: merge the compacted files in file-by-file instead
+                os.makedirs(part_dir, exist_ok=True)
+                for f in _partition_files(staging):
+                    os.rename(f, os.path.join(part_dir, os.path.basename(f)))
+                shutil.rmtree(staging, ignore_errors=True)
         # rescue any file that raced into the old dir between the re-check
         # and the first rename — it is in `retired` but not in the snapshot
         snapshot_names = {os.path.basename(f) for f in files}

@@ -37,15 +37,24 @@ def receiver_sink(
     batch_cap: int = 10_000,
 ):
     """S22: at-least-once delivery of (hash, raw_tx, source) rows to an
-    external receiver. `send` gets one list of row-dicts per micro-batch
-    partition-collapsed on the driver — receivers are low-volume by
-    definition (first arrivals only); cap guards against replay storms."""
+    external receiver. `send` gets lists of at most `batch_cap` row-dicts —
+    batch_cap is a CHUNK size bounding driver memory and per-call receiver
+    work, never a truncation: a replay-storm micro-batch (e.g. the whole
+    backlog after a restart under availableNow) is delivered in full as
+    multiple send() calls. The old `limit(batch_cap)` dropped an arbitrary
+    remainder while the checkpoint still committed the batch — rows were
+    permanently undelivered, violating at-least-once."""
     filtered = allowlist_filter(df, allowed_sources)
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
-        rows = [r.asDict() for r in batch_df.limit(batch_cap).collect()]
-        if rows:
-            send(rows)
+        chunk: list[dict] = []
+        for r in batch_df.toLocalIterator():
+            chunk.append(r.asDict())
+            if len(chunk) >= batch_cap:
+                send(chunk)
+                chunk = []
+        if chunk:
+            send(chunk)
 
     return (
         filtered.writeStream.foreachBatch(deliver)

@@ -249,3 +249,37 @@ def test_fiber_grpc_transport_requires_stub():
     else:
         with pytest.raises(ValueError, match="stub_factory"):
             fiber_grpc_transport("fiber.example:8080", "key")
+
+
+def test_landing_sink_atomic_visibility_and_unique_names(tmp_path):
+    """Two invariants of the landing contract: (1) a file in progress is
+    invisible to the file stream (dot-prefixed) and appears atomically,
+    COMPLETE, on rotation/close — Spark's file source reads each path
+    exactly once at discovery, so append-after-discovery rows are lost;
+    (2) two sinks in one process must never share a file."""
+    from datetime import datetime, timezone
+
+    landing = tmp_path / "landing"
+    t = datetime(2023, 9, 4, 1, 2, 3, tzinfo=timezone.utc)
+    a = csv_landing_sink(str(landing), rotate_every=2)
+    b = csv_landing_sink(str(landing), rotate_every=2)
+
+    a(t, "0xaa", "eden")
+    visible = [p.name for p in landing.iterdir() if not p.name.startswith(".")]
+    assert visible == []  # in-progress file is hidden from the stream
+
+    a(t, "0xab", "eden")
+    a(t, "0xac", "eden")  # third row rotates: first file promoted, complete
+    visible = [p.name for p in landing.iterdir() if not p.name.startswith(".")]
+    assert len(visible) == 1
+    assert len((landing / visible[0]).read_text().splitlines()) == 2
+
+    b(t, "0xba", "blx")
+    a.close()
+    b.close()
+    visible = sorted(p.name for p in landing.iterdir() if not p.name.startswith("."))
+    assert len(visible) == 3 and len(set(visible)) == 3  # no shared names
+    all_rows = [
+        ln for p in visible for ln in (landing / p).read_text().splitlines()
+    ]
+    assert len(all_rows) == 4  # every row visible exactly once after close

@@ -70,6 +70,20 @@ def test_sourcelog_dedup_min(spark):
     assert out == {("h1", "a"): 90, ("h1", "b"): 95}
 
 
+def test_sourcelog_dedup_min_tolerates_extra_columns(spark):
+    """A sourcelog read back from the collector's date=/hour= partitioned
+    archive carries the partition dirs as extra columns — the dedup must
+    drop them (no defined value after min()) instead of raising
+    UNRESOLVED_COLUMN as the old select(*df.columns) did."""
+    df = spark.createDataFrame(
+        [(100, "h1", "a", "2023-09-04", 1), (90, "h1", "a", "2023-09-04", 2)],
+        "timestamp_ms long, hash string, source string, date string, hour int",
+    )
+    out = dedup_min_timestamp(df)
+    assert out.columns == ["timestamp_ms", "hash", "source"]
+    assert out.collect()[0]["timestamp_ms"] == 90
+
+
 def test_sources_ordered_by_first_seen(spark):
     sl = spark.createDataFrame(
         [(100, "h1", "late"), (50, "h1", "early"), (75, "h1", "mid"),

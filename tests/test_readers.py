@@ -88,6 +88,39 @@ def test_zip_expansion(spark, tmp_path):
     assert got == {H1, H2}
 
 
+def test_zip_expansion_same_basename_no_collision(spark, tmp_path):
+    """The reference layout puts an identically-named archive in every
+    dated directory — extraction targets must not collide (a collision
+    silently replaced day 1's rows with two copies of day 2's)."""
+    for day, payload in (("d1", f"100,{H1},0xdead\n"), ("d2", f"200,{H2},0xbeef\n")):
+        os.makedirs(tmp_path / day, exist_ok=True)
+        with zipfile.ZipFile(tmp_path / day / "transactions.csv.zip", "w") as zf:
+            zf.writestr("transactions.csv", payload)
+    paths = expand_zip_inputs(
+        [
+            str(tmp_path / "d1" / "transactions.csv.zip"),
+            str(tmp_path / "d2" / "transactions.csv.zip"),
+        ],
+        scratch_dir=str(tmp_path / "scratch"),
+    )
+    assert len(paths) == len(set(paths)) == 2
+    got = {r["hash"] for r in read_tx_csv(spark, paths).valid.collect()}
+    assert got == {H1, H2}
+
+
+def test_zip_distributed_reader_quoted_commas(spark, tmp_path):
+    """Executor-side unzip must parse RFC-4180: a quoted field containing
+    a comma is one column, with the quotes stripped — not a column shift."""
+    from mempool_dumpster_spark.sources.zipcsv import read_zip_members_distributed
+
+    zpath = tmp_path / "trash.csv.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("t.csv", f'123,{H1},src,"re,ason",note\n')
+    out = read_zip_members_distributed(spark, str(zpath), n_columns=5).collect()
+    assert len(out) == 1
+    assert out[0]["c3"] == "re,ason" and out[0]["c4"] == "note"
+
+
 def test_read_documents_jsonl(spark, tmp_path):
     """JSONL corpus source: well-formed rows parse with meta; broken JSON
     and missing-field lines land in rejects with a countable total."""

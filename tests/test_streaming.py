@@ -657,6 +657,47 @@ def test_compact_hourly_partitions(spark, tmp_path):
     assert stats2["partitions_compacted"] == 0
 
 
+def test_compact_unpartitioned_root(spark, tmp_path):
+    """An UNPARTITIONED dataset (parquet files directly under root) must
+    compact too: root cannot be renamed into its own _compaction subtree,
+    so the swap goes file-by-file under the same crash markers. The old
+    code raised OSError here after the rewrite work was already spent."""
+    import os
+
+    from mempool_dumpster_spark.streaming.compact import compact_partitions
+
+    root = str(tmp_path / "flat")
+    for _ in range(5):
+        spark.range(0, 100).write.mode("append").parquet(root)
+    rows_before = sorted(
+        r["id"] for r in spark.read.parquet(root).collect()
+    )
+    n_before = len([f for f in os.listdir(root) if f.endswith(".parquet")])
+    assert n_before >= 5
+
+    stats = compact_partitions(
+        spark, root, target_file_bytes=1 << 30, quiesce_seconds=0.0
+    )
+    assert stats["partitions_compacted"] == 1
+
+    n_after = len([f for f in os.listdir(root) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert sorted(r["id"] for r in spark.read.parquet(root).collect()) == rows_before
+    # work dirs fully drained — no stranded retired originals or markers
+    comp = os.path.join(root, "_compaction")
+    leftovers = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(comp)
+        for f in fn
+    ] if os.path.isdir(comp) else []
+    assert leftovers == []
+    # second run over the flat root: nothing left to do
+    stats2 = compact_partitions(
+        spark, root, target_file_bytes=1 << 30, quiesce_seconds=0.0
+    )
+    assert stats2["partitions_compacted"] == 0
+
+
 def test_compact_skips_live_partition(spark, tmp_path):
     """A partition written within the quiesce window is never compacted —
     the hour the collector is still writing stays untouched."""

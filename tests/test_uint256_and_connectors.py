@@ -64,6 +64,17 @@ def test_uint256_double_view(spark):
 
 
 def test_clickhouse_pushdown_query():
+    # unvalidated shapes must be rejected before they reach JDBC SQL
+    for bad in (
+        ("transactions", "2023-09-04' OR 1=1 --", "2023-09-05"),
+        ("transactions; DROP TABLE x", "2023-09-04", "2023-09-05"),
+    ):
+        try:
+            dedup_pushdown_query(*bad)
+            raise AssertionError(f"accepted {bad!r}")
+        except ValueError:
+            pass
+
     q = dedup_pushdown_query("transactions", "2023-09-04", "2023-09-05")
     assert "min(received_at)" in q and "any(raw_tx)" in q
     assert "group_by_two_level_threshold=100000" in q
@@ -98,6 +109,36 @@ def test_receiver_sink_foreachbatch(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert got and [r["hash"] for r in got[0]] == ["h1"]  # eden filtered out
+
+
+def test_receiver_sink_chunks_instead_of_dropping(spark, tmp_path):
+    """batch_cap is a chunk size, not a truncation: a micro-batch larger
+    than the cap must reach the receiver IN FULL across multiple send()
+    calls (the old limit() silently dropped the remainder while the
+    checkpoint committed — permanently undelivered rows)."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "a.csv").write_text(
+        "".join(f"h{i:03d},0xdead,alchemy\n" for i in range(25))
+    )
+    stream = spark.readStream.schema(
+        "hash string, raw_tx string, source string"
+    ).csv(str(indir))
+    got: list[list[dict]] = []
+    q = receiver_sink(
+        stream,
+        send=got.append,
+        allowed_sources=["all"],
+        checkpoint=str(tmp_path / "ck2"),
+        batch_cap=10,
+    )
+    deadline = time.time() + 30
+    while sum(len(c) for c in got) < 25 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert sum(len(c) for c in got) == 25
+    assert max(len(c) for c in got) <= 10
+    assert {r["hash"] for c in got for r in c} == {f"h{i:03d}" for i in range(25)}
 
 
 def test_uint256_sum_exact_df_distributed(spark):
