@@ -73,12 +73,25 @@ def _hex_to_bytes(raw: str | bytes) -> bytes:
     return bytes.fromhex(s)
 
 
-def _addr(b: bytes) -> str:
+def _addr(b) -> str:
+    # type-check BEFORE touching the value: a garbage payload can decode
+    # to a nested list in the `to` slot, and a 20-item list passes the
+    # length check only to blow up in .hex() with AttributeError — which
+    # would escape the UDF's (TxDecodeError, ValueError) guard and kill
+    # the whole ingest job on one row instead of routing it to rejects
+    if not isinstance(b, bytes):
+        raise TxDecodeError("address field is not a scalar")
     if b == b"":
         return ""
     if len(b) != 20:
         raise TxDecodeError(f"bad address length {len(b)}")
     return "0x" + b.hex()
+
+
+def _data(b) -> bytes:
+    if not isinstance(b, bytes):
+        raise TxDecodeError("data field is not a scalar")
+    return b
 
 
 def parse_tx(raw: str | bytes) -> ParsedTx:
@@ -129,7 +142,7 @@ def _parse_legacy(data: bytes) -> ParsedTx:
         raise TxDecodeError("legacy tx must be a 9-item list")
     nonce, gas_price, gas, value, v, r, s = _ints(fields, [0, 1, 2, 4, 6, 7, 8])
     to = _addr(fields[3])
-    calldata = fields[5]
+    calldata = _data(fields[5])
     # EIP-155: v = chain_id*2 + 35 + parity; pre-155: v ∈ {27, 28}, chain 0
     if v >= 35:
         chain_id = (v - 35) // 2
@@ -188,7 +201,7 @@ def _parse_typed(data: bytes) -> ParsedTx:
             payload, [0, 1, 2, 3, 5, 8, 9, 10]
         )
         to = _addr(payload[4])
-        calldata = payload[6]
+        calldata = _data(payload[6])
         tip = fee = gas_price
         n_unsigned = 8
     elif tx_type == 0x02:
@@ -198,7 +211,7 @@ def _parse_typed(data: bytes) -> ParsedTx:
             payload, [0, 1, 2, 3, 4, 6, 9, 10, 11]
         )
         to = _addr(payload[5])
-        calldata = payload[7]
+        calldata = _data(payload[7])
         gas_price = fee  # dynamic-fee: GasPrice() == GasFeeCap
         n_unsigned = 9
     elif tx_type == 0x03:
@@ -210,7 +223,7 @@ def _parse_typed(data: bytes) -> ParsedTx:
         to = _addr(payload[5])
         if to == "":
             raise TxDecodeError("blob tx without to address")
-        calldata = payload[7]
+        calldata = _data(payload[7])
         gas_price = fee
         n_unsigned = 11
     else:

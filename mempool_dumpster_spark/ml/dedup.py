@@ -95,22 +95,19 @@ def soft_dedup_weights(
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(id, shingle) distinct — the set representation used by minhash and
-    exact Jaccard. Splits once per doc and spreads the CPU-bound k-gram
-    projection over cores (see plans.text_queries.doc_shingles)."""
+    exact Jaccard. Spreads the CPU-bound k-gram projection over cores and
+    reuses `shingles()`'s arrays_zip formulation (byte-identical output,
+    measured 6-10× over the per-gram element_at form this function used
+    to inline — this feeds every prep/append hot path)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    w = df.repartition(par).select(
-        F.col(id_col).alias("doc_id"), words(text_col).alias("__w")
+    return (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(text_col, k)).alias("shingle"),
+        )
+        .distinct()
     )
-    wc = F.col("__w")
-    n = F.size(wc)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    mk = lambda i: F.concat_ws(
-        " ", *[F.element_at(wc, (i + off).cast("int")) for off in range(k)]
-    )
-    sh = F.when(n >= k, F.transform(idx, mk)).otherwise(
-        F.array().cast("array<string>")
-    )
-    return w.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(
@@ -172,9 +169,17 @@ def lsh_candidate_pairs(
         bands_df = bands_df.withColumn("__bn", bucket_n).filter(
             F.col("__bn") <= max_bucket_size
         ).drop("__bn")
+    # The cache is LOAD-BEARING: exchange reuse does not fire across the
+    # two self-join sides (measured — the asymmetric doc_id< pushdown
+    # breaks canonicalization), so without it the shingle+minhash
+    # projection would compute twice. DataFrame caches are never
+    # GC-collected (CacheManager holds the plan), so the cached handle is
+    # exposed on the result as `_lsh_cached_bands` and consumers that run
+    # repeatedly (near_dup_keeplist under the streaming append gate)
+    # unpersist it once their actions are done.
     bands_df = bands_df.cache()
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
-    return (
+    out = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -185,6 +190,8 @@ def lsh_candidate_pairs(
         .agg(F.count("*").alias("n_shared_bands"))
         .filter(F.col("n_shared_bands") >= min_shared_bands)
     )
+    out._lsh_cached_bands = bands_df
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -278,14 +285,29 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return w.groupBy("doc_id").agg(total.alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+def simhash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3, chunks: int | None = None
+) -> DataFrame:
     """Near-dup pairs by SimHash within `max_hamming` bits.
 
     Pigeonhole banding: split the fingerprint into `chunks` bit-ranges; any
     pair within max_hamming ≤ chunks-1 shares at least one exact chunk, so
     candidates come from equality joins on chunk values (shuffle ∝ docs ×
     chunks, never docs²), then exact Hamming verify via bit_count(xor).
+
+    `chunks=None` (the default) derives the smallest valid band count from
+    max_hamming; an explicit chunks that violates the pigeonhole bound is
+    a hard ValueError — a too-small band count silently DROPS true pairs
+    whose differing bits spread across every chunk (recall loss in a
+    dedup gate, invisible to the caller).
     """
+    if chunks is None:
+        chunks = next(c for c in (2, 4, 8, 16, 32, 64) if c > max_hamming)
+    if not (1 <= max_hamming < chunks <= 64 and 64 % chunks == 0):
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming <= chunks-1 with chunks "
+            f"dividing 64; got max_hamming={max_hamming}, chunks={chunks}"
+        )
     width = 64 // chunks
     chunk_cols = [
         F.struct(

@@ -1329,6 +1329,13 @@ def pcm_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 # --- synthetic container builder --------------------------------------------
 
+#: ISO-BMFF unity transformation matrix (mvhd/tkhd): fixed-point
+#: [0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000]
+_MP4_IDENTITY_MATRIX = b"".join(
+    v.to_bytes(4, "big")
+    for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+)
+
 
 def build_keyframe_mp4(
     frame_payloads: list[bytes],
@@ -1390,8 +1397,37 @@ def build_keyframe_mp4(
     stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
-    trak = box(b"trak", mdia)
-    moov = box(b"moov", trak)
+    # mvhd/tkhd are MANDATORY ISO-BMFF boxes — without them the package's
+    # OWN video_header rejects the container ('moov without mvhd') and
+    # video_features reports decode_ok=False for files this module built.
+    # Both sit AFTER mdat in the byte stream, so adding them shifts no
+    # stco sample offset. Version-0 layouts; width/height 0 (the payloads
+    # are opaque bytes, not coded video).
+    mvhd = full(
+        b"mvhd",
+        (0).to_bytes(4, "big") * 2              # creation/modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")       # rate 1.0
+        + (0x0100).to_bytes(2, "big")           # volume 1.0
+        + b"\x00" * 10                          # reserved
+        + _MP4_IDENTITY_MATRIX
+        + b"\x00" * 24                          # pre_defined
+        + (2).to_bytes(4, "big"),               # next_track_ID
+    )
+    tkhd = full(
+        b"tkhd",
+        (0).to_bytes(4, "big") * 2              # creation/modification
+        + (1).to_bytes(4, "big")                # track_ID
+        + b"\x00" * 4                           # reserved
+        + duration.to_bytes(4, "big")
+        + b"\x00" * 8                           # reserved
+        + b"\x00" * 8                           # layer/alt_group/volume/rsvd
+        + _MP4_IDENTITY_MATRIX
+        + (0).to_bytes(4, "big") * 2,           # width/height (16.16)
+    )
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
 
 

@@ -72,6 +72,14 @@ def near_dup_keeplist(
     sh = shingle_sets(docs, text_col=text_col, id_col=id_col, k=k)
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     comp = duplicate_components(pairs)
+    # duplicate_components has fully consumed `pairs` by return (driver
+    # union-find collects the edges; the distributed path checkpoints its
+    # labels), so the band-rows cache it pinned can be released NOW —
+    # under the streaming append gate this function runs once per
+    # micro-batch, and an unreleased cache accumulates per batch.
+    cached = getattr(pairs, "_lsh_cached_bands", None)
+    if cached is not None:
+        cached.unpersist()
     heads = comp.filter(F.col("doc_id") == F.col("component_id")).select(
         F.col("doc_id").alias(id_col)
     )
@@ -355,7 +363,18 @@ def cross_corpus_filter(
         )
         .drop("__th")
     )
+    cached_base = None
     if near_dup:
+        # `out` is referenced TWICE below (as the shingle source for the
+        # new batch's signatures AND as the left side of the final
+        # anti-join), and its lineage is the caller's full gate chain
+        # (prep_incremental: gopher gates, exact-dedup window, the
+        # within-batch LSH keep-list) — without a cache one action
+        # computes all of that twice. The handle is exposed on the result
+        # as `_ccf_cached_base`; append_batch unpersists it after its
+        # upserts (same discipline as the LSH band cache).
+        cached_base = out.cache()
+        out = cached_base
         new_sigs = minhash_signatures(
             shingle_sets(out, text_col=text_col, id_col=id_col, k=shingle_k),
             n_hashes=n_hashes,
@@ -392,6 +411,8 @@ def cross_corpus_filter(
             .distinct()
         )
         out = out.join(near, id_col, "left_anti")
+    if cached_base is not None:
+        out._ccf_cached_base = cached_base
     return out
 
 
@@ -446,9 +467,8 @@ def append_batch(
         )
         sigs = read_committed(spark, sigs_out)
     missing.unpersist()
-    kept = prep_incremental(
-        docs, sigs, benchmark=benchmark, config=cfg
-    ).cache()
+    gated = prep_incremental(docs, sigs, benchmark=benchmark, config=cfg)
+    kept = gated.cache()
     try:
         upsert(spark, out_dir, kept, ["doc_id"])
         upsert(
@@ -463,6 +483,12 @@ def append_batch(
         }
     finally:
         kept.unpersist()
+        # release the gate chain's intermediate cache (cross_corpus_filter
+        # pins the post-exact-anti-join base; see _ccf_cached_base) — the
+        # streaming append gate calls this once per micro-batch
+        ccf = getattr(gated, "_ccf_cached_base", None)
+        if ccf is not None:
+            ccf.unpersist()
 
 
 def calibrate_cross_corpus_gate(

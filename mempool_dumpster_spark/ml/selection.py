@@ -205,7 +205,7 @@ def dsir_stats_from_json(spark, payload: str) -> tuple[DataFrame, int, int]:
 
 def dsir_apply(
     corpus: DataFrame,
-    stats: DataFrame,
+    stats: DataFrame | tuple,
     n: int = 2,
     n_buckets: int = 4096,
     id_col: str = "doc_id",
@@ -215,7 +215,26 @@ def dsir_apply(
     the serve-many half. Same output schema as `dsir_importance`; grams
     hashing into buckets the artifact never saw contribute zero mass
     (importance 0.0 when nothing matches). One corpus scan + the ≤
-    n_buckets-row broadcast; the training corpus is never re-read."""
+    n_buckets-row broadcast; the training corpus is never re-read.
+
+    Pass `stats` as the (frame, n, n_buckets) triple that
+    `dsir_stats_from_json` returns and the artifact's OWN shingle width
+    and bucket count are used — a caller-supplied n/n_buckets that
+    contradicts the triple is a hard ValueError. A mismatch is never a
+    soft error: every gram still hashes into some bucket the artifact
+    populated, so the scores come back confidently WRONG, not zero."""
+    if isinstance(stats, tuple):
+        stats, art_n, art_buckets = stats
+        for label, given, stored, default in (
+            ("n", n, art_n, 2),
+            ("n_buckets", n_buckets, art_buckets, 4096),
+        ):
+            if given != stored and given != default:
+                raise ValueError(
+                    f"{label}={given} contradicts the stats artifact "
+                    f"({label}={stored}); drop the argument"
+                )
+        n, n_buckets = art_n, art_buckets
     grams = corpus.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
     ).select(id_col, _bucket(F.col("gram"), n_buckets))
@@ -291,6 +310,18 @@ def semantic_contamination(
         .otherwise(F.lit(0.0))
         .alias("sim_r"),
     )
+    # An EMPTY benchmark must yield every corpus row with contaminated=0,
+    # not an empty frame — a caller keeping clean rows via
+    # contaminated == 0 would otherwise drop the whole corpus the day a
+    # benchmark filter matches nothing. The benchmark side is tiny by
+    # contract (it broadcasts), so the driver-side emptiness probe is
+    # O(1) and the corpus-scale plan stays untouched on the normal path.
+    if b.isEmpty():
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0.0).alias("max_sim_r"),
+            F.lit(0).cast("bigint").alias("contaminated"),
+        )
     return sims.groupBy("vec_id").agg(
         F.max("sim_r").alias("max_sim_r"),
         (F.max("sim_r") >= threshold).cast("bigint").alias("contaminated"),

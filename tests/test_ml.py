@@ -94,6 +94,25 @@ def test_simhash_and_near_pairs(docs):
     assert got[(0, 1)] == 0
 
 
+def test_simhash_near_pairs_pigeonhole_guard(spark):
+    """Banding only guarantees a shared chunk when max_hamming <= chunks-1:
+    an explicit violating chunks raises, and the auto-derived band count
+    finds a pair whose differing bits spread across all 4 old chunks
+    (which chunks=4 silently missed)."""
+    # 4 differing bits, one in each 16-bit quarter of the fingerprint
+    a, b = 0, (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    sig = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, simhash long"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(sig, max_hamming=4, chunks=4)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sig, max_hamming=4).collect()
+    }
+    assert got == {(1, 2): 4}
+
+
 def test_duplicate_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
@@ -2522,6 +2541,17 @@ def test_build_keyframe_mp4_roundtrip(spark):
 
     with _pytest.raises(ValueError):
         build_keyframe_mp4([])
+
+    # the container must be self-consistent: the package's OWN header
+    # parser accepts it (mvhd/tkhd are mandatory ISO-BMFF boxes — the old
+    # builder omitted both, so video_header raised 'moov without mvhd'
+    # and video_features called the module's own fixtures corrupt)
+    from mempool_dumpster_spark.ml.multimodal import video_header
+
+    fmt, width, height, duration, n_tracks = video_header(mp4)
+    assert fmt == "mp4" and n_tracks == 1
+    assert duration == 15.0  # 3 frames x 5 s
+    assert (width, height) == (0, 0)  # opaque payloads, not coded video
 
 
 def test_ngram_jaccard_recovers_moderate_similarity_pairs(spark, tmp_path):

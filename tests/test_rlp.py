@@ -127,6 +127,27 @@ def test_decode_errors_raise():
         parse_tx("0x05ffff")  # unknown type byte
 
 
+def test_list_in_scalar_slot_raises_decode_error_not_attributeerror():
+    """A decodable garbage payload with a LIST in the `to` or `data` slot
+    must raise TxDecodeError (→ reject lane), never AttributeError —
+    which would escape the UDF's (TxDecodeError, ValueError) guard and
+    kill the whole ingest job on one untrusted mempool row. The 20-item
+    list in the `to` slot even passes the len()==20 check before .hex()
+    blew up in the old code."""
+    from mempool_dumpster_spark.functions import rlp_codec as rlp
+
+    to_is_list = rlp.encode(
+        [b"", b"\x01", b"\x01", [b"\x01"] * 20, b"", b"", b"\x1b", b"\x01", b"\x01"]
+    )
+    with pytest.raises(TxDecodeError):
+        parse_tx(to_is_list)
+    data_is_list = rlp.encode(
+        [b"", b"\x01", b"\x01", b"", b"", [b"\x01"], b"\x1b", b"\x01", b"\x01"]
+    )
+    with pytest.raises(TxDecodeError):
+        parse_tx(data_is_list)
+
+
 def test_high_s_rejected_eip2():
     """Geth ValidateSignatureValues(homestead=true) rejects s > N/2: a
     malleated high-s signature must come back signature-error with the zero

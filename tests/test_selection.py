@@ -104,6 +104,17 @@ def test_semantic_contamination_zero_norm_vectors(spark):
     assert got[100]["max_sim_r"] == 0.0 and got[100]["contaminated"] == 0
     assert got[101]["max_sim_r"] == 1.0 and got[101]["contaminated"] == 1
 
+    # empty benchmark: every corpus row comes back clean, never an empty
+    # frame (which would drop the corpus under a contaminated==0 keep)
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_contamination(
+            corp, bench.filter("vec_id > 999"), threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {100, 101}
+    assert all(r["contaminated"] == 0 and r["max_sim_r"] == 0.0 for r in got.values())
+
 
 def test_cluster_coreset_rejects_wrong_width(spark):
     """dim is a validation contract: a ragged row fails the job loudly
@@ -169,6 +180,19 @@ def test_dsir_artifact_roundtrip_and_apply_parity(spark, corpus):
         for r in dsir_apply(corpus, back, n=n, n_buckets=n_buckets).collect()
     }
     assert applied == inline
+
+    # the triple form pins the artifact's own n/n_buckets — identical
+    # scores with no parameters to get wrong, and a contradicting
+    # explicit value is a hard error (a silent mismatch hashes every
+    # gram into the wrong-but-populated bucket space: confidently
+    # wrong scores, not zeros)
+    triple = dsir_stats_from_json(spark, payload)
+    applied_t = {
+        r["doc_id"]: r.asDict() for r in dsir_apply(corpus, triple).collect()
+    }
+    assert applied_t == inline
+    with pytest.raises(ValueError, match="contradicts"):
+        dsir_apply(corpus, triple, n_buckets=8192)
 
     # unseen grams carry no mass: a doc of never-trained words scores 0.0
     new = spark.createDataFrame(
