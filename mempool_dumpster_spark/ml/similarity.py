@@ -1551,3 +1551,186 @@ def ivfpq_topk_pretrained(
         sims.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the uniform-quantizer rung of the ANN ladder
+# (FAISS IndexScalarQuantizer QT_8bit; Guo et al. 2020 discuss the regime
+# where per-dimension scalar codes beat PQ: low-dim, anisotropic ranges)
+# ---------------------------------------------------------------------------
+
+
+def train_sq8_bounds(
+    candidates: DataFrame,
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Per-dimension [lo, hi] over the corpus's UNIT vectors — the entire
+    trained state of the SQ8 quantizer (2·dim floats; PQ needs m·k_codes·
+    d_sub). min/max are exact order-free folds, so unlike k-means there is
+    no iteration and no tie-break discipline needed: any partitioning of
+    any cluster trains bit-identical bounds in one aggregation pass.
+    Returns [lo_list, hi_list]."""
+    c = with_unit_vector(_spread(candidates), emb_col)
+    u = F.col("unit")
+    aggs = []
+    for d in range(dim):
+        aggs.append(F.min(F.element_at(u, d + 1)).alias(f"__lo{d}"))
+        aggs.append(F.max(F.element_at(u, d + 1)).alias(f"__hi{d}"))
+    row = c.agg(*aggs).collect()[0]
+    lo = [float(row[f"__lo{d}"]) for d in range(dim)]
+    hi = [float(row[f"__hi{d}"]) for d in range(dim)]
+    return [lo, hi]
+
+
+def sq8_bounds_to_json(bounds: list[list[float]]) -> str:
+    """Serialize trained SQ8 bounds — same exact-float JSON contract as
+    `pq_codebooks_to_json` (shortest-repr doubles round-trip bit-for-bit,
+    so codes encoded on one cluster decode identically on another).
+    Persist BESIDE the code artifact."""
+    import json
+
+    lo, hi = bounds
+    if len(lo) != len(hi):
+        raise ValueError(f"lo/hi length mismatch: {len(lo)} vs {len(hi)}")
+    return json.dumps(
+        {"format": "sq8-bounds-v1", "dim": len(lo), "lo": lo, "hi": hi}
+    )
+
+
+def sq8_bounds_from_json(payload: str) -> list[list[float]]:
+    import json
+
+    obj = json.loads(payload)
+    if obj.get("format") != "sq8-bounds-v1":
+        raise ValueError(f"not an SQ8 bounds payload: {obj.get('format')!r}")
+    lo = [float(x) for x in obj["lo"]]
+    hi = [float(x) for x in obj["hi"]]
+    if len(lo) != obj.get("dim") or len(hi) != obj.get("dim"):
+        raise ValueError("SQ8 payload dim does not match lo/hi length")
+    return [lo, hi]
+
+
+def sq8_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    refine: int = 4,
+    bounds: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via 8-bit scalar quantization + exact re-rank —
+    the third compression rung of the ANN ladder (LSH buckets, PQ
+    codebooks, SQ8 uniform grid). Each unit vector encodes to dim uint8
+    codes (code_d = floor((x_d − lo_d)·255/(hi_d − lo_d)), clamped); the
+    scan scores sim(q, c) asymmetrically — the query stays full
+    precision: approx = Σ_d q_d·(lo_d + code_d·Δ_d), folded as
+    bias_q + Σ_d w_q[d]·code_d with w_q[d] = q_d·Δ_d precomputed per
+    query.
+
+    Unlike `pq_topk`'s Arrow ADC pass, BOTH the encode and the scoring
+    scan here are pure Catalyst expressions (transform / zip_with /
+    aggregate) — the hot path never leaves whole-stage codegen, no
+    Python round-trip at all. Scale shape matches PQ: the scoring scan
+    touches only the dim-byte code artifact, |Q| is a small batched set
+    by contract (per-query weight arrays are plan literals), and the
+    refine·k shortlist re-ranks by exact cosine so the final (sim, rank)
+    are bit-identical to what `cosine_topk` would emit for those pairs.
+    Degenerate dimensions (hi == lo) encode to code 0 and decode exactly
+    to lo, contributing the exact constant q_d·lo_d via the bias term."""
+    if bounds is None:
+        bounds = train_sq8_bounds(candidates, emb_col, dim)
+    lo, hi = bounds
+    if len(lo) != dim or len(hi) != dim:
+        raise ValueError(
+            f"bounds dim {len(lo)}/{len(hi)} does not match dim={dim}"
+        )
+    delta = [(h - l) / 255.0 if h > l else 0.0 for l, h in zip(lo, hi)]
+    inv = [255.0 / (h - l) if h > l else 0.0 for l, h in zip(lo, hi)]
+
+    c = with_unit_vector(_spread(candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    q_rows = q.collect()  # |Q| is small by contract (batched query set)
+    if not q_rows:
+        return _empty_topk_result(q)
+
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    inv_arr = F.array(*[F.lit(v) for v in inv])
+    codes = F.zip_with(
+        F.zip_with(F.col("c_unit"), lo_arr, lambda x, l: x - l),
+        inv_arr,
+        lambda x, s: F.least(
+            F.greatest(F.floor(x * s), F.lit(0)), F.lit(255)
+        ).cast("int"),
+    )
+    coded = c.select("neighbor_id", codes.alias("codes"))
+
+    score_exprs = []
+    q_ids = []
+    for r in q_rows:
+        q_ids.append(r["query_id"])
+        u = r["q_unit"]
+        bias = sum(u[d] * lo[d] for d in range(dim))
+        w = [u[d] * delta[d] for d in range(dim)]
+        w_arr = F.array(*[F.lit(x) for x in w])
+        score_exprs.append(
+            F.lit(bias)
+            + F.aggregate(
+                F.zip_with(
+                    F.col("codes"), w_arr, lambda cd, wv: cd.cast("double") * wv
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
+    scored = (
+        coded.select(
+            "neighbor_id",
+            F.posexplode(F.array(*score_exprs)).alias("qi", "approx"),
+        )
+        .select(
+            F.element_at(q_id_arr, F.col("qi") + 1).alias("query_id"),
+            "neighbor_id",
+            "approx",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), "neighbor_id"
+    )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w_short))
+        .filter(F.col("rk") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    # re-fetch raw vectors for the shortlist only, so the exact norm/dot
+    # fold (the fp-parity obligation) never touches non-shortlist rows —
+    # same tail as ivfpq_topk_pretrained
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("__emb")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    c = with_unit_vector(c, "__emb").select(
+        "query_id", "neighbor_id", F.col("unit").alias("c_unit")
+    )
+    sims = (
+        c
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -369,6 +369,35 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_knn_sq8",
+    oracle=None,  # approximate by construction — rows-only check
+    overflow=True,  # rows-only; recall-gated in tests + bench
+    doc="8-bit scalar-quantization approximate top-3 ANN "
+    "(ml.similarity.sq8_topk — the uniform-quantizer rung of the ladder, "
+    "FAISS IndexScalarQuantizer QT_8bit): unit vectors encode to dim "
+    "uint8 codes against per-dimension [lo, hi] bounds trained in ONE "
+    "exact min/max aggregation pass (no Lloyd iterations, bit-identical "
+    "for any partitioning by construction), the scan scores "
+    "asymmetrically — bias_q + Σ w_q[d]·code_d with the query kept full "
+    "precision — and the refine·k shortlist re-ranks by exact cosine. "
+    "Unlike the PQ rungs, encode AND scoring are pure Catalyst "
+    "expressions (transform/zip_with/aggregate): the hot path never "
+    "leaves whole-stage codegen. Measured recall@3 = 1.000 vs emb_knn "
+    "on the driver's sf0.01 embeddings (64 codes/vector retain far more "
+    "geometry than 16 PQ sub-codes; asserted in "
+    "tests/test_ml.py::test_sq8_ann_recall_on_testdata).",
+)
+def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.similarity import sq8_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sq8_topk(emb, queries, k=3, dim=64, refine=8).select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
+@register(
     "emb_knn_ivfpq",
     oracle=None,  # approximate by construction — rows-only check
     overflow=True,  # rows-only; recall-gated in tests + bench

@@ -2784,3 +2784,92 @@ def test_cross_corpus_filter_n_hashes_deprecation(spark):
         cross_corpus_filter(new, sigs).collect()
     with pytest.warns(DeprecationWarning, match="n_hashes=64 ignored"):
         cross_corpus_filter(new, sigs, n_hashes=64).collect()
+
+
+def test_sq8_topk_recall_and_exact_rerank(vectors):
+    """SQ8 on the clustered 8-d fixture: the quantized shortlist + exact
+    re-rank must reproduce the exact top-3 sets, and the sims it emits
+    are bit-identical to cosine_topk's for the same pairs (the re-rank
+    recomputes exact cosine over raw vectors — quantization only decides
+    WHICH pairs reach the re-rank)."""
+    from mempool_dumpster_spark.ml.similarity import sq8_topk
+
+    q = vectors.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk(vectors, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in sq8_topk(vectors, q, k=3, dim=8, refine=4).collect()
+    }
+    assert set(approx) == set(exact)
+    for pair, sim in approx.items():
+        assert sim == exact[pair]  # bit-identical — same exact fold
+
+
+def test_sq8_bounds_deterministic_roundtrip_and_guards(spark, vectors):
+    """SQ8 trained state: (a) bounds are partition-invariant by
+    construction (exact min/max, no iteration); (b) the JSON artifact
+    round-trips bit-for-bit and validates its format marker; (c) a
+    bounds/dim mismatch raises loudly; (d) an empty query set returns
+    the standard empty top-k frame instead of crashing."""
+    from mempool_dumpster_spark.ml.similarity import (
+        sq8_bounds_from_json,
+        sq8_bounds_to_json,
+        sq8_topk,
+        train_sq8_bounds,
+    )
+
+    a = train_sq8_bounds(vectors, dim=8)
+    b = train_sq8_bounds(vectors.repartition(7), dim=8)
+    assert a == b
+    assert sq8_bounds_from_json(sq8_bounds_to_json(a)) == a
+    with pytest.raises(ValueError, match="not an SQ8 bounds payload"):
+        sq8_bounds_from_json('{"format": "pq-codebooks-v1"}')
+    with pytest.raises(ValueError, match="does not match dim"):
+        sq8_topk(vectors, vectors.limit(1), k=3, dim=16, bounds=a)
+    empty_q = vectors.filter(F.col("vec_id") < 0)
+    out = sq8_topk(vectors, empty_q, k=3, dim=8, bounds=a)
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    assert out.count() == 0
+    # serving from the deserialized artifact == serving from training
+    q = vectors.filter(F.col("vec_id") < 2)
+    served = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sq8_topk(
+            vectors, q, k=3, dim=8,
+            bounds=sq8_bounds_from_json(sq8_bounds_to_json(a)),
+        ).collect()
+    }
+    trained = {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in sq8_topk(vectors, q, k=3, dim=8).collect()
+    }
+    assert served == trained and served
+
+
+def test_sq8_ann_recall_on_testdata(spark):
+    """Recall@3 of the SQ8 path vs the exact path on the driver's sf0.01
+    embeddings — the registered emb_knn_sq8 parameters (dim=64 uint8
+    codes, refine=8) must stay >= 0.9 on the isotropic worst case
+    (1.000 measured; exact min/max training makes this a fixed number,
+    not a flake)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn_sq8"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall@3 = {recall:.2f} < 0.9"
