@@ -435,3 +435,116 @@ def temperature_weights(
             F.floor(F.lit(budget) * ratio).cast("bigint").alias("quota"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Supervised token-vote classifier (NB-style model-based filtering)
+# ---------------------------------------------------------------------------
+
+
+def nb_train(
+    train_docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Train the token statistics of a naive-Bayes-style text classifier —
+    the model-based filtering stage of a curation pipeline (fastText-style
+    quality/language classifiers in CCNet and FineWeb-Edu play this role;
+    the heuristic signals in ml/text are its unsupervised cousins).
+
+    Returns (stats, totals): `stats` is the persistable model artifact —
+    one row per training token, (token, c_pos BIGINT, c_neg BIGINT)
+    instance counts per class — and `totals` carries the three scalars the
+    decision rule needs: n_pos / n_neg (total token instances per class)
+    and vocab (distinct training tokens). The artifact is vocabulary-
+    bounded, not corpus-bounded: persist it as a table and score any
+    future corpus without re-reading the training set (same train-once/
+    serve-many shape as the DSIR bucket stats and the PQ codebooks).
+
+    All counts are exact BIGINTs — no probabilities are materialized at
+    train time, so there is nothing here that can drift across engines."""
+    toks = train_docs.select(
+        label.cast("boolean").alias("__pos"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    stats = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_pos"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c_neg"),
+    )
+    row = stats.agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_neg").cast("bigint").alias("n_neg"),
+        F.count("*").cast("bigint").alias("vocab"),
+    ).collect()[0]
+    totals = {
+        "n_pos": int(row["n_pos"] or 0),
+        "n_neg": int(row["n_neg"] or 0),
+        "vocab": int(row["vocab"] or 0),
+    }
+    return stats, totals
+
+
+def nb_predict(
+    docs: DataFrame,
+    stats: DataFrame,
+    totals: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained token-stats artifact →
+    (doc_id, n_tok, pos_votes, predicted).
+
+    Decision rule — token-level likelihood votes pooled by count: token t
+    votes POSITIVE iff its add-1-smoothed class-conditional probability is
+    higher under the positive class,
+
+        (c_pos(t)+1) / (n_pos+V)  >  (c_neg(t)+1) / (n_neg+V),
+
+    evaluated as the exact BIGINT cross-multiplication
+    (c_pos+1)·(n_neg+V) > (c_neg+1)·(n_pos+V) — each side is bounded by
+    corpus_tokens², far inside int64 for any corpus whose token count
+    fits in int32, and DuckDB evaluates the same products exactly. The
+    document is predicted positive iff a strict majority of its token
+    INSTANCES vote positive (2·pos_votes > n_tok; ties go negative).
+
+    This pools the same per-token decision boundary as multinomial NB by
+    COUNT rather than by probability product — the package's standing
+    log-free discipline (see docs_ngram_lm_score, dsir_importance): a
+    log-prob sum would drift in the last ulps across engines and break
+    hash equality, while votes are integers and the artifact row for an
+    unseen token is simply absent (both classes smooth to 1, so the vote
+    falls to the class with fewer training tokens — deterministic).
+
+    Plan shape: the stats artifact is vocabulary-bounded → broadcast
+    left-join onto one token explode of the scoring corpus, then one
+    per-doc aggregate. The corpus is scanned once and shuffled once."""
+    n_pos, n_neg, vocab = (
+        totals["n_pos"],
+        totals["n_neg"],
+        totals["vocab"],
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    joined = toks.join(F.broadcast(stats), "token", "left").select(
+        id_col,
+        F.coalesce(F.col("c_pos"), F.lit(0)).alias("c_pos"),
+        F.coalesce(F.col("c_neg"), F.lit(0)).alias("c_neg"),
+    )
+    vote = (
+        (F.col("c_pos") + 1) * F.lit(n_neg + vocab)
+        > (F.col("c_neg") + 1) * F.lit(n_pos + vocab)
+    ).cast("bigint")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        F.sum(vote).cast("bigint").alias("pos_votes"),
+    )
+    return per_doc.withColumn(
+        "predicted",
+        (F.col("pos_votes") * 2 > F.col("n_tok")).cast("bigint"),
+    )

@@ -1899,6 +1899,85 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_nb_classify",
+    oracle="""
+    WITH tr AS (
+      SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    stats AS (
+      SELECT token,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+      FROM tr GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+             CAST(sum(c_neg) AS BIGINT) AS n_neg,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM stats
+    ),
+    te AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    votes AS (
+      SELECT te.doc_id,
+             CASE WHEN (COALESCE(s.c_pos, 0) + 1) * (t.n_neg + t.vocab)
+                     > (COALESCE(s.c_neg, 0) + 1) * (t.n_pos + t.vocab)
+                  THEN 1 ELSE 0 END AS v
+      FROM te LEFT JOIN stats s USING (token) CROSS JOIN tot t
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(v) AS BIGINT) AS pos_votes
+      FROM votes GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tok, p.pos_votes,
+           CAST(p.pos_votes * 2 > p.n_tok AS BIGINT) AS predicted,
+           CAST(d.lang = 'en' AS BIGINT) AS actual
+    FROM per p JOIN documents d USING (doc_id)
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="Supervised token-vote text classifier (ml.selection.nb_train / "
+    "nb_predict) — the model-based filtering stage of a curation "
+    "pipeline (the role fastText quality/language classifiers play in "
+    "CCNet and FineWeb-Edu), here trained to predict lang='en' on the "
+    "even-doc_id half and scored leakage-free on the odd half. Token t "
+    "votes positive iff its add-1-smoothed class-conditional probability "
+    "is higher under the positive class, evaluated as the exact BIGINT "
+    "cross-multiplication (c_pos+1)·(n_neg+V) > (c_neg+1)·(n_pos+V) — "
+    "the same per-token decision boundary as multinomial NB, pooled by "
+    "instance-majority vote instead of a log-prob sum (the package's "
+    "log-free cross-engine discipline). Plan: the vocabulary-bounded "
+    "stats artifact broadcasts onto one token explode of the scoring "
+    "corpus + one per-doc aggregate — train-once/serve-many, the corpus "
+    "is scanned once. The oracle replays training counts, totals, every "
+    "token vote, and the majority rule. Note the driver's synthetic "
+    "corpus draws tokens independently of the lang label, so measured "
+    "accuracy here sits at the majority baseline BY CONSTRUCTION — this "
+    "entry pins the decision rule's cross-engine exactness; "
+    "tests/test_ml.py::test_nb_classifier_learns_separable_signal "
+    "verifies the classifier actually learns (100%% on a separable "
+    "fixture) when token signal exists.",
+)
+def docs_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.selection import nb_predict, nb_train
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    stats, totals = nb_train(train, F.col("lang") == "en")
+    pred = nb_predict(test, stats, totals)
+    return pred.join(
+        test.select(
+            "doc_id", (F.col("lang") == "en").cast("bigint").alias("actual")
+        ),
+        "doc_id",
+    ).select("doc_id", "n_tok", "pos_votes", "predicted", "actual")
+
+
+@register(
     "emb_semantic_decontaminate",
     oracle="""
     WITH e AS (

@@ -2873,3 +2873,67 @@ def test_sq8_ann_recall_on_testdata(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"SQ8 recall@3 = {recall:.2f} < 0.9"
+
+
+@pytest.fixture(scope="module")
+def labeled_docs(spark):
+    # two dialects sharing half their vocabulary: positive docs mix
+    # shared tokens with 'alpha/beta', negatives with 'gamma/delta' —
+    # plus one ambiguous doc that is mostly shared tokens
+    rows = []
+    for i in range(20):
+        pos = i % 2 == 0
+        marked = ["alpha", "beta"] if pos else ["gamma", "delta"]
+        toks = []
+        for j in range(30):
+            # 2/3 of instances carry class signal: the majority-vote
+            # pooling predicts by instance majority, so discriminative
+            # tokens must outnumber ambiguous shared ones per doc
+            toks.append(
+                marked[j % 2] if j % 3 != 0 else f"shared{(i * 7 + j) % 9}"
+            )
+        rows.append((i, " ".join(toks), pos))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, is_pos boolean"
+    )
+
+
+def test_nb_classifier_learns_separable_signal(labeled_docs):
+    """On a corpus whose classes have genuinely different token
+    distributions, the token-vote classifier must (a) reach 100% on a
+    leakage-free held-out half, (b) train partition-invariantly (the
+    stats artifact is exact BIGINT counts — any partitioning agrees),
+    and (c) score unseen tokens deterministically (absent from the
+    artifact -> both classes smooth to 1)."""
+    from mempool_dumpster_spark.ml.selection import nb_predict, nb_train
+
+    train = labeled_docs.filter(F.col("doc_id") < 10)
+    test = labeled_docs.filter(F.col("doc_id") >= 10)
+    stats, totals = nb_train(train, F.col("is_pos"))
+    assert totals["vocab"] > 0 and totals["n_pos"] > 0
+    pred = {
+        r["doc_id"]: r["predicted"]
+        for r in nb_predict(test, stats, totals).collect()
+    }
+    actual = {
+        r["doc_id"]: int(r["is_pos"]) for r in test.collect()
+    }
+    assert pred == actual  # 100% on the separable held-out half
+
+    # (b) partition invariance of the trained artifact
+    s2, t2 = nb_train(train.repartition(7), F.col("is_pos"))
+    assert t2 == totals
+    assert sorted(map(tuple, stats.collect())) == sorted(
+        map(tuple, s2.collect())
+    )
+
+    # (c) a doc of entirely unseen tokens: every vote falls to the class
+    # with fewer training token instances — deterministic, no crash
+    spark = labeled_docs.sparkSession
+    unseen = spark.createDataFrame(
+        [(99, "zzz yyy xxx")], "doc_id long, text string"
+    )
+    row = nb_predict(unseen, stats, totals).collect()[0]
+    assert row["n_tok"] == 3
+    expected_vote = 1 if totals["n_neg"] < totals["n_pos"] else 0
+    assert row["pos_votes"] == 3 * expected_vote
