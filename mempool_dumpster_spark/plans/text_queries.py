@@ -1036,6 +1036,115 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed rank-ordered merge table for the ENCODE entry — a shipped tokenizer
+# artifact (what bpe_load_merges returns in production; literal here so the
+# oracle can replay it). The DuckDB CASE arms are generated from this same
+# list, so the two engines can never disagree on the merge table.
+_BPE_ENCODE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "t"),
+    ("o", "r"),
+    (" ", "t"),
+    ("e", "r"),
+    ("a", "n"),
+    ("i", "n"),
+    ("s", "t"),
+]
+
+_BPE_RANK_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN syms[i] = '{a}' AND syms[i+1] = '{b}' THEN {r}"
+        for r, (a, b) in enumerate(_BPE_ENCODE_MERGES)
+    )
+    + " ELSE NULL END"
+)
+
+
+@register(
+    "docs_bpe_encode",
+    oracle=rf"""
+    WITH RECURSIVE
+    pre AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, regexp_extract_all(
+              text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'
+            ) AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    vocab AS (SELECT DISTINCT tok FROM pre),
+    init AS (
+      SELECT tok, list_transform(range(1, length(tok) + 1),
+                                 i -> tok[i]) AS syms
+      FROM vocab
+    ),
+    rec AS (
+      SELECT tok, syms FROM init
+      UNION ALL
+      SELECT tok,
+             syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      FROM (
+        SELECT tok, syms,
+               list_position(rk, list_aggregate(rk, 'min')) AS bi
+        FROM (
+          SELECT tok, syms,
+                 list_transform(range(1, len(syms)),
+                                i -> {_BPE_RANK_CASE}) AS rk
+          FROM rec) )
+      WHERE bi IS NOT NULL
+    ),
+    final AS (
+      SELECT tok, syms FROM (
+        SELECT tok, syms,
+               list_transform(range(1, len(syms)),
+                              i -> {_BPE_RANK_CASE}) AS rk
+        FROM rec)
+      WHERE len(syms) < 2 OR list_aggregate(rk, 'min') IS NULL
+    ),
+    toks_enc AS (
+      SELECT p.doc_id, p.pos, si, f.syms[si] AS sym
+      FROM pre p JOIN final f USING (tok),
+           unnest(generate_series(1, len(f.syms))) AS t(si)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+           string_agg(sym, '~' ORDER BY pos, si) AS bpe_joined
+    FROM toks_enc GROUP BY doc_id
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="BPE ENCODING with a shipped tokenizer artifact (ml.text."
+    "bpe_encode) — the serve-many half of the tokenizer lifecycle "
+    "(docs_bpe_merges pins round-1 pair counts, docs_bpe_train the "
+    "learner; this pins the encoder that every training-data pipeline "
+    "actually runs per document). A fixed 9-merge rank-ordered table is "
+    "applied exactly as a BPE encoder does: per GPT-2-style pre-token, "
+    "repeatedly merge the lowest-ranked adjacent pair (leftmost on "
+    "ties) until none applies. The DuckDB oracle replays this with a "
+    "recursive CTE over the DISTINCT pre-token vocabulary — merge "
+    "ranks as CASE arms generated from the same Python literal, "
+    "list_position(rk, min) for the leftmost-min pick, list splicing "
+    "for the merge — then joins back to token instances and "
+    "re-serializes each document ('~'-joined, absent from the corpus). "
+    "Both engines run the identical pre-tokenizer regex (the "
+    "docs_bpe_merges precedent: Java and RE2 agree on this subset). "
+    "Spark plan: one Arrow-batched mapInPandas pass, merge table in "
+    "the task closure, no shuffle; the oracle's recursion is "
+    "vocabulary-bounded, not corpus-bounded.",
+)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import bpe_encode
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    enc = bpe_encode(docs.select("doc_id", "text"), _BPE_ENCODE_MERGES)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.array_join(F.col("bpe_tokens"), "~").alias("bpe_joined"),
+    )
+
+
 @register(
     "docs_ngram_lm_score",
     oracle="""
