@@ -177,7 +177,13 @@ def _bench_ann_recall(spark) -> dict[str, float] | None:
     if not exact:
         return None
     out = {}
-    for name in ("emb_knn_lsh", "emb_knn_ivf", "emb_knn_pq", "emb_knn_ivfpq"):
+    for name in (
+        "emb_knn_lsh",
+        "emb_knn_ivf",
+        "emb_knn_pq",
+        "emb_knn_ivfpq",
+        "emb_knn_sq8",
+    ):
         approx = {
             (r["query_id"], r["neighbor_id"])
             for r in qs[name](spark, sf_dir).collect()

@@ -1067,12 +1067,13 @@ _BPE_RANK_CASE = (
     oracle=rf"""
     WITH RECURSIVE
     pre AS (
-      SELECT doc_id, i AS pos, toks[i] AS tok
+      SELECT doc_id,
+             unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS tok
       FROM (SELECT doc_id, regexp_extract_all(
               text,
               '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'
-            ) AS toks FROM documents),
-           unnest(generate_series(1, len(toks))) AS t(i)
+            ) AS toks FROM documents)
     ),
     vocab AS (SELECT DISTINCT tok FROM pre),
     init AS (
@@ -1096,22 +1097,20 @@ _BPE_RANK_CASE = (
       WHERE bi IS NOT NULL
     ),
     final AS (
-      SELECT tok, syms FROM (
+      SELECT tok, CAST(len(syms) AS BIGINT) AS n_syms,
+             array_to_string(syms, '~') AS js
+      FROM (
         SELECT tok, syms,
                list_transform(range(1, len(syms)),
                               i -> {_BPE_RANK_CASE}) AS rk
         FROM rec)
       WHERE len(syms) < 2 OR list_aggregate(rk, 'min') IS NULL
-    ),
-    toks_enc AS (
-      SELECT p.doc_id, p.pos, si, f.syms[si] AS sym
-      FROM pre p JOIN final f USING (tok),
-           unnest(generate_series(1, len(f.syms))) AS t(si)
     )
     SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_bpe_tokens,
-           string_agg(sym, '~' ORDER BY pos, si) AS bpe_joined
-    FROM toks_enc GROUP BY doc_id
+           CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+           string_agg(js, '~' ORDER BY pos) AS bpe_joined
+    FROM pre JOIN final USING (tok)
+    GROUP BY doc_id
     """,
     overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
     doc="BPE ENCODING with a shipped tokenizer artifact (ml.text."
@@ -1125,8 +1124,11 @@ _BPE_RANK_CASE = (
     "recursive CTE over the DISTINCT pre-token vocabulary — merge "
     "ranks as CASE arms generated from the same Python literal, "
     "list_position(rk, min) for the leftmost-min pick, list splicing "
-    "for the merge — then joins back to token instances and "
-    "re-serializes each document ('~'-joined, absent from the corpus). "
+    "for the merge — then joins the per-token (count, '~'-joined "
+    "string) back to token instances and aggregates per document, so "
+    "the oracle never explodes to symbol granularity (instance-level "
+    "symbol rows OOM'd DuckDB at the 10x stress scale; the separator "
+    "is absent from the corpus). "
     "Both engines run the identical pre-tokenizer regex (the "
     "docs_bpe_merges precedent: Java and RE2 agree on this subset). "
     "Spark plan: one Arrow-batched mapInPandas pass, merge table in "

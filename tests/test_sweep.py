@@ -73,6 +73,12 @@ STRESS_QUERIES = [
     # (6.7/5.8 s at 50k docs on first run)
     "docs_soft_dedup_weights", "docs_ngram_novelty",
     "docs_contamination_report",
+    # r10 third batch: the NB token-vote classifier (exact oracle, 4.5 s
+    # at 50k docs), BPE encoding (exact recursive-CTE oracle, 31 s — the
+    # oracle aggregates at vocabulary granularity; the instance-level
+    # symbol explode OOM'd DuckDB here, which is why the oracle is
+    # written the way it is), and the SQ8 rung riding along rows-only
+    "docs_nb_classify", "docs_bpe_encode", "emb_knn_sq8",
 ]
 
 
