@@ -183,6 +183,7 @@ def _bench_ann_recall(spark) -> dict[str, float] | None:
         "emb_knn_pq",
         "emb_knn_ivfpq",
         "emb_knn_sq8",
+        "emb_knn_bq",
     ):
         approx = {
             (r["query_id"], r["neighbor_id"])

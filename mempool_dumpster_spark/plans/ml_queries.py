@@ -398,6 +398,36 @@ def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_knn_bq",
+    oracle=None,  # approximate by construction — rows-only check
+    overflow=True,  # rows-only; recall-gated in tests + bench
+    doc="Binary (sign-bit) quantization approximate top-3 ANN "
+    "(ml.similarity.bq_topk — the 1-bit floor of the ladder, the "
+    "'binary quantization' tier of modern vector stores): dim=64 unit "
+    "vectors compress to ONE BIGINT of sign bits (64x over float64), "
+    "the prescore is Hamming distance — one XOR + popcount per row, "
+    "the cheapest scan Spark can run — and the refine*k shortlist "
+    "re-ranks by exact cosine. NO trained state exists: the code is a "
+    "pure function of the vector, so appends/streams never retrain. "
+    "1-bit resolution is paid back with oversampling (refine=32 vs "
+    "PQ/SQ8's 8): measured recall@3 = 0.933 on the driver's isotropic "
+    "sf0.01 embeddings (0.667/0.833 at refine 8/16 — documented "
+    "tradeoff), gated >= 0.9 in "
+    "tests/test_ml.py::test_bq_ann_recall_on_testdata. Whole-stage "
+    "codegen end-to-end like SQ8 (zip_with/bitwiseOR encode, "
+    "bit_count prescore).",
+)
+def emb_knn_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.similarity import bq_topk
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return bq_topk(emb, queries, k=3, dim=64, refine=32).select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
+@register(
     "emb_knn_ivfpq",
     oracle=None,  # approximate by construction — rows-only check
     overflow=True,  # rows-only; recall-gated in tests + bench

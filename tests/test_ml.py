@@ -2937,3 +2937,58 @@ def test_nb_classifier_learns_separable_signal(labeled_docs):
     assert row["n_tok"] == 3
     expected_vote = 1 if totals["n_neg"] < totals["n_pos"] else 0
     assert row["pos_votes"] == 3 * expected_vote
+
+
+def test_bq_topk_exact_on_separated_clusters(vectors):
+    """BQ on the clustered 8-d fixture: with refine covering the pool,
+    the sign-code shortlist + exact re-rank reproduces the exact top-3
+    sets with bit-identical sims (quantization only decides WHICH pairs
+    reach the re-rank, same contract as SQ8). Also pins the multi-word
+    path (dim=8 → one word) and the empty-query guard."""
+    from mempool_dumpster_spark.ml.similarity import bq_topk
+
+    q = vectors.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk(vectors, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in bq_topk(vectors, q, k=3, dim=8, refine=10).collect()
+    }
+    assert set(approx) == set(exact)
+    for pair, sim in approx.items():
+        assert sim == exact[pair]
+
+    empty_q = vectors.filter(F.col("vec_id") < 0)
+    out = bq_topk(vectors, empty_q, k=3, dim=8)
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="dim must be"):
+        bq_topk(vectors, q, k=3, dim=0)
+
+
+def test_bq_ann_recall_on_testdata(spark):
+    """Recall@3 of the 1-bit sign-code path vs the exact path on the
+    driver's sf0.01 embeddings — the registered emb_knn_bq parameters
+    (dim=64 → one BIGINT word, refine=32 oversampling) must stay >= 0.9
+    on the isotropic worst case (0.933 measured; the code has no
+    trained state, so this is a fixed number, not a flake)."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["emb_knn_bq"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"BQ recall@3 = {recall:.2f} < 0.9"

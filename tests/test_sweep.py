@@ -79,6 +79,8 @@ STRESS_QUERIES = [
     # symbol explode OOM'd DuckDB here, which is why the oracle is
     # written the way it is), and the SQ8 rung riding along rows-only
     "docs_nb_classify", "docs_bpe_encode", "emb_knn_sq8",
+    # the 1-bit BQ rung rides along rows-only (no trained state at all)
+    "emb_knn_bq",
 ]
 
 
