@@ -1968,7 +1968,9 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(d.lang = 'en' AS BIGINT) AS actual
     FROM per p JOIN documents d USING (doc_id)
     """,
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    # r10 late rotation: took q6_forecast_revenue's driver slot — the
+    # selection family's model-based-filtering flagship, exact-oracle at
+    # sf0.01/sf0.1 and in the 10x stress set.
     doc="Supervised token-vote text classifier (ml.selection.nb_train / "
     "nb_predict) — the model-based filtering stage of a curation "
     "pipeline (the role fastText quality/language classifiers play in "

@@ -610,6 +610,11 @@ def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
+    # r10 late rotation: ceded its driver slot to docs_nb_classify — the
+    # filtered-sum / pushed-filter surface stays driver-covered by
+    # q1_pricing_summary, q12_shipping_priority_split and included_split,
+    # and q6 stays oracle-checked every round via the selfcheck sweep.
+    overflow=True,
     oracle="""
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

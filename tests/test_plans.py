@@ -301,6 +301,16 @@ def test_registry_driver_contract_invariants():
     # round via the selfcheck sweep (both scales). docs_dsir_sample is
     # the selection flagship: exact oracle at sf0.01/sf0.1 and in the
     # 10× stress set.
+    #
+    # r10 fourth-batch rotation: one swap —
+    #   q6_forecast_revenue → docs_nb_classify
+    # The supervised token-vote classifier (model-based filtering, the
+    # fastText-classifier role in curation pipelines) is a new family
+    # with a full exact oracle at sf0.01/sf0.1 and in the 10× stress
+    # set; q6's filtered-sum / pushed-filter surface stays driver-
+    # covered by q1_pricing_summary, q12_shipping_priority_split and
+    # included_split, and q6 remains oracle-checked every round via the
+    # selfcheck sweep (both scales).
     expected = [
         "docs_langid", "docs_redact_pii", "docs_pack_sequences",
         "docs_mix_corpus", "docs_dedup_keep", "docs_ngram_jaccard",
@@ -312,12 +322,12 @@ def test_registry_driver_contract_invariants():
         "docs_tfidf_terms", "docs_prep_pipeline", "docs_split_assign",
         "docs_decontaminate", "docs_training_order",
         "docs_incremental_dedup", "manifest_version_diff", "emb_mmr_topk",
-        "media_frame_knn", "docs_dsir_sample",
+        "media_frame_knn", "docs_dsir_sample", "docs_nb_classify",
         "sourcelog_dedup", "sources_attach", "first_source_counts",
         "exclusive_orderflow", "included_split", "per_source_counts",
         "hourly_stats", "blacklist_anti", "point_lookup",
         "json_props_stats", "value_quantiles", "q1_pricing_summary",
-        "q3_shipping_priority", "q5_regional_revenue", "q6_forecast_revenue",
+        "q3_shipping_priority", "q5_regional_revenue",
         "q13_order_distribution", "shipments_in_order_window",
         "top_partkeys", "events_asof_click", "events_sessions",
         "q12_shipping_priority_split",
