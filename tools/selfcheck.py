@@ -54,6 +54,17 @@ def main() -> int:
 
     spark = get_spark("selfcheck", shuffle_partitions=8)
     con = duckdb.connect()
+    # Let the oracle spill: an in-memory DuckDB has NO temp directory, so
+    # a big ordered aggregation aborts with OOM instead of offloading —
+    # the docs_bpe_encode oracle (ordered string_agg over ~98M token
+    # instances) died exactly this way at the 100x stress corpus while
+    # the Spark side was fine. A temp dir + an explicit memory_limit turn
+    # oracle-side memory pressure into disk I/O, keeping stress sweeps a
+    # test of the ENGINE, not of the oracle harness.
+    con.execute("SET temp_directory='/tmp/duckdb_selfcheck_spill'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SELFCHECK_DUCK_MEM', '24GB')}'"
+    )
     # MATERIALIZE the tables once per connection: a VIEW over
     # read_parquet re-decodes the parquet file on every oracle query,
     # and with ~95 oracles (several scanning documents/lineitem many
