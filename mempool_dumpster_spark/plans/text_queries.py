@@ -1147,6 +1147,125 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of the Spark-side md5-prefix digest used by
+# docs_bpe_encode_digest: first 6 hex chars of md5(js || '@' || pos) as an
+# integer (nibble-by-nibble strpos math, the docs_dsir_sample idiom).
+_BPE_DIGEST_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(js || '@' || CAST(pos AS "
+        f"VARCHAR)), {c + 1}, 1)) - 1) * {16 ** (5 - c)}"
+        for c in range(6)
+    )
+    + ")"
+)
+
+
+@register(
+    "docs_bpe_encode_digest",
+    oracle=rf"""
+    WITH RECURSIVE
+    pre AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS tok
+      FROM (SELECT doc_id, regexp_extract_all(
+              text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'
+            ) AS toks FROM documents)
+    ),
+    vocab AS (SELECT DISTINCT tok FROM pre),
+    init AS (
+      SELECT tok, list_transform(range(1, length(tok) + 1),
+                                 i -> tok[i]) AS syms
+      FROM vocab
+    ),
+    rec AS (
+      SELECT tok, syms FROM init
+      UNION ALL
+      SELECT tok,
+             syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+      FROM (
+        SELECT tok, syms,
+               list_position(rk, list_aggregate(rk, 'min')) AS bi
+        FROM (
+          SELECT tok, syms,
+                 list_transform(range(1, len(syms)),
+                                i -> {_BPE_RANK_CASE}) AS rk
+          FROM rec) )
+      WHERE bi IS NOT NULL
+    ),
+    final AS (
+      SELECT tok, CAST(len(syms) AS BIGINT) AS n_syms,
+             array_to_string(syms, '~') AS js
+      FROM (
+        SELECT tok, syms,
+               list_transform(range(1, len(syms)),
+                              i -> {_BPE_RANK_CASE}) AS rk
+        FROM rec)
+      WHERE len(syms) < 2 OR list_aggregate(rk, 'min') IS NULL
+    )
+    SELECT doc_id,
+           CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum({_BPE_DIGEST_DUCK}) AS BIGINT) AS seg_digest
+    FROM pre JOIN final USING (tok)
+    GROUP BY doc_id
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="BPE encoding under a SCALE-PROOF exact check — the 100x-capable "
+    "twin of docs_bpe_encode. That entry's oracle re-serializes every "
+    "document ('~'-joined), and DuckDB's ordered string_agg over ~98M "
+    "token instances exhausts memory at the 100x stress corpus (ordered "
+    "aggregates cannot spill). Here the per-document value is an "
+    "ORDER-SENSITIVE digest that needs only a plain grouped SUM: each "
+    "pre-token instance contributes md5_prefix_int6(encoded_segmentation "
+    "|| '@' || position) — position baked into the hashed value makes "
+    "the sum order-sensitive in effect while the aggregation itself is "
+    "commutative, the package's standing trick for engine-portable "
+    "folds. Any mis-merge, mis-ordering or substitution at any position "
+    "shifts the sum. Both sides encode only the DISTINCT pre-token "
+    "vocabulary and broadcast it onto the instance explode (a pre-token "
+    "re-pretokenizes to itself, so per-vocab encoding is exact), so "
+    "Spark work is one explode + vocabulary-bounded broadcast join + "
+    "one per-doc aggregate at any corpus size.",
+)
+def docs_bpe_encode_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import PRETOKEN_PATTERN, bpe_encode
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pre = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_PATTERN), 0)
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    vocab = bpe_encode(
+        pre.select("tok").distinct().withColumnRenamed("tok", "text"),
+        _BPE_ENCODE_MERGES,
+    ).select(
+        F.col("text").alias("tok"),
+        F.col("n_bpe_tokens").alias("n_syms"),
+        F.array_join(F.col("bpe_tokens"), "~").alias("js"),
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("js"), F.lit("@"), F.col("pos").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        pre.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(digest).cast("bigint").alias("seg_digest"),
+        )
+    )
+
+
 @register(
     "docs_ngram_lm_score",
     oracle="""

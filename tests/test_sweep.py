@@ -81,6 +81,9 @@ STRESS_QUERIES = [
     "docs_nb_classify", "docs_bpe_encode", "emb_knn_sq8",
     # the 1-bit BQ rung rides along rows-only (no trained state at all)
     "emb_knn_bq",
+    # the scale-proof BPE digest twin (exact even at 100x, where
+    # docs_bpe_encode's string-rebuild oracle exhausts DuckDB)
+    "docs_bpe_encode_digest",
 ]
 
 
