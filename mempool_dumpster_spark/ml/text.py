@@ -822,3 +822,289 @@ def ngram_frequency_score(
             ).alias("rare_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Second tokenizer family: WordPiece greedy longest-match inference and a
+# SentencePiece-style unigram-LM trainer (Kudo 2018) with its Viterbi
+# encoder. BPE above covers merge-based tokenization; these cover the
+# match-based and probabilistic families every tokenizer toolkit ships.
+# ---------------------------------------------------------------------------
+
+
+def _pretoken_mapper(df: DataFrame, text_col: str, encode_tok, out_col: str):
+    """Shared mapInPandas shell for per-pretoken encoders (the bpe_encode
+    pattern): pre-tokenize ON THE JVM with the literal PRETOKEN_PATTERN —
+    the same engine/pattern every tokenizer here trains with, so token
+    boundaries can never diverge between train and encode — then run
+    `encode_tok` per pre-token in Arrow batches. No shuffle at any scale."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def run(batches):
+        for pdf in batches:
+            toks = [
+                [s for tok in pretoks for s in encode_tok(tok)]
+                for pretoks in pdf["__pretoks"]
+            ]
+            out = pdf.drop(columns=["__pretoks"])
+            out[out_col] = toks
+            out[f"n_{out_col}"] = [len(t) for t in toks]
+            yield out
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(out_col, ArrayType(StringType()), False),
+            StructField(f"n_{out_col}", LongType(), False),
+        ]
+    )
+    with_pretoks = df.withColumn(
+        "__pretoks",
+        F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0),
+    )
+    return with_pretoks.mapInPandas(run, schema=schema)
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    pieces: list[str],
+    text_col: str = "text",
+    out_col: str = "wp_tokens",
+) -> DataFrame:
+    """WordPiece-style greedy longest-match segmentation (the BERT
+    inference rule, minus the '##' continuation-alphabet convention —
+    the segmentation algorithm, not the vocab spelling): at each
+    position take the LONGEST piece in the vocabulary that prefixes the
+    remaining pre-token; if none matches, emit the single character (the
+    lenient stand-in for [UNK], so concatenation always reconstructs
+    the input). Deterministic BY CONSTRUCTION — two same-length prefixes
+    of the same string are the same piece, so no tie-break rule is ever
+    needed; that is what makes this encoder exactly replayable in a SQL
+    oracle at any scale, unlike Viterbi whose float ties need a
+    discipline. Adds `out_col` (array<string>) and `n_<out_col>`."""
+    pieceset = set(pieces)
+    if not pieceset:
+        raise ValueError("pieces must be non-empty")
+    maxlen = max(len(p) for p in pieceset)
+
+    def enc_tok(tok: str) -> list[str]:
+        out: list[str] = []
+        i = 0
+        n = len(tok)
+        while i < n:
+            for ln in range(min(maxlen, n - i), 0, -1):
+                if tok[i : i + ln] in pieceset:
+                    out.append(tok[i : i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(tok[i])
+                i += 1
+        return out
+
+    return _pretoken_mapper(df, text_col, enc_tok, out_col)
+
+
+def _viterbi_segment(
+    tok: str, scores: dict[str, float], max_len: int, unk_cost: float
+) -> list[str]:
+    """Min-cost segmentation under per-piece costs (-logp), with the
+    package's deterministic tie discipline: minimize (total_cost,
+    n_pieces, piece_sequence) lexicographically. Unknown single chars
+    cost `unk_cost` (worse than any trained piece), keeping every string
+    encodable. Cost comparisons round to 12 decimals so float-sum
+    association noise cannot flip a tie across runs."""
+    n = len(tok)
+    # best[i] = (cost, n_pieces, pieces tuple) for tok[:i]
+    best: list[tuple] = [None] * (n + 1)  # type: ignore[list-item]
+    best[0] = (0.0, 0, ())
+    for i in range(1, n + 1):
+        cand = None
+        for ln in range(1, min(max_len, i) + 1):
+            piece = tok[i - ln : i]
+            prev = best[i - ln]
+            if prev is None:
+                continue
+            c = scores.get(piece)
+            if c is None:
+                if ln > 1:
+                    continue
+                c = unk_cost
+            key = (
+                round(prev[0] + c, 12),
+                prev[1] + 1,
+                prev[2] + (piece,),
+            )
+            if cand is None or key < cand:
+                cand = key
+        best[i] = cand
+    return list(best[n][2])
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 64,
+    max_piece_len: int = 6,
+    n_iters: int = 3,
+    min_count: int = 2,
+    prune_frac: float = 0.2,
+    text_col: str = "text",
+) -> list[tuple[str, float]]:
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
+    hard-EM (Viterbi-EM) variant: seed a candidate vocabulary from the
+    corpus's pre-token SUBSTRINGS, iterate (E) best-segmentation of
+    every distinct pre-token under current piece costs → (M) piece cost
+    = -log(count/total) from the exact integer usage counts, then prune
+    the least-used `prune_frac` of multi-char pieces per round until
+    `vocab_size` remains (single chars are never pruned — every string
+    must stay encodable). Returns [(piece, cost)] sorted by (cost,
+    piece) — the persistable tokenizer artifact `unigram_encode`
+    consumes.
+
+    Scale shape: the corpus is touched ONCE — a JVM regexp explode into
+    the (pretoken, count) vocabulary table; every EM iteration runs on
+    that vocabulary-bounded table (E-step as an Arrow-batched
+    mapInPandas with the current costs in the task closure, usage
+    counts aggregated as exact BIGINTs — deterministic for any
+    partitioning; M-step on the ≤|pieces| count table driver-side).
+    This mirrors how SentencePiece itself trains on a pre-counted
+    sentence table rather than raw text. Determinism: integer counts +
+    the _viterbi_segment tie discipline make training a pure function
+    of the corpus — pinned against a pure-Python reference in tests."""
+    import math
+
+    import pandas as pd
+
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    vocab = vocab.cache()
+    rows = vocab.collect()  # vocabulary-bounded (distinct pre-tokens)
+    if not rows:
+        vocab.unpersist()
+        return []
+    # Seed candidates: all substrings up to max_piece_len with weighted
+    # count >= min_count, plus every single char (the encodability floor).
+    from collections import Counter
+
+    sub_counts: Counter = Counter()
+    for r in rows:
+        tok, cnt = r["tok"], r["cnt"]
+        for i in range(len(tok)):
+            for ln in range(1, min(max_piece_len, len(tok) - i) + 1):
+                sub_counts[tok[i : i + ln]] += cnt
+    chars = {p for p in sub_counts if len(p) == 1}
+    pieces = {
+        p for p, c in sub_counts.items() if len(p) == 1 or c >= min_count
+    }
+    total0 = sum(sub_counts[p] for p in pieces)
+    costs = {
+        p: -math.log(sub_counts[p] / total0) for p in pieces
+    }
+
+    spark = docs.sparkSession
+    while True:
+        for _ in range(n_iters):
+            cur = dict(costs)
+            ml = max(len(p) for p in cur)
+            unk = max(cur.values()) + 10.0
+
+            def estep(batches, _c=cur, _ml=ml, _unk=unk):
+                for pdf in batches:
+                    agg: Counter = Counter()
+                    for tok, cnt in zip(pdf["tok"], pdf["cnt"]):
+                        for piece in _viterbi_segment(tok, _c, _ml, _unk):
+                            agg[piece] += int(cnt)
+                    yield pd.DataFrame(
+                        {"piece": list(agg), "used": list(agg.values())}
+                    )
+
+            used = {
+                r["piece"]: r["used"]
+                for r in vocab.mapInPandas(
+                    estep, schema="piece string, used long"
+                )
+                .groupBy("piece")
+                .agg(F.sum("used").cast("bigint").alias("used"))
+                .collect()
+            }
+            total = sum(used.get(p, 0) for p in costs) or 1
+            floor_c = -math.log(0.5 / total)  # unused pieces: sub-single-use
+            costs = {
+                p: (-math.log(used[p] / total) if used.get(p) else floor_c)
+                for p in costs
+            }
+        multi = [p for p in costs if len(p) > 1]
+        if len(costs) <= vocab_size or not multi:
+            break
+        # prune the worst multi-char pieces (fewest uses; ties by piece)
+        n_drop = max(1, int(len(multi) * prune_frac))
+        n_drop = min(n_drop, len(costs) - vocab_size, len(multi))
+        drop = sorted(multi, key=lambda p: (used.get(p, 0), p))[:n_drop]
+        for p in drop:
+            del costs[p]
+    vocab.unpersist()
+    assert chars <= set(costs)
+    return sorted(costs.items(), key=lambda kv: (round(kv[1], 12), kv[0]))
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: list[tuple[str, float]],
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+) -> DataFrame:
+    """Viterbi segmentation under a trained unigram model
+    (`unigram_train` output): per pre-token, the min-cost piece
+    sequence with the deterministic (cost, n_pieces, sequence) tie
+    discipline; unknown chars cost max+10 so concatenation always
+    reconstructs. Same Arrow-batched per-pretoken shell as bpe_encode /
+    wordpiece_encode — model in the task closure, no shuffle."""
+    if not model:
+        raise ValueError("model must be non-empty")
+    scores = {p: float(c) for p, c in model}
+    ml = max(len(p) for p in scores)
+    unk = max(scores.values()) + 10.0
+
+    def enc_tok(tok: str) -> list[str]:
+        return _viterbi_segment(tok, scores, ml, unk)
+
+    return _pretoken_mapper(df, text_col, enc_tok, out_col)
+
+
+def unigram_model_to_json(model: list[tuple[str, float]]) -> str:
+    """Persist a trained unigram model — same exact-float JSON contract
+    as the PQ/SQ8 artifacts (shortest-repr doubles round-trip
+    bit-for-bit, so an encoder on another cluster segments identically)."""
+    import json
+
+    return json.dumps(
+        {
+            "format": "unigram-model-v1",
+            "n_pieces": len(model),
+            "pieces": [[p, c] for p, c in model],
+        }
+    )
+
+
+def unigram_model_from_json(payload: str) -> list[tuple[str, float]]:
+    import json
+
+    obj = json.loads(payload)
+    if obj.get("format") != "unigram-model-v1":
+        raise ValueError(
+            f"not a unigram model payload: {obj.get('format')!r}"
+        )
+    return [(str(p), float(c)) for p, c in obj["pieces"]]

@@ -1266,6 +1266,200 @@ def docs_bpe_encode_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed piece vocabulary for the WordPiece ENCODE entry — a shipped
+# tokenizer artifact, literal here so the oracle can replay it; the DuckDB
+# VALUES list is generated from this same literal.
+_WP_PIECES: list[str] = [
+    "th", "the", " t", " table", "or", "at", "da", "ta", "in", "er",
+    "an", "st", " the", "le", "ow",
+]
+
+_WP_PIECES_VALUES = ", ".join(f"('{p}')" for p in _WP_PIECES)
+
+
+@register(
+    "docs_wordpiece_encode",
+    oracle=rf"""
+    WITH RECURSIVE
+    pre AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) + 1)) AS pos,
+             unnest(toks) AS tok
+      FROM (SELECT doc_id, regexp_extract_all(
+              text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'
+            ) AS toks FROM documents)
+    ),
+    vocab AS (SELECT DISTINCT tok FROM pre),
+    pieces(piece) AS (VALUES {_WP_PIECES_VALUES}),
+    rec AS (
+      SELECT tok, tok AS rest, CAST('' AS VARCHAR) AS js,
+             CAST(0 AS BIGINT) AS n
+      FROM vocab
+      UNION ALL
+      SELECT tok, rest[length(p) + 1:],
+             CASE WHEN js = '' THEN p ELSE js || '~' || p END,
+             n + 1
+      FROM (
+        SELECT tok, rest, js, n,
+               coalesce((SELECT max_by(piece, length(piece)) FROM pieces
+                         WHERE starts_with(rest, piece)),
+                        rest[1:1]) AS p
+        FROM rec WHERE length(rest) > 0)
+    ),
+    final AS (
+      SELECT tok, n AS n_syms, js FROM rec WHERE rest = ''
+    )
+    SELECT doc_id,
+           CAST(sum(n_syms) AS BIGINT) AS n_wp_tokens,
+           CAST(sum({_BPE_DIGEST_DUCK}) AS BIGINT) AS seg_digest
+    FROM pre JOIN final USING (tok)
+    GROUP BY doc_id
+    """,
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    doc="WordPiece-style greedy longest-match segmentation under an "
+    "exact oracle (ml.text.wordpiece_encode — the BERT inference rule, "
+    "minus the '##' continuation spelling): at each position take the "
+    "LONGEST vocabulary piece prefixing the remaining pre-token, else "
+    "emit the single char. Greedy matching is deterministic BY "
+    "CONSTRUCTION (two same-length prefixes of one string are the same "
+    "piece) — no tie discipline needed, which is what makes this the "
+    "match-based tokenizer family's exactly-replayable representative. "
+    "The DuckDB oracle walks the same rule with a recursive CTE over "
+    "the DISTINCT pre-token vocabulary (correlated max_by(piece, "
+    "length) lookup against the VALUES piece table generated from the "
+    "same Python literal) and compares the scale-proof position-baked "
+    "digest SUM (the docs_bpe_encode_digest trick — no per-doc string "
+    "is ever built). Spark: vocabulary-bounded encode broadcast onto "
+    "one instance explode + one per-doc aggregate.",
+)
+def docs_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import PRETOKEN_PATTERN, wordpiece_encode
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pre = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_PATTERN), 0)
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    vocab = wordpiece_encode(
+        pre.select("tok").distinct().withColumnRenamed("tok", "text"),
+        _WP_PIECES,
+    ).select(
+        F.col("text").alias("tok"),
+        F.col("n_wp_tokens").alias("n_syms"),
+        F.array_join(F.col("wp_tokens"), "~").alias("js"),
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("js"), F.lit("@"), F.col("pos").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        pre.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").cast("bigint").alias("n_wp_tokens"),
+            F.sum(digest).cast("bigint").alias("seg_digest"),
+        )
+    )
+
+
+@register(
+    "docs_unigram_train",
+    oracle=None,  # iterative EM — no SQL twin; reference-pinned in pytest
+    overflow=True,
+    doc="SentencePiece-style unigram-LM tokenizer training (ml.text."
+    "unigram_train — Kudo 2018, hard-EM/Viterbi-EM variant): seed "
+    "candidate pieces from corpus pre-token substrings, iterate "
+    "best-segmentation of every DISTINCT pre-token under current piece "
+    "costs -> exact BIGINT usage counts -> -log(count/total) costs, "
+    "prune least-used multi-char pieces until vocab_size (single chars "
+    "never pruned, so every string stays encodable). The corpus is "
+    "touched ONCE (regexp explode -> (pretoken, count) table); each EM "
+    "round runs on that vocabulary-bounded table via Arrow-batched "
+    "mapInPandas with costs in the closure — the SentencePiece "
+    "train-on-counted-sentences shape. Deterministic for any "
+    "partitioning (integer counts + the (cost, n_pieces, sequence) "
+    "Viterbi tie discipline); pinned piece-for-piece against a "
+    "pure-Python reference trainer in tests. Returns the (piece, cost) "
+    "artifact rows the encoder consumes.",
+)
+def docs_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import unigram_train
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    model = unigram_train(docs, vocab_size=64, n_iters=2)
+    return spark.createDataFrame(
+        [(i, p, float(c)) for i, (p, c) in enumerate(model)],
+        "rank long, piece string, cost double",
+    )
+
+
+@register(
+    "docs_unigram_encode",
+    oracle=None,  # Viterbi under float costs — tie discipline pinned in
+    # pytest (optimality vs brute force, reconstruction, train/encode
+    # determinism); rows-only here
+    overflow=True,
+    doc="Viterbi encoding under the trained unigram model (ml.text."
+    "unigram_encode): train at the registered parameters, then segment "
+    "every document — min-cost piece sequence per pre-token with the "
+    "deterministic (cost, n_pieces, sequence) tie discipline, unknown "
+    "chars at max-cost+10 so concatenation always reconstructs "
+    "(hypothesis-pinned). Output is the per-doc token count plus the "
+    "position-baked digest SUM of the segmentation — same scale-proof "
+    "shape as the exact-oracle BPE/WordPiece twins, checked rows-only "
+    "because the model costs are floats (the segmentation itself is "
+    "partition-invariant, pinned in pytest). Spark: one vocabulary-"
+    "bounded encode broadcast onto the instance explode.",
+)
+def docs_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.text import (
+        PRETOKEN_PATTERN,
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    model = unigram_train(docs, vocab_size=64, n_iters=2)
+    pre = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_PATTERN), 0)
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    vocab = unigram_encode(
+        pre.select("tok").distinct().withColumnRenamed("tok", "text"), model
+    ).select(
+        F.col("text").alias("tok"),
+        F.col("n_unigram_tokens").alias("n_syms"),
+        F.array_join(F.col("unigram_tokens"), "~").alias("js"),
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("js"), F.lit("@"), F.col("pos").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        pre.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").cast("bigint").alias("n_unigram_tokens"),
+            F.sum(digest).cast("bigint").alias("seg_digest"),
+        )
+    )
+
+
 @register(
     "docs_ngram_lm_score",
     oracle="""

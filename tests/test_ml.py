@@ -2992,3 +2992,193 @@ def test_bq_ann_recall_on_testdata(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"BQ recall@3 = {recall:.2f} < 0.9"
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    """Hand-computed greedy rule: longest vocabulary prefix wins at each
+    position, unknown chars pass through as themselves (the lenient
+    [UNK] stand-in), and concatenation reconstructs the input."""
+    from mempool_dumpster_spark.ml.text import wordpiece_encode
+
+    df = spark.createDataFrame(
+        [(0, "the table that"), (1, "xyz")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in wordpiece_encode(
+            df, ["th", "the", " t", " table", "at"]
+        ).collect()
+    }
+    # "the" -> [the] (longest wins over th); " that" -> [' t','h','at']
+    assert rows[0]["wp_tokens"] == ["the", " table", " t", "h", "at"]
+    assert rows[1]["wp_tokens"] == ["x", "y", "z"]  # all-unknown channel
+    for r in rows.values():
+        assert "".join(r["wp_tokens"]) == r["text"]
+        assert r["n_wp_tokens"] == len(r["wp_tokens"])
+    with pytest.raises(ValueError, match="non-empty"):
+        wordpiece_encode(df, [])
+
+
+def _reference_unigram_train(tok_counts, vocab_size, max_piece_len,
+                             n_iters, min_count, prune_frac):
+    """Independent pure-Python re-implementation of the unigram trainer's
+    contract (substring seeding, Viterbi hard-EM with the (cost,
+    n_pieces, sequence) tie rule, -log(count/total) M-step with the
+    0.5-use floor, prune-worst-multi-char loop) used to pin
+    ml.text.unigram_train piece-for-piece."""
+    import math
+    from collections import Counter
+
+    def viterbi(tok, costs, unk):
+        best = [None] * (len(tok) + 1)
+        best[0] = (0.0, 0, ())
+        for i in range(1, len(tok) + 1):
+            cand = None
+            for ln in range(1, min(max(map(len, costs)), i) + 1):
+                piece = tok[i - ln : i]
+                prev = best[i - ln]
+                if prev is None:
+                    continue
+                c = costs.get(piece)
+                if c is None:
+                    if ln > 1:
+                        continue
+                    c = unk
+                key = (round(prev[0] + c, 12), prev[1] + 1,
+                       prev[2] + (piece,))
+                if cand is None or key < cand:
+                    cand = key
+            best[i] = cand
+        return best[len(tok)][2]
+
+    subs = Counter()
+    for tok, cnt in tok_counts.items():
+        for i in range(len(tok)):
+            for ln in range(1, min(max_piece_len, len(tok) - i) + 1):
+                subs[tok[i : i + ln]] += cnt
+    pieces = {p for p, c in subs.items() if len(p) == 1 or c >= min_count}
+    total0 = sum(subs[p] for p in pieces)
+    costs = {p: -math.log(subs[p] / total0) for p in pieces}
+    while True:
+        for _ in range(n_iters):
+            unk = max(costs.values()) + 10.0
+            used = Counter()
+            for tok, cnt in tok_counts.items():
+                for piece in viterbi(tok, costs, unk):
+                    used[piece] += cnt
+            total = sum(used.get(p, 0) for p in costs) or 1
+            floor_c = -math.log(0.5 / total)
+            costs = {
+                p: (-math.log(used[p] / total) if used.get(p) else floor_c)
+                for p in costs
+            }
+        multi = [p for p in costs if len(p) > 1]
+        if len(costs) <= vocab_size or not multi:
+            break
+        n_drop = max(1, int(len(multi) * prune_frac))
+        n_drop = min(n_drop, len(costs) - vocab_size, len(multi))
+        for p in sorted(multi, key=lambda p: (used.get(p, 0), p))[:n_drop]:
+            del costs[p]
+    return sorted(costs.items(), key=lambda kv: (round(kv[1], 12), kv[0]))
+
+
+def test_unigram_train_reference_pin_and_invariance(spark):
+    """The distributed trainer must match the independent pure-Python
+    reference piece-for-piece AND cost-for-cost on a small corpus, and
+    train bit-identically for any input partitioning (exact integer
+    E-step counts + the deterministic tie discipline)."""
+    import re
+
+    from mempool_dumpster_spark.ml.text import unigram_train
+
+    texts = [
+        "the table holds the data",
+        "a fast table scan",
+        "data tables scan fast",
+        "the the the scan",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    model = unigram_train(
+        df, vocab_size=24, max_piece_len=4, n_iters=2, min_count=2
+    )
+    # reference pretokenization: GPT-2 pattern on this corpus = words
+    # with their leading space (Java/Python agree on this ASCII subset)
+    from collections import Counter
+
+    toks = Counter()
+    for t in texts:
+        for m in re.findall(r" ?[A-Za-z]+", t):
+            toks[m] += 1
+    ref = _reference_unigram_train(
+        toks, vocab_size=24, max_piece_len=4, n_iters=2, min_count=2,
+        prune_frac=0.2,
+    )
+    assert [p for p, _ in model] == [p for p, _ in ref]
+    for (_, a), (_, b) in zip(model, ref):
+        assert abs(a - b) < 1e-12
+    m2 = unigram_train(
+        df.repartition(7), vocab_size=24, max_piece_len=4, n_iters=2,
+        min_count=2,
+    )
+    assert m2 == model
+
+
+def test_unigram_viterbi_optimality_and_roundtrip(spark):
+    """Viterbi vs brute force: on every segmentation of short tokens the
+    encoder's pick must have minimal (cost, n_pieces, sequence); the
+    model JSON artifact round-trips bit-for-bit; encoding reconstructs."""
+    from itertools import combinations
+
+    from mempool_dumpster_spark.ml.text import (
+        _viterbi_segment,
+        unigram_encode,
+        unigram_model_from_json,
+        unigram_model_to_json,
+        unigram_train,
+    )
+
+    scores = {"a": 1.0, "b": 1.2, "ab": 1.9, "ba": 3.5, "aba": 3.1,
+              "bb": 2.0}
+    unk = max(scores.values()) + 10.0
+    for tok in ["abab", "bbaab", "ababa", "zza", "b"]:
+        got = _viterbi_segment(tok, scores, 3, unk)
+        best = None
+        n = len(tok)
+        for k in range(n):
+            for cuts in combinations(range(1, n), k):
+                bounds = [0, *cuts, n]
+                seg = [tok[bounds[i]:bounds[i + 1]]
+                       for i in range(len(bounds) - 1)]
+                cost = 0.0
+                ok = True
+                for p in seg:
+                    if p in scores:
+                        cost += scores[p]
+                    elif len(p) == 1:
+                        cost += unk
+                    else:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                key = (round(cost, 12), len(seg), tuple(seg))
+                if best is None or key < best:
+                    best = key
+        assert tuple(got) == best[2], f"{tok}: {got} vs {best}"
+        assert "".join(got) == tok
+
+    docs = spark.createDataFrame(
+        [(0, "abab zza bb")], "doc_id long, text string"
+    )
+    model = unigram_train(docs, vocab_size=16, max_piece_len=3, n_iters=1,
+                          min_count=1)
+    assert unigram_model_from_json(unigram_model_to_json(model)) == model
+    with pytest.raises(ValueError, match="not a unigram model"):
+        unigram_model_from_json('{"format": "sq8-bounds-v1"}')
+    enc = unigram_encode(docs, model)
+    r = enc.collect()[0]
+    assert "".join(r["unigram_tokens"]) == r["text"]
+    with pytest.raises(ValueError, match="non-empty"):
+        unigram_encode(docs, [])

@@ -84,6 +84,9 @@ STRESS_QUERIES = [
     # the scale-proof BPE digest twin (exact even at 100x, where
     # docs_bpe_encode's string-rebuild oracle exhausts DuckDB)
     "docs_bpe_encode_digest",
+    # the match-based tokenizer family's exact representative (greedy
+    # longest-match; deterministic by construction, green at 100x too)
+    "docs_wordpiece_encode",
 ]
 
 
