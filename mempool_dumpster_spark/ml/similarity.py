@@ -1560,6 +1560,65 @@ def ivfpq_topk_pretrained(
 # ---------------------------------------------------------------------------
 
 
+def _prescore_shortlist_rerank(
+    candidates: DataFrame,
+    q: DataFrame,
+    coded: DataFrame,
+    score_exprs: list[Column],
+    q_ids: list,
+    ascending: bool,
+    refine: int,
+    k: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Shared tail of the pure-codegen quantized ANN rungs (SQ8, BQ):
+    posexplode the per-query prescore expressions over the code scan,
+    window the refine*k shortlist per query (ascending for distances,
+    descending for similarities; neighbor_id tiebreak), then re-fetch
+    raw vectors for the SHORTLIST ONLY and re-rank by exact cosine --
+    the fp-parity-critical piece, audited in one place (same tail shape
+    as ivfpq_topk_pretrained)."""
+    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
+    relabeled = (
+        coded.select(
+            "neighbor_id",
+            F.posexplode(F.array(*score_exprs)).alias("qi", "approx"),
+        )
+        .select(
+            F.element_at(q_id_arr, F.col("qi") + 1).alias("query_id"),
+            "neighbor_id",
+            "approx",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    order = F.col("approx").asc() if ascending else F.col("approx").desc()
+    w_short = Window.partitionBy("query_id").orderBy(order, "neighbor_id")
+    shortlist = (
+        relabeled.withColumn("rk", F.row_number().over(w_short))
+        .filter(F.col("rk") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    fetched = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("__emb")
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    sims = (
+        with_unit_vector(fetched, "__emb")
+        .withColumnRenamed("unit", "c_unit")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def train_sq8_bounds(
     candidates: DataFrame,
     emb_col: str = "embedding",
@@ -1690,49 +1749,9 @@ def sq8_topk(
             )
         )
 
-    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
-    scored = (
-        coded.select(
-            "neighbor_id",
-            F.posexplode(F.array(*score_exprs)).alias("qi", "approx"),
-        )
-        .select(
-            F.element_at(q_id_arr, F.col("qi") + 1).alias("query_id"),
-            "neighbor_id",
-            "approx",
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), "neighbor_id"
-    )
-    shortlist = (
-        scored.withColumn("rk", F.row_number().over(w_short))
-        .filter(F.col("rk") <= refine * k)
-        .select("query_id", "neighbor_id")
-    )
-    # re-fetch raw vectors for the shortlist only, so the exact norm/dot
-    # fold (the fp-parity obligation) never touches non-shortlist rows —
-    # same tail as ivfpq_topk_pretrained
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("__emb")
-    ).join(F.broadcast(shortlist), "neighbor_id")
-    c = with_unit_vector(c, "__emb").select(
-        "query_id", "neighbor_id", F.col("unit").alias("c_unit")
-    )
-    sims = (
-        c
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
+    return _prescore_shortlist_rerank(
+        candidates, q, coded, score_exprs, q_ids,
+        ascending=False, refine=refine, k=k, id_col=id_col, emb_col=emb_col,
     )
 
 
@@ -1831,43 +1850,7 @@ def bq_topk(
             ham = term if ham is None else ham + term
         ham_exprs.append(ham)
 
-    q_id_arr = F.array(*[F.lit(i) for i in q_ids])
-    scored = (
-        coded.select(
-            "neighbor_id",
-            F.posexplode(F.array(*ham_exprs)).alias("qi", "ham"),
-        )
-        .select(
-            F.element_at(q_id_arr, F.col("qi") + 1).alias("query_id"),
-            "neighbor_id",
-            "ham",
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    w_short = Window.partitionBy("query_id").orderBy(
-        F.col("ham").asc(), "neighbor_id"
-    )
-    shortlist = (
-        scored.withColumn("rk", F.row_number().over(w_short))
-        .filter(F.col("rk") <= refine * k)
-        .select("query_id", "neighbor_id")
-    )
-    # exact re-rank over shortlist-only vector fetches (the sq8_topk tail)
-    fetched = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("__emb")
-    ).join(F.broadcast(shortlist), "neighbor_id")
-    sims = (
-        with_unit_vector(fetched, "__emb")
-        .withColumnRenamed("unit", "c_unit")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot(F.col("q_unit"), F.col("c_unit")).alias("sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
+    return _prescore_shortlist_rerank(
+        candidates, q, coded, ham_exprs, q_ids,
+        ascending=True, refine=refine, k=k, id_col=id_col, emb_col=emb_col,
     )

@@ -679,7 +679,7 @@ def bpe_encode(
     """Encode text with a learned merge list (`bpe_learn` output): apply
     merges RANK-ORDERED within each pre-token — the standard BPE encoder,
     so train-then-encode round-trips the training corpus. Adds `out_col`
-    (array<string> of subword tokens) and `n_bpe_tokens`.
+    (array<string> of subword tokens) and `n_<out_col>`.
 
     Pre-tokenization happens ON THE JVM with the literal PRETOKEN_PATTERN
     — the same engine and pattern `bpe_learn` trained with, so token
@@ -687,57 +687,28 @@ def bpe_encode(
     translation would: Java's \\p{N} spans No/Nl characters like '¾'
     where \\d does not, and Python's \\s is Unicode-wide where Java's is
     ASCII). The rank-ordered merge application is the Arrow-batched
-    per-pretoken pass; the merge table rides the task closure (merge
-    lists are KBs — broadcast-by-closure is the right size). Encoding
-    cost is O(symbols × applicable merges) per doc, the same as any BPE
-    encoder; no shuffle at any scale."""
+    per-pretoken pass (`_pretoken_mapper`, shared with wordpiece_encode /
+    unigram_encode); the merge table rides the task closure (merge lists
+    are KBs — broadcast-by-closure is the right size). Encoding cost is
+    O(symbols × applicable merges) per doc, the same as any BPE encoder;
+    no shuffle at any scale."""
     ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
 
-    def encode(batches):
-        def enc_tok(tok: str) -> list[str]:
-            syms = list(tok)
-            while len(syms) >= 2:
-                best = None
-                for i, pair in enumerate(zip(syms, syms[1:])):
-                    r = ranks.get(pair)
-                    if r is not None and (best is None or r < best[0]):
-                        best = (r, i)
-                if best is None:
-                    break
-                _, i = best
-                syms[i : i + 2] = [syms[i] + syms[i + 1]]
-            return syms
+    def enc_tok(tok: str) -> list[str]:
+        syms = list(tok)
+        while len(syms) >= 2:
+            best = None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            _, i = best
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
 
-        for pdf in batches:
-            toks = [
-                [s for tok in pretoks for s in enc_tok(tok)]
-                for pretoks in pdf["__pretoks"]
-            ]
-            out = pdf.drop(columns=["__pretoks"])
-            out[out_col] = toks
-            out["n_bpe_tokens"] = [len(t) for t in toks]
-            yield out
-
-    from pyspark.sql.types import (
-        ArrayType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    schema = StructType(
-        list(df.schema.fields)
-        + [
-            StructField(out_col, ArrayType(StringType()), False),
-            StructField("n_bpe_tokens", LongType(), False),
-        ]
-    )
-    with_pretoks = df.withColumn(
-        "__pretoks",
-        F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0),
-    )
-    return with_pretoks.mapInPandas(encode, schema=schema)
+    return _pretoken_mapper(df, text_col, enc_tok, out_col)
 
 
 def bpe_save_merges(spark, merges, path: str) -> None:
@@ -1014,48 +985,53 @@ def unigram_train(
         p: -math.log(sub_counts[p] / total0) for p in pieces
     }
 
-    spark = docs.sparkSession
-    while True:
-        for _ in range(n_iters):
-            cur = dict(costs)
-            ml = max(len(p) for p in cur)
-            unk = max(cur.values()) + 10.0
+    if n_iters < 1:
+        # the prune step ranks pieces by the E-step's usage counts — with
+        # zero EM rounds there are none (an unbound `used` was a NameError)
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    try:
+        while True:
+            for _ in range(n_iters):
+                cur = dict(costs)
+                ml = max(len(p) for p in cur)
+                unk = max(cur.values()) + 10.0
 
-            def estep(batches, _c=cur, _ml=ml, _unk=unk):
-                for pdf in batches:
-                    agg: Counter = Counter()
-                    for tok, cnt in zip(pdf["tok"], pdf["cnt"]):
-                        for piece in _viterbi_segment(tok, _c, _ml, _unk):
-                            agg[piece] += int(cnt)
-                    yield pd.DataFrame(
-                        {"piece": list(agg), "used": list(agg.values())}
+                def estep(batches, _c=cur, _ml=ml, _unk=unk):
+                    for pdf in batches:
+                        agg: Counter = Counter()
+                        for tok, cnt in zip(pdf["tok"], pdf["cnt"]):
+                            for piece in _viterbi_segment(tok, _c, _ml, _unk):
+                                agg[piece] += int(cnt)
+                        yield pd.DataFrame(
+                            {"piece": list(agg), "used": list(agg.values())}
+                        )
+
+                used = {
+                    r["piece"]: r["used"]
+                    for r in vocab.mapInPandas(
+                        estep, schema="piece string, used long"
                     )
-
-            used = {
-                r["piece"]: r["used"]
-                for r in vocab.mapInPandas(
-                    estep, schema="piece string, used long"
-                )
-                .groupBy("piece")
-                .agg(F.sum("used").cast("bigint").alias("used"))
-                .collect()
-            }
-            total = sum(used.get(p, 0) for p in costs) or 1
-            floor_c = -math.log(0.5 / total)  # unused pieces: sub-single-use
-            costs = {
-                p: (-math.log(used[p] / total) if used.get(p) else floor_c)
-                for p in costs
-            }
-        multi = [p for p in costs if len(p) > 1]
-        if len(costs) <= vocab_size or not multi:
-            break
-        # prune the worst multi-char pieces (fewest uses; ties by piece)
-        n_drop = max(1, int(len(multi) * prune_frac))
-        n_drop = min(n_drop, len(costs) - vocab_size, len(multi))
-        drop = sorted(multi, key=lambda p: (used.get(p, 0), p))[:n_drop]
-        for p in drop:
-            del costs[p]
-    vocab.unpersist()
+                    .groupBy("piece")
+                    .agg(F.sum("used").cast("bigint").alias("used"))
+                    .collect()
+                }
+                total = sum(used.get(p, 0) for p in costs) or 1
+                floor_c = -math.log(0.5 / total)  # unused: sub-single-use
+                costs = {
+                    p: (-math.log(used[p] / total) if used.get(p) else floor_c)
+                    for p in costs
+                }
+            multi = [p for p in costs if len(p) > 1]
+            if len(costs) <= vocab_size or not multi:
+                break
+            # prune the worst multi-char pieces (fewest uses; ties by piece)
+            n_drop = max(1, int(len(multi) * prune_frac))
+            n_drop = min(n_drop, len(costs) - vocab_size, len(multi))
+            drop = sorted(multi, key=lambda p: (used.get(p, 0), p))[:n_drop]
+            for p in drop:
+                del costs[p]
+    finally:
+        vocab.unpersist()
     assert chars <= set(costs)
     return sorted(costs.items(), key=lambda kv: (round(kv[1], 12), kv[0]))
 

@@ -1105,12 +1105,21 @@ _BPE_RANK_CASE = (
                               i -> {_BPE_RANK_CASE}) AS rk
         FROM rec)
       WHERE len(syms) < 2 OR list_aggregate(rk, 'min') IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+             string_agg(js, '~' ORDER BY pos) AS bpe_joined
+      FROM pre JOIN final USING (tok)
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
-           string_agg(js, '~' ORDER BY pos) AS bpe_joined
-    FROM pre JOIN final USING (tok)
-    GROUP BY doc_id
+    -- LEFT JOIN from documents so a zero-pretoken doc (empty text)
+    -- appears as (0, '') exactly like Spark's row-preserving
+    -- mapInPandas, instead of being silently omitted
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           coalesce(a.bpe_joined, '') AS bpe_joined
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
     doc="BPE ENCODING with a shipped tokenizer artifact (ml.text."
@@ -1144,6 +1153,46 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bpe_tokens",
         F.array_join(F.col("bpe_tokens"), "~").alias("bpe_joined"),
+    )
+
+
+def _pretoken_digest(docs: DataFrame, encode_vocab, n_col: str) -> DataFrame:
+    """Shared Spark side of the position-baked segmentation-digest entries
+    (docs_bpe_encode_digest / docs_wordpiece_encode / docs_unigram_encode):
+    explode pre-tokens with their 1-based position, encode only the
+    DISTINCT pre-token vocabulary via `encode_vocab` (a callable mapping a
+    one-column `text` frame to (tok, n_syms, js)), broadcast it back onto
+    the instances, and fold per doc — token count plus the md5-prefix
+    digest SUM with the position baked into each hashed input (commutative
+    aggregate, order-sensitive in effect). One place to audit; the DuckDB
+    twin is `_BPE_DIGEST_DUCK` below."""
+    from mempool_dumpster_spark.ml.text import PRETOKEN_PATTERN
+
+    pre = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_PATTERN), 0)
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    vocab = encode_vocab(
+        pre.select("tok").distinct().withColumnRenamed("tok", "text")
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("js"), F.lit("@"), F.col("pos").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        pre.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").cast("bigint").alias(n_col),
+            F.sum(digest).cast("bigint").alias("seg_digest"),
+        )
     )
 
 
@@ -1230,40 +1279,18 @@ _BPE_DIGEST_DUCK = (
     "one per-doc aggregate at any corpus size.",
 )
 def docs_bpe_encode_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.text import PRETOKEN_PATTERN, bpe_encode
+    from mempool_dumpster_spark.ml.text import bpe_encode
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pre = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_PATTERN), 0)
-        ).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    vocab = bpe_encode(
-        pre.select("tok").distinct().withColumnRenamed("tok", "text"),
-        _BPE_ENCODE_MERGES,
-    ).select(
-        F.col("text").alias("tok"),
-        F.col("n_bpe_tokens").alias("n_syms"),
-        F.array_join(F.col("bpe_tokens"), "~").alias("js"),
-    )
-    digest = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("js"), F.lit("@"), F.col("pos").cast("string"))),
-            1,
-            6,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return (
-        pre.join(F.broadcast(vocab), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
-            F.sum(digest).cast("bigint").alias("seg_digest"),
+
+    def encode_vocab(toks: DataFrame) -> DataFrame:
+        return bpe_encode(toks, _BPE_ENCODE_MERGES).select(
+            F.col("text").alias("tok"),
+            F.col("n_bpe_tokens").alias("n_syms"),
+            F.array_join(F.col("bpe_tokens"), "~").alias("js"),
         )
-    )
+
+    return _pretoken_digest(docs, encode_vocab, "n_bpe_tokens")
 
 
 # Fixed piece vocabulary for the WordPiece ENCODE entry — a shipped
@@ -1334,40 +1361,18 @@ _WP_PIECES_VALUES = ", ".join(f"('{p}')" for p in _WP_PIECES)
     "one instance explode + one per-doc aggregate.",
 )
 def docs_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.text import PRETOKEN_PATTERN, wordpiece_encode
+    from mempool_dumpster_spark.ml.text import wordpiece_encode
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    pre = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_PATTERN), 0)
-        ).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    vocab = wordpiece_encode(
-        pre.select("tok").distinct().withColumnRenamed("tok", "text"),
-        _WP_PIECES,
-    ).select(
-        F.col("text").alias("tok"),
-        F.col("n_wp_tokens").alias("n_syms"),
-        F.array_join(F.col("wp_tokens"), "~").alias("js"),
-    )
-    digest = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("js"), F.lit("@"), F.col("pos").cast("string"))),
-            1,
-            6,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return (
-        pre.join(F.broadcast(vocab), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_syms").cast("bigint").alias("n_wp_tokens"),
-            F.sum(digest).cast("bigint").alias("seg_digest"),
+
+    def encode_vocab(toks: DataFrame) -> DataFrame:
+        return wordpiece_encode(toks, _WP_PIECES).select(
+            F.col("text").alias("tok"),
+            F.col("n_wp_tokens").alias("n_syms"),
+            F.array_join(F.col("wp_tokens"), "~").alias("js"),
         )
-    )
+
+    return _pretoken_digest(docs, encode_vocab, "n_wp_tokens")
 
 
 @register(
@@ -1420,44 +1425,19 @@ def docs_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded encode broadcast onto the instance explode.",
 )
 def docs_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.text import (
-        PRETOKEN_PATTERN,
-        unigram_encode,
-        unigram_train,
-    )
+    from mempool_dumpster_spark.ml.text import unigram_encode, unigram_train
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     model = unigram_train(docs, vocab_size=64, n_iters=2)
-    pre = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_PATTERN), 0)
-        ).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    vocab = unigram_encode(
-        pre.select("tok").distinct().withColumnRenamed("tok", "text"), model
-    ).select(
-        F.col("text").alias("tok"),
-        F.col("n_unigram_tokens").alias("n_syms"),
-        F.array_join(F.col("unigram_tokens"), "~").alias("js"),
-    )
-    digest = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("js"), F.lit("@"), F.col("pos").cast("string"))),
-            1,
-            6,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return (
-        pre.join(F.broadcast(vocab), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n_syms").cast("bigint").alias("n_unigram_tokens"),
-            F.sum(digest).cast("bigint").alias("seg_digest"),
+
+    def encode_vocab(toks: DataFrame) -> DataFrame:
+        return unigram_encode(toks, model).select(
+            F.col("text").alias("tok"),
+            F.col("n_unigram_tokens").alias("n_syms"),
+            F.array_join(F.col("unigram_tokens"), "~").alias("js"),
         )
-    )
+
+    return _pretoken_digest(docs, encode_vocab, "n_unigram_tokens")
 
 
 @register(

@@ -2927,16 +2927,31 @@ def test_nb_classifier_learns_separable_signal(labeled_docs):
         map(tuple, s2.collect())
     )
 
-    # (c) a doc of entirely unseen tokens: every vote falls to the class
-    # with fewer training token instances — deterministic, no crash
+    # (c) a doc of entirely unseen tokens: both classes smooth to c+1=1,
+    # so the vote is (n_neg+V) > (n_pos+V) — it falls to the class with
+    # FEWER training token instances. Pinned in BOTH directions with
+    # deliberately unbalanced training slices (the balanced fixture
+    # above has n_pos == n_neg, which masks an inverted comparison).
     spark = labeled_docs.sparkSession
     unseen = spark.createDataFrame(
         [(99, "zzz yyy xxx")], "doc_id long, text string"
     )
-    row = nb_predict(unseen, stats, totals).collect()[0]
-    assert row["n_tok"] == 3
-    expected_vote = 1 if totals["n_neg"] < totals["n_pos"] else 0
-    assert row["pos_votes"] == 3 * expected_vote
+    s_posheavy, t_posheavy = nb_train(
+        labeled_docs.filter(F.col("doc_id") < 9), F.col("is_pos")
+    )  # 5 pos / 4 neg docs -> n_pos > n_neg -> unseen votes go NEGATIVE
+    assert t_posheavy["n_pos"] > t_posheavy["n_neg"]
+    row = nb_predict(unseen, s_posheavy, t_posheavy).collect()[0]
+    assert row["n_tok"] == 3 and row["pos_votes"] == 0
+
+    s_negheavy, t_negheavy = nb_train(
+        labeled_docs.filter(
+            (F.col("doc_id") >= 1) & (F.col("doc_id") < 10)
+        ),
+        F.col("is_pos"),
+    )  # 4 pos / 5 neg docs -> n_neg > n_pos -> unseen votes positive
+    assert t_negheavy["n_neg"] > t_negheavy["n_pos"]
+    row = nb_predict(unseen, s_negheavy, t_negheavy).collect()[0]
+    assert row["n_tok"] == 3 and row["pos_votes"] == 3
 
 
 def test_bq_topk_exact_on_separated_clusters(vectors):
@@ -3182,3 +3197,13 @@ def test_unigram_viterbi_optimality_and_roundtrip(spark):
     assert "".join(r["unigram_tokens"]) == r["text"]
     with pytest.raises(ValueError, match="non-empty"):
         unigram_encode(docs, [])
+
+
+def test_unigram_train_n_iters_guard(spark):
+    """Review regression: n_iters=0 used to reach the prune step with no
+    E-step counts bound (NameError); now a loud ValueError."""
+    from mempool_dumpster_spark.ml.text import unigram_train
+
+    df = spark.createDataFrame([(0, "aa ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_iters must be >= 1"):
+        unigram_train(df, vocab_size=2, n_iters=0)
