@@ -462,11 +462,16 @@ def nb_train(
     serve-many shape as the DSIR bucket stats and the PQ codebooks).
 
     All counts are exact BIGINTs — no probabilities are materialized at
-    train time, so there is nothing here that can drift across engines."""
+    train time, so there is nothing here that can drift across engines.
+
+    Null policy: rows whose `label` casts to NULL are EXCLUDED from
+    training (they are unlabeled, not negative — silently routing them
+    to c_neg was an API trap). Callers wanting a different policy cast
+    explicitly, e.g. coalesce(label, false)."""
     toks = train_docs.select(
         label.cast("boolean").alias("__pos"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
-    )
+    ).filter(F.col("__pos").isNotNull())
     stats = toks.groupBy("token").agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0))
         .cast("bigint")

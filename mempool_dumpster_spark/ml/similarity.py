@@ -1667,6 +1667,16 @@ def sq8_bounds_from_json(payload: str) -> list[list[float]]:
     hi = [float(x) for x in obj["hi"]]
     if len(lo) != obj.get("dim") or len(hi) != obj.get("dim"):
         raise ValueError("SQ8 payload dim does not match lo/hi length")
+    # Inverted bounds (hi < lo) would silently zero delta/inv in sq8_topk,
+    # collapsing every code in that dimension to 0 and degrading prescore
+    # recall instead of failing — loud-failure convention like the other
+    # artifact loaders (pq_codebooks_from_json's shape checks).
+    bad = [d for d, (l, h) in enumerate(zip(lo, hi)) if h < l]
+    if bad:
+        raise ValueError(
+            f"SQ8 bounds inverted (hi < lo) at dims {bad[:8]}"
+            f"{'...' if len(bad) > 8 else ''}"
+        )
     return [lo, hi]
 
 

@@ -817,12 +817,28 @@ def _pretoken_mapper(df: DataFrame, text_col: str, encode_tok, out_col: str):
         StructType,
     )
 
+    # Pre-tokens are Zipfian (the trainers exploit exactly this by
+    # collapsing to distinct pre-tokens), so each task memoizes encode_tok
+    # over the distinct pre-tokens it sees — one encode per distinct token
+    # per partition instead of one per instance, byte-identical output
+    # (the encoders are pure functions of the token). The memo is capped
+    # so a pathological all-distinct partition stays bounded: past the
+    # cap new tokens encode uncached, the hot Zipfian head stays cached.
     def run(batches):
+        memo: dict = {}
+        cap = 1 << 20
         for pdf in batches:
-            toks = [
-                [s for tok in pretoks for s in encode_tok(tok)]
-                for pretoks in pdf["__pretoks"]
-            ]
+            toks = []
+            for pretoks in pdf["__pretoks"]:
+                row: list = []
+                for tok in pretoks:
+                    enc = memo.get(tok)
+                    if enc is None:
+                        enc = encode_tok(tok)
+                        if len(memo) < cap:
+                            memo[tok] = enc
+                    row.extend(enc)
+                toks.append(row)
             out = pdf.drop(columns=["__pretoks"])
             out[out_col] = toks
             out[f"n_{out_col}"] = [len(t) for t in toks]
@@ -926,6 +942,7 @@ def unigram_train(
     min_count: int = 2,
     prune_frac: float = 0.2,
     text_col: str = "text",
+    max_seed_pieces: int = 1 << 20,
 ) -> list[tuple[str, float]]:
     """SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
     hard-EM (Viterbi-EM) variant: seed a candidate vocabulary from the
@@ -944,11 +961,20 @@ def unigram_train(
     mapInPandas with the current costs in the task closure, usage
     counts aggregated as exact BIGINTs — deterministic for any
     partitioning; M-step on the ≤|pieces| count table driver-side).
-    This mirrors how SentencePiece itself trains on a pre-counted
-    sentence table rather than raw text. Determinism: integer counts +
-    the _viterbi_segment tie discipline make training a pure function
-    of the corpus — pinned against a pure-Python reference in tests."""
+    Candidate SEEDING is distributed too: substrings up to
+    max_piece_len explode JVM-side from the vocabulary table (the
+    shingles pattern) into one grouped aggregate, and only the
+    survivors — count >= min_count, capped at the top
+    `max_seed_pieces` multi-char candidates by (count, piece) — plus
+    the single-char floor are ever collected; the web-scale distinct-
+    pretoken vocabulary (1e7–1e8 rows of typos/numerals/identifiers)
+    never reaches the driver. This mirrors how SentencePiece itself
+    trains on a pre-counted sentence table rather than raw text.
+    Determinism: integer counts + the _viterbi_segment tie discipline
+    make training a pure function of the corpus — pinned against a
+    pure-Python reference in tests."""
     import math
+    from collections import Counter
 
     import pandas as pd
 
@@ -962,24 +988,39 @@ def unigram_train(
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     vocab = vocab.cache()
-    rows = vocab.collect()  # vocabulary-bounded (distinct pre-tokens)
-    if not rows:
-        vocab.unpersist()
-        return []
     # Seed candidates: all substrings up to max_piece_len with weighted
     # count >= min_count, plus every single char (the encodability floor).
-    from collections import Counter
-
-    sub_counts: Counter = Counter()
-    for r in rows:
-        tok, cnt = r["tok"], r["cnt"]
-        for i in range(len(tok)):
-            for ln in range(1, min(max_piece_len, len(tok) - i) + 1):
-                sub_counts[tok[i : i + ln]] += cnt
+    # Exploded and counted IN SPARK — one flatten/transform expression per
+    # distinct pre-token, one grouped BIGINT sum — so the seed pass is a
+    # single aggregate in the plan, not a driver-side Counter over the
+    # full distinct-pretoken vocabulary (r10 verdict's one scale-killer).
+    sub_expr = (
+        "flatten(transform(sequence(1, length(tok)), i -> "
+        f"transform(sequence(1, least({int(max_piece_len)}, "
+        "length(tok) - i + 1)), ln -> substring(tok, i, ln))))"
+    )
+    subs = (
+        vocab.select(F.col("cnt"), F.explode(F.expr(sub_expr)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+    singles = subs.filter(F.length("piece") == 1)
+    multi = subs.filter(
+        (F.length("piece") > 1) & (F.col("c") >= min_count)
+    )
+    if max_seed_pieces is not None:
+        # deterministic budget: keep the most frequent multi-char
+        # candidates, ties by piece — bounds the collect at any scale
+        multi = multi.orderBy(F.col("c").desc(), "piece").limit(
+            int(max_seed_pieces)
+        )
+    cand = singles.unionByName(multi).collect()
+    if not cand:
+        vocab.unpersist()
+        return []
+    sub_counts = {r["piece"]: int(r["c"]) for r in cand}
     chars = {p for p in sub_counts if len(p) == 1}
-    pieces = {
-        p for p, c in sub_counts.items() if len(p) == 1 or c >= min_count
-    }
+    pieces = set(sub_counts)
     total0 = sum(sub_counts[p] for p in pieces)
     costs = {
         p: -math.log(sub_counts[p] / total0) for p in pieces

@@ -1164,8 +1164,11 @@ def _pretoken_digest(docs: DataFrame, encode_vocab, n_col: str) -> DataFrame:
     one-column `text` frame to (tok, n_syms, js)), broadcast it back onto
     the instances, and fold per doc — token count plus the md5-prefix
     digest SUM with the position baked into each hashed input (commutative
-    aggregate, order-sensitive in effect). One place to audit; the DuckDB
-    twin is `_BPE_DIGEST_DUCK` below."""
+    aggregate, order-sensitive in effect). Zero-pretoken (empty-text) docs
+    are PRESERVED as (0, 0) via a left join back to the input — the same
+    row-preservation contract docs_bpe_encode pins for its string form;
+    the digest oracles carry the matching LEFT JOIN. One place to audit;
+    the DuckDB twin is `_BPE_DIGEST_DUCK` below."""
     from mempool_dumpster_spark.ml.text import PRETOKEN_PATTERN
 
     pre = docs.select(
@@ -1186,13 +1189,20 @@ def _pretoken_digest(docs: DataFrame, encode_vocab, n_col: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    return (
+    agg = (
         pre.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
             F.sum("n_syms").cast("bigint").alias(n_col),
             F.sum(digest).cast("bigint").alias("seg_digest"),
         )
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col(n_col), F.lit(0)).cast("bigint").alias(n_col),
+        F.coalesce(F.col("seg_digest"), F.lit(0))
+        .cast("bigint")
+        .alias("seg_digest"),
     )
 
 
@@ -1253,12 +1263,20 @@ _BPE_DIGEST_DUCK = (
                               i -> {_BPE_RANK_CASE}) AS rk
         FROM rec)
       WHERE len(syms) < 2 OR list_aggregate(rk, 'min') IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum({_BPE_DIGEST_DUCK}) AS BIGINT) AS seg_digest
+      FROM pre JOIN final USING (tok)
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
-           CAST(sum({_BPE_DIGEST_DUCK}) AS BIGINT) AS seg_digest
-    FROM pre JOIN final USING (tok)
-    GROUP BY doc_id
+    -- LEFT JOIN so zero-pretoken docs appear as (0, 0) — the same
+    -- row-preservation contract as docs_bpe_encode's string form
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(a.seg_digest, 0) AS BIGINT) AS seg_digest
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
     doc="BPE encoding under a SCALE-PROOF exact check — the 100x-capable "
@@ -1336,12 +1354,18 @@ _WP_PIECES_VALUES = ", ".join(f"('{p}')" for p in _WP_PIECES)
     ),
     final AS (
       SELECT tok, n AS n_syms, js FROM rec WHERE rest = ''
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(n_syms) AS BIGINT) AS n_wp_tokens,
+             CAST(sum({_BPE_DIGEST_DUCK}) AS BIGINT) AS seg_digest
+      FROM pre JOIN final USING (tok)
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(n_syms) AS BIGINT) AS n_wp_tokens,
-           CAST(sum({_BPE_DIGEST_DUCK}) AS BIGINT) AS seg_digest
-    FROM pre JOIN final USING (tok)
-    GROUP BY doc_id
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens,
+           CAST(coalesce(a.seg_digest, 0) AS BIGINT) AS seg_digest
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
     doc="WordPiece-style greedy longest-match segmentation under an "

@@ -3207,3 +3207,103 @@ def test_unigram_train_n_iters_guard(spark):
     df = spark.createDataFrame([(0, "aa ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_iters must be >= 1"):
         unigram_train(df, vocab_size=2, n_iters=0)
+
+
+def test_unigram_seed_cap_bounded_and_nonbinding(spark):
+    """r11 (verdict #2): candidate seeding runs IN SPARK — substring
+    explode + one grouped BIGINT aggregate over the vocabulary table, so
+    the distinct-pretoken set never reaches the driver — and is budgeted
+    by max_seed_pieces. The default budget must be non-binding on small
+    corpora (model identical to uncapped), and a tiny binding cap must
+    still keep every single char (the encodability floor) and at most
+    `cap` multi-char pieces."""
+    from mempool_dumpster_spark.ml.text import unigram_train
+
+    texts = [
+        "the table holds the data",
+        "a fast table scan",
+        "data tables scan fast",
+        "the the the scan",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(vocab_size=24, max_piece_len=4, n_iters=2, min_count=2)
+    default = unigram_train(df, **kw)
+    uncapped = unigram_train(df, max_seed_pieces=None, **kw)
+    assert default == uncapped
+    capped = unigram_train(df, max_seed_pieces=3, **kw)
+    chars = {p for p, _ in capped if len(p) == 1}
+    assert chars == {c for t in texts for c in t}
+    assert len([p for p, _ in capped if len(p) > 1]) <= 3
+
+
+def test_sq8_inverted_bounds_artifact_rejected():
+    """r10 advisory: a corrupted/hand-edited bounds artifact with hi < lo
+    used to silently zero delta/inv in sq8_topk (codes collapse to 0,
+    recall degrades); the loader now fails loudly like the other artifact
+    loaders."""
+    from mempool_dumpster_spark.ml.similarity import (
+        sq8_bounds_from_json,
+        sq8_bounds_to_json,
+    )
+
+    payload = sq8_bounds_to_json([[0.0, 0.5], [1.0, 0.25]])
+    with pytest.raises(ValueError, match="inverted"):
+        sq8_bounds_from_json(payload)
+
+
+def test_nb_train_excludes_null_labels(spark):
+    """r10 advisory: rows whose label casts to NULL are unlabeled, not
+    negative — they used to be routed to c_neg via when(...).otherwise(0).
+    They are now excluded from training entirely."""
+    from mempool_dumpster_spark.ml.selection import nb_train
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha alpha", True),
+            (1, "beta beta", False),
+            (2, "poison poison", None),
+        ],
+        "doc_id long, text string, lab boolean",
+    )
+    stats, totals = nb_train(df, F.col("lab"))
+    toks = {r["token"]: (r["c_pos"], r["c_neg"]) for r in stats.collect()}
+    assert "poison" not in toks
+    assert toks["alpha"] == (2, 0) and toks["beta"] == (0, 2)
+    assert totals == {"n_pos": 2, "n_neg": 2, "vocab": 2}
+
+
+def test_pretoken_digest_twins_preserve_empty_docs(spark):
+    """r10 advisory: the digest twins dropped zero-pretoken docs via the
+    inner explode+join while sibling docs_bpe_encode preserved them as
+    (0, ''); the Spark helper and the digest oracles now LEFT JOIN back
+    to the input so the row-preservation contract matches across the
+    twin families — empty-text docs appear as (0, 0)."""
+    from mempool_dumpster_spark.ml.text import bpe_encode
+    from mempool_dumpster_spark.plans.text_queries import (
+        _BPE_ENCODE_MERGES,
+        _pretoken_digest,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the table"), (1, ""), (2, "data")],
+        "doc_id long, text string",
+    )
+
+    def encode_vocab(toks):
+        return bpe_encode(toks, _BPE_ENCODE_MERGES).select(
+            F.col("text").alias("tok"),
+            F.col("n_bpe_tokens").alias("n_syms"),
+            F.array_join(F.col("bpe_tokens"), "~").alias("js"),
+        )
+
+    out = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["seg_digest"])
+        for r in _pretoken_digest(
+            docs, encode_vocab, "n_bpe_tokens"
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[1] == (0, 0)
+    assert out[0][0] > 0 and out[2][0] > 0
