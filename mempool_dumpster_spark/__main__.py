@@ -363,13 +363,19 @@ def cmd_prep(args, spark: SparkSession | None = None) -> int:
 
 
 def cmd_ann(args, spark: SparkSession | None = None) -> int:
-    """IVF-PQ ANN index lifecycle as a CLI, mirroring `prep`'s corpus
-    lifecycle: `build` trains + lands the cell-partitioned code-artifact
-    table and persists the train artifacts (centroids + codebooks) as
-    one JSON file; `append` encodes NEW vectors with those artifacts and
-    appends partition-wise (no retrain, untouched cells unmodified);
-    `query` serves top-k from the table with the exchange-free pruned
-    probe (ml.similarity.ivfpq_topk_pretrained)."""
+    """ANN index lifecycle as a CLI, mirroring `prep`'s corpus
+    lifecycle, for the three persistable rungs of the ladder
+    (--method): `ivfpq` (default — cell-partitioned code table +
+    centroids/codebooks artifact, exchange-free pruned probe), `sq8`
+    (r12 — dim-byte grid-code table + 2·dim-float bounds artifact,
+    pure-Catalyst prescore scan) and `bq` (r12 — sign-word table, NO
+    trained state; the artifact JSON records only the dim contract).
+    `build` trains (where there is anything to train) + lands the code
+    table and persists the artifacts as one JSON file; `append` encodes
+    NEW vectors with those artifacts and appends (no retrain, existing
+    files unmodified); `query` serves top-k from the table via the
+    matching *_topk_pretrained, whose results are bit-identical to the
+    inline rung under the same artifacts."""
     import json
 
     from mempool_dumpster_spark.ml.similarity import (
@@ -384,6 +390,12 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
 
     spark = _session(spark)
     vecs = spark.read.parquet(*args.vectors)
+    if args.refine is None:
+        args.refine = 32 if args.method == "bq" else 4
+    if args.method == "sq8":
+        return _ann_sq8(args, spark, vecs)
+    if args.method == "bq":
+        return _ann_bq(args, spark, vecs)
 
     def load_artifacts() -> tuple[list, list, dict]:
         with open(args.artifacts) as f:
@@ -480,6 +492,12 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
         nprobe=args.nprobe,
         refine=args.refine,
     )
+    return _emit_query_result(args, spark, out)
+
+
+def _emit_query_result(args, spark, out) -> int:
+    import json
+
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out, "rows": spark.read.parquet(args.out).count()}))
@@ -487,6 +505,130 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
         for row in out.collect():
             print(row.asDict())
     return 0
+
+
+def _ann_sq8(args, spark, vecs) -> int:
+    """SQ8 lifecycle: the artifact file IS the `sq8_bounds_to_json`
+    payload (format sq8-bounds-v1, loud-failure loader incl. the
+    inverted-bounds guard), the code table is `write_sq8_index`'s
+    (neighbor_id, codes)."""
+    import json
+
+    from mempool_dumpster_spark.ml.similarity import (
+        append_sq8_index,
+        sq8_bounds_from_json,
+        sq8_bounds_to_json,
+        sq8_topk_pretrained,
+        write_sq8_index,
+    )
+
+    def load_bounds() -> list[list[float]]:
+        with open(args.artifacts) as f:
+            payload = f.read()
+        try:
+            bounds = sq8_bounds_from_json(payload)
+        except ValueError as e:
+            raise SystemExit(f"{args.artifacts}: {e}") from e
+        if args.dim is not None and args.dim != len(bounds[0]):
+            raise SystemExit(
+                f"--dim {args.dim} contradicts the bounds artifact "
+                f"({args.artifacts} records dim={len(bounds[0])}); drop "
+                "the flag or rebuild the index"
+            )
+        return bounds
+
+    if args.action == "build":
+        dim = 64 if args.dim is None else args.dim
+        bounds = write_sq8_index(
+            vecs, args.table, id_col=args.id_col, emb_col=args.emb_col,
+            dim=dim, path=args.path,
+        )
+        with open(args.artifacts, "w") as f:
+            f.write(sq8_bounds_to_json(bounds))
+        n = spark.table(args.table).count()
+        print(json.dumps({"table": args.table, "index_rows": n,
+                          "artifacts": args.artifacts}))
+        return 0
+    if args.action == "append":
+        bounds = load_bounds()
+        append_sq8_index(
+            vecs, args.table, bounds,
+            id_col=args.id_col, emb_col=args.emb_col, dim=len(bounds[0]),
+        )
+        n = spark.table(args.table).count()
+        print(json.dumps({"table": args.table, "index_rows": n}))
+        return 0
+    if not args.queries:
+        raise SystemExit("ann query requires --queries")
+    bounds = load_bounds()
+    queries = spark.read.parquet(*args.queries)
+    out = sq8_topk_pretrained(
+        spark, args.table, vecs, queries, bounds,
+        k=args.k, id_col=args.id_col, emb_col=args.emb_col,
+        dim=len(bounds[0]), refine=args.refine,
+    )
+    return _emit_query_result(args, spark, out)
+
+
+def _ann_bq(args, spark, vecs) -> int:
+    """BQ lifecycle: zero trained state — the artifact JSON records only
+    the dim contract so append/query sessions cannot silently mix word
+    widths; the code table is `write_bq_index`'s (neighbor_id, w0..)."""
+    import json
+
+    from mempool_dumpster_spark.ml.similarity import (
+        append_bq_index,
+        bq_topk_pretrained,
+        write_bq_index,
+    )
+
+    def load_dim() -> int:
+        with open(args.artifacts) as f:
+            obj = json.load(f)
+        if obj.get("format") != "bq-index-artifacts-v1":
+            raise SystemExit(
+                f"{args.artifacts}: not a BQ artifact file "
+                f"(format={obj.get('format')!r})"
+            )
+        dim = int(obj["dim"])
+        if args.dim is not None and args.dim != dim:
+            raise SystemExit(
+                f"--dim {args.dim} contradicts the BQ artifact "
+                f"({args.artifacts} records dim={dim}); drop the flag "
+                "or rebuild the index"
+            )
+        return dim
+
+    if args.action == "build":
+        dim = 64 if args.dim is None else args.dim
+        write_bq_index(
+            vecs, args.table, id_col=args.id_col, emb_col=args.emb_col,
+            dim=dim, path=args.path,
+        )
+        with open(args.artifacts, "w") as f:
+            json.dump({"format": "bq-index-artifacts-v1", "dim": dim}, f)
+        n = spark.table(args.table).count()
+        print(json.dumps({"table": args.table, "index_rows": n,
+                          "artifacts": args.artifacts}))
+        return 0
+    if args.action == "append":
+        append_bq_index(
+            vecs, args.table,
+            id_col=args.id_col, emb_col=args.emb_col, dim=load_dim(),
+        )
+        n = spark.table(args.table).count()
+        print(json.dumps({"table": args.table, "index_rows": n}))
+        return 0
+    if not args.queries:
+        raise SystemExit("ann query requires --queries")
+    dim = load_dim()
+    queries = spark.read.parquet(*args.queries)
+    out = bq_topk_pretrained(
+        spark, args.table, vecs, queries,
+        k=args.k, id_col=args.id_col, emb_col=args.emb_col,
+        dim=dim, refine=args.refine,
+    )
+    return _emit_query_result(args, spark, out)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -654,10 +796,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     n = sub.add_parser(
         "ann",
-        help="IVF-PQ ANN index lifecycle: build / append / query a "
-        "cell-partitioned code-artifact table",
+        help="ANN index lifecycle: build / append / query a persisted "
+        "code-artifact table (--method ivfpq | sq8 | bq)",
     )
     n.add_argument("action", choices=["build", "append", "query"])
+    n.add_argument(
+        "--method", choices=["ivfpq", "sq8", "bq"], default="ivfpq",
+        help="index rung: ivfpq (cell-partitioned PQ codes, pruned "
+        "probe), sq8 (uint8 grid codes, pure-Catalyst scan), bq (1-bit "
+        "sign words, Hamming scan; no trained state)",
+    )
     n.add_argument(
         "vectors", nargs="+",
         help="embedding parquet input paths (the candidate corpus)",
@@ -689,7 +837,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="query parquet paths (query action)")
     n.add_argument("-k", type=int, default=10)
     n.add_argument("--nprobe", type=int, default=4)
-    n.add_argument("--refine", type=int, default=4)
+    n.add_argument(
+        "--refine", type=int, default=None,
+        help="shortlist oversampling ×k (default: method-specific — "
+        "ivfpq/sq8 4, bq 32: the 1-bit prescore is ~free and pays for "
+        "its resolution with oversampling)",
+    )
     n.add_argument("--out", default=None,
                    help="write query results parquet instead of printing")
     n.set_defaults(fn=cmd_ann)

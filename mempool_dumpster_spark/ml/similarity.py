@@ -1351,14 +1351,27 @@ def write_ivfpq_index(
         enc(F.col("c_unit")).alias("codes"),
         F.explode(c_probe(F.col("c_unit"))).alias("cell"),
     )
-    # Overwrite must win over ORPHANED locations too: a previous
-    # session's table directory can survive in the warehouse while the
-    # new session's metastore has never heard of the table (observed in
-    # the r10 sweep — fresh in-memory catalog, persistent disk), and
-    # saveAsTable then refuses with LOCATION_ALREADY_EXISTS. Drop the
-    # catalog entry if any, then delete the target location through the
-    # Hadoop FS API (works for any scheme, not just local disk).
-    spark = candidates.sparkSession
+    _overwrite_index_table(c_index, table, path=path, partition_by="cell")
+    return centroids, codebooks
+
+
+def _overwrite_index_table(
+    df: DataFrame,
+    table: str,
+    path: str | None = None,
+    partition_by: str | None = None,
+) -> None:
+    """Shared write-once half of every persisted-index lifecycle (IVF-PQ
+    cells, SQ8 codes, BQ sign words): drop + location-clean + overwrite
+    saveAsTable. Overwrite must win over ORPHANED locations too: a
+    previous session's table directory can survive in the warehouse
+    while the new session's metastore has never heard of the table
+    (observed in the r10 sweep — fresh in-memory catalog, persistent
+    disk), and saveAsTable then refuses with LOCATION_ALREADY_EXISTS.
+    Drop the catalog entry if any, then delete the target location
+    through the Hadoop FS API (works for any scheme, not just local
+    disk)."""
+    spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     try:
         jvm = spark._jvm
@@ -1384,11 +1397,12 @@ def write_ivfpq_index(
         fs.delete(jpath, True)
     except Exception:
         pass  # nothing to clean, or non-JVM-reachable path: let the write speak
-    w = c_index.write.mode("overwrite").partitionBy("cell")
+    w = df.write.mode("overwrite")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
-    return centroids, codebooks
 
 
 def append_ivfpq_index(
@@ -1711,13 +1725,7 @@ def sq8_topk(
     to lo, contributing the exact constant q_d·lo_d via the bias term."""
     if bounds is None:
         bounds = train_sq8_bounds(candidates, emb_col, dim)
-    lo, hi = bounds
-    if len(lo) != dim or len(hi) != dim:
-        raise ValueError(
-            f"bounds dim {len(lo)}/{len(hi)} does not match dim={dim}"
-        )
-    delta = [(h - l) / 255.0 if h > l else 0.0 for l, h in zip(lo, hi)]
-    inv = [255.0 / (h - l) if h > l else 0.0 for l, h in zip(lo, hi)]
+    _sq8_check_bounds(bounds, dim)
 
     c = with_unit_vector(_spread(candidates), emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
@@ -1729,18 +1737,53 @@ def sq8_topk(
     if not q_rows:
         return _empty_topk_result(q)
 
+    coded = c.select(
+        "neighbor_id", _sq8_codes_expr(F.col("c_unit"), bounds).alias("codes")
+    )
+    q_ids, score_exprs = _sq8_score_exprs(q_rows, bounds, dim)
+
+    return _prescore_shortlist_rerank(
+        candidates, q, coded, score_exprs, q_ids,
+        ascending=False, refine=refine, k=k, id_col=id_col, emb_col=emb_col,
+    )
+
+
+def _sq8_check_bounds(bounds: list[list[float]], dim: int) -> None:
+    lo, hi = bounds
+    if len(lo) != dim or len(hi) != dim:
+        raise ValueError(
+            f"bounds dim {len(lo)}/{len(hi)} does not match dim={dim}"
+        )
+
+
+def _sq8_codes_expr(unit_col: Column, bounds: list[list[float]]) -> Column:
+    """The SQ8 encode as one pure-Catalyst expression over a unit-vector
+    column: code_d = clamp(floor((x_d − lo_d)·255/(hi_d − lo_d)), 0, 255).
+    Shared verbatim by the inline rung (sq8_topk), the index writer and
+    the appender, so persisted codes are bit-identical to what the
+    inline path would compute."""
+    lo, hi = bounds
+    inv = [255.0 / (h - l) if h > l else 0.0 for l, h in zip(lo, hi)]
     lo_arr = F.array(*[F.lit(v) for v in lo])
     inv_arr = F.array(*[F.lit(v) for v in inv])
-    codes = F.zip_with(
-        F.zip_with(F.col("c_unit"), lo_arr, lambda x, l: x - l),
+    return F.zip_with(
+        F.zip_with(unit_col, lo_arr, lambda x, l: x - l),
         inv_arr,
         lambda x, s: F.least(
             F.greatest(F.floor(x * s), F.lit(0)), F.lit(255)
         ).cast("int"),
     )
-    coded = c.select("neighbor_id", codes.alias("codes"))
 
-    score_exprs = []
+
+def _sq8_score_exprs(
+    q_rows: list, bounds: list[list[float]], dim: int
+) -> tuple[list, list[Column]]:
+    """Per-query asymmetric-distance score expressions over a `codes`
+    column: approx = bias_q + Σ_d q_d·Δ_d·code_d (query full precision,
+    candidate decoded from its uint8 grid point)."""
+    lo, hi = bounds
+    delta = [(h - l) / 255.0 if h > l else 0.0 for l, h in zip(lo, hi)]
+    score_exprs: list[Column] = []
     q_ids = []
     for r in q_rows:
         q_ids.append(r["query_id"])
@@ -1758,7 +1801,97 @@ def sq8_topk(
                 lambda acc, v: acc + v,
             )
         )
+    return q_ids, score_exprs
 
+
+def write_sq8_index(
+    candidates: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    bounds: list[list[float]] | None = None,
+    path: str | None = None,
+) -> list[list[float]]:
+    """Materialize the SQ8 code artifact as a catalog table — the
+    train-once/serve-many half of the SQ8 rung (r11 verdict #8; mirrors
+    `write_ivfpq_index` one rung down the ladder). Each row is
+    (neighbor_id, codes): dim uint8 grid codes under the per-dimension
+    [lo, hi] bounds, which are the ENTIRE trained state (2·dim floats —
+    persist via `sq8_bounds_to_json`; codes are meaningless without
+    them). No cell partitioning: the SQ8 prescore is a full pure-
+    Catalyst scan of the code table by design — at 100 TB the index is
+    rows × ~dim bytes (~6 TB per 100 G vectors at dim 64, a 64×
+    reduction over float64 parquet), and the scan stays inside
+    whole-stage codegen with zero Python round-trip. Returns the bounds
+    actually used (trained here when not supplied)."""
+    if bounds is None:
+        bounds = train_sq8_bounds(candidates, emb_col, dim)
+    _sq8_check_bounds(bounds, dim)
+    c = with_unit_vector(_spread(candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    coded = c.select(
+        "neighbor_id", _sq8_codes_expr(F.col("c_unit"), bounds).alias("codes")
+    )
+    _overwrite_index_table(coded, table, path=path)
+    return bounds
+
+
+def append_sq8_index(
+    new_candidates: DataFrame,
+    table: str,
+    bounds: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Append newly-arrived vectors to a `write_sq8_index` table with
+    the SAME persisted bounds (codes are only comparable within one
+    bounds generation — retraining means rebuilding, exactly as with PQ
+    codebooks). Append-only: existing files are never rewritten."""
+    _sq8_check_bounds(bounds, dim)
+    c = with_unit_vector(_spread(new_candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    coded = c.select(
+        "neighbor_id", _sq8_codes_expr(F.col("c_unit"), bounds).alias("codes")
+    )
+    coded.write.mode("append").format("parquet").saveAsTable(table)
+    new_candidates.sparkSession.catalog.refreshTable(table)
+
+
+def sq8_topk_pretrained(
+    spark: SparkSession,
+    index_table: str,
+    candidates: DataFrame,
+    queries: DataFrame,
+    bounds: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    refine: int = 4,
+) -> DataFrame:
+    """Serve SQ8 top-k from a `write_sq8_index` table: the prescore scan
+    reads ONLY the persisted dim-byte codes (pure Catalyst, whole-stage
+    codegen — no encode work per query batch), and the refine·k
+    shortlist re-ranks by exact cosine against the corpus, so the
+    result is bit-identical to `sq8_topk(candidates, queries,
+    bounds=bounds)` — the score expressions and the re-rank tail are
+    the same code objects."""
+    _sq8_check_bounds(bounds, dim)
+    # appends land from other sessions; a cached file listing would
+    # silently serve the pre-append index (same as ivfpq_topk_pretrained)
+    spark.catalog.refreshTable(index_table)
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    q_rows = q.collect()  # |Q| small by contract
+    if not q_rows:
+        return _empty_topk_result(q)
+    q_ids, score_exprs = _sq8_score_exprs(q_rows, bounds, dim)
+    coded = spark.table(index_table)
     return _prescore_shortlist_rerank(
         candidates, q, coded, score_exprs, q_ids,
         ascending=False, refine=refine, k=k, id_col=id_col, emb_col=emb_col,
@@ -1806,9 +1939,34 @@ def bq_topk(
     end-to-end, like sq8_topk and unlike the Arrow-batched PQ rungs."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+
+    c = with_unit_vector(_spread(candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    q_rows = q.collect()  # |Q| is small by contract (batched query set)
+    if not q_rows:
+        return _empty_topk_result(q)
+
+    coded = c.select("neighbor_id", *_bq_word_exprs(F.col("c_unit"), dim))
+    q_ids, ham_exprs = _bq_ham_exprs(q_rows, dim)
+
+    return _prescore_shortlist_rerank(
+        candidates, q, coded, ham_exprs, q_ids,
+        ascending=True, refine=refine, k=k, id_col=id_col, emb_col=emb_col,
+    )
+
+
+def _bq_word_exprs(unit_col: Column, dim: int) -> list[Column]:
+    """The BQ encode as pure-Catalyst word columns w0..w{n-1}: each
+    BIGINT word ORs together the per-dimension sign bits (OR of distinct
+    powers of two — no additive overflow, ANSI-safe). Shared verbatim by
+    the inline rung, the index writer and the appender."""
     n_words = (dim + 63) // 64
 
-    def word_expr(unit_col: Column, w: int) -> Column:
+    def word_expr(w: int) -> Column:
         lo, hi = w * 64, min((w + 1) * 64, dim)
         pow2 = F.array(
             *[F.shiftleft(F.lit(1).cast("long"), d - lo) for d in range(lo, hi)]
@@ -1823,6 +1981,14 @@ def bq_topk(
             lambda acc, v: acc.bitwiseOR(v),
         )
 
+    return [word_expr(w).alias(f"w{w}") for w in range(n_words)]
+
+
+def _bq_ham_exprs(q_rows: list, dim: int) -> tuple[list, list[Column]]:
+    """Per-query Hamming-distance expressions over the persisted word
+    columns: Σ_w bit_count(w XOR q_word_w)."""
+    n_words = (dim + 63) // 64
+
     def py_words(u: list[float]) -> list[int]:
         words = []
         for w in range(n_words):
@@ -1833,21 +1999,7 @@ def bq_topk(
             words.append(v - (1 << 64) if v >= (1 << 63) else v)  # two's complement
         return words
 
-    c = with_unit_vector(_spread(candidates), emb_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    )
-    q = with_unit_vector(queries, emb_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
-    )
-    q_rows = q.collect()  # |Q| is small by contract (batched query set)
-    if not q_rows:
-        return _empty_topk_result(q)
-
-    coded = c.select(
-        "neighbor_id",
-        *[word_expr(F.col("c_unit"), w).alias(f"w{w}") for w in range(n_words)],
-    )
-    ham_exprs = []
+    ham_exprs: list[Column] = []
     q_ids = []
     for r in q_rows:
         q_ids.append(r["query_id"])
@@ -1859,7 +2011,87 @@ def bq_topk(
             )
             ham = term if ham is None else ham + term
         ham_exprs.append(ham)
+    return q_ids, ham_exprs
 
+
+def write_bq_index(
+    candidates: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    path: str | None = None,
+) -> None:
+    """Materialize the BQ sign-word artifact as a catalog table — the
+    serve-many half of the 1-bit rung (r11 verdict #8). Each row is
+    (neighbor_id, w0..w{n-1}): ceil(dim/64) BIGINT words, dim=64 → one
+    8-byte word per vector, a 64× compression over float64. There is NO
+    trained state (the code is a pure function of the vector), so there
+    is no artifact JSON beyond the dim contract, appends never retrain,
+    and a rebuilt table is bit-identical by construction. 100 TB shape:
+    the Hamming prescore scans only this table (bit_count(XOR), whole-
+    stage codegen); vector parquet is touched only for the refine·k·|Q|
+    exact re-rank."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    c = with_unit_vector(_spread(candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    coded = c.select("neighbor_id", *_bq_word_exprs(F.col("c_unit"), dim))
+    _overwrite_index_table(coded, table, path=path)
+
+
+def append_bq_index(
+    new_candidates: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Append newly-arrived vectors to a `write_bq_index` table. No
+    trained state, so append is always valid (the only contract is the
+    dim, checked against the table's word count)."""
+    n_words = (dim + 63) // 64
+    spark = new_candidates.sparkSession
+    existing = len(spark.table(table).columns) - 1
+    if existing != n_words:
+        raise ValueError(
+            f"dim={dim} implies {n_words} sign words but {table} has "
+            f"{existing} — the table was built at a different dim"
+        )
+    c = with_unit_vector(_spread(new_candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    )
+    coded = c.select("neighbor_id", *_bq_word_exprs(F.col("c_unit"), dim))
+    coded.write.mode("append").format("parquet").saveAsTable(table)
+    spark.catalog.refreshTable(table)
+
+
+def bq_topk_pretrained(
+    spark: SparkSession,
+    index_table: str,
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    refine: int = 32,
+) -> DataFrame:
+    """Serve BQ top-k from a `write_bq_index` table: the Hamming
+    prescore scans only the persisted sign words, the refine·k
+    shortlist re-ranks by exact cosine against the corpus — bit-
+    identical to `bq_topk(candidates, queries)` because the Hamming
+    expressions and re-rank tail are the same code objects."""
+    spark.catalog.refreshTable(index_table)
+    q = with_unit_vector(queries, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    q_rows = q.collect()  # |Q| small by contract
+    if not q_rows:
+        return _empty_topk_result(q)
+    q_ids, ham_exprs = _bq_ham_exprs(q_rows, dim)
+    coded = spark.table(index_table)
     return _prescore_shortlist_rerank(
         candidates, q, coded, ham_exprs, q_ids,
         ascending=True, refine=refine, k=k, id_col=id_col, emb_col=emb_col,

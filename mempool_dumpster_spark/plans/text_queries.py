@@ -217,6 +217,13 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
     """,
+    # r12 slot rotation (r11 verdict #4): ceded its driver slot to
+    # docs_wordpiece_encode — the near-dup pair-mining family keeps
+    # docs_minhash_lsh_pairs in the slots (same LSH-candidate machinery)
+    # while the tokenizer SERVE side, exact at 100×, had no slot at all.
+    # Still oracle-checked every round via the selfcheck sweep (both
+    # standard scales) and exercised in the 10× stress gate.
+    overflow=True,
     doc="Near-dup detection: exact n-gram Jaccard over word-3-gram shingle "
     "sets, computed scale-safe as MinHash-LSH candidates → exact verify. "
     "The oracle is the all-pairs definition; the Spark plan never runs an "
@@ -1367,7 +1374,11 @@ _WP_PIECES_VALUES = ", ".join(f"('{p}')" for p in _WP_PIECES)
            CAST(coalesce(a.seg_digest, 0) AS BIGINT) AS seg_digest
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
-    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+    # r12 slot rotation: promoted INTO the driver slots (from overflow) in
+    # exchange for docs_ngram_jaccard — the tokenizer serve side (greedy
+    # longest-match encode, exact oracle up to the 100× tier) previously
+    # had zero driver-slot representation; docs_bpe_merges covers training
+    # only. See tests/test_plans.py for the pinned rotation.
     doc="WordPiece-style greedy longest-match segmentation under an "
     "exact oracle (ml.text.wordpiece_encode — the BERT inference rule, "
     "minus the '##' continuation spelling): at each position take the "

@@ -624,3 +624,186 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
         ).collect()
     }
     assert served == inline and served
+
+
+def _ann_vec_fixture(spark, tmp_path):
+    """Shared 50-vector fixture for the quantized-rung CLI lifecycles:
+    three loose axis clusters at dim 8, split 40 base + 10 append."""
+    rows = []
+    for i in range(50):
+        axis = i % 3
+        vec = [0.05 * ((i * 7 + d) % 5) for d in range(8)]
+        vec[axis] += 10.0
+        rows.append((i, vec))
+    base = spark.createDataFrame(
+        rows[:40], "vec_id long, embedding array<float>"
+    )
+    newer = spark.createDataFrame(
+        rows[40:], "vec_id long, embedding array<float>"
+    )
+    base_p, new_p = tmp_path / "base.parquet", tmp_path / "new.parquet"
+    base.write.parquet(str(base_p))
+    newer.write.parquet(str(new_p))
+    union_p = tmp_path / "union.parquet"
+    base.union(newer).write.parquet(str(union_p))
+    q_p = tmp_path / "q.parquet"
+    base.filter("vec_id < 3").write.parquet(str(q_p))
+    return base_p, new_p, union_p, q_p
+
+
+def test_cli_ann_sq8_lifecycle(spark, tmp_path, capsys):
+    """ann --method sq8 build -> append -> query (r11 verdict #8): the
+    SQ8 rung's full CLI lifecycle — the bounds artifact round-trips
+    through its sq8-bounds-v1 JSON file, the appended batch becomes
+    searchable under the SAME bounds without retraining, and the served
+    top-k equals the inline sq8_topk over the union with those bounds
+    (bit-identical by construction: shared encode/score expressions)."""
+    import json
+
+    base_p, new_p, union_p, q_p = _ann_vec_fixture(spark, tmp_path)
+    art = tmp_path / "sq8.json"
+
+    rc = main(
+        [
+            "ann", "build", str(base_p), "--method", "sq8",
+            "--table", "cli_sq8_idx", "--artifacts", str(art),
+            "--path", str(tmp_path / "sq8_idx"), "--dim", "8",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["index_rows"] == 40
+    assert json.load(open(art))["format"] == "sq8-bounds-v1"
+
+    # append derives dim from the artifact — no flag needed
+    rc = main(
+        [
+            "ann", "append", str(new_p), "--method", "sq8",
+            "--table", "cli_sq8_idx", "--artifacts", str(art),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["index_rows"] == 50
+
+    # a contradictory --dim override is a hard error, never a silent
+    # re-interpretation of the persisted codes
+    with pytest.raises(SystemExit, match="contradicts the bounds artifact"):
+        main(
+            [
+                "ann", "append", str(new_p), "--method", "sq8",
+                "--table", "cli_sq8_idx", "--artifacts", str(art),
+                "--dim", "16",
+            ],
+            spark=spark,
+        )
+    capsys.readouterr()
+
+    out_p = tmp_path / "sq8_topk.parquet"
+    rc = main(
+        [
+            "ann", "query", str(union_p), "--method", "sq8",
+            "--table", "cli_sq8_idx", "--artifacts", str(art),
+            "--queries", str(q_p), "-k", "3", "--refine", "4",
+            "--out", str(out_p),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    served = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in spark.read.parquet(str(out_p)).collect()
+    }
+    from mempool_dumpster_spark.ml.similarity import (
+        sq8_bounds_from_json,
+        sq8_topk,
+    )
+
+    bounds = sq8_bounds_from_json(open(art).read())
+    inline = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in sq8_topk(
+            spark.read.parquet(str(union_p)),
+            spark.read.parquet(str(q_p)),
+            k=3, dim=8, refine=4, bounds=bounds,
+        ).collect()
+    }
+    assert served == inline and served
+
+
+def test_cli_ann_bq_lifecycle(spark, tmp_path, capsys):
+    """ann --method bq build -> append -> query (r11 verdict #8): the
+    1-bit rung's CLI lifecycle — no trained state at all, so the
+    artifact JSON carries only the dim contract; appends are always
+    valid under the same dim, a mismatched dim fails loudly, and the
+    served top-k equals the inline bq_topk over the union."""
+    import json
+
+    base_p, new_p, union_p, q_p = _ann_vec_fixture(spark, tmp_path)
+    art = tmp_path / "bq.json"
+
+    rc = main(
+        [
+            "ann", "build", str(base_p), "--method", "bq",
+            "--table", "cli_bq_idx", "--artifacts", str(art),
+            "--path", str(tmp_path / "bq_idx"), "--dim", "8",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["index_rows"] == 40
+    assert json.load(open(art)) == {
+        "format": "bq-index-artifacts-v1", "dim": 8
+    }
+
+    rc = main(
+        [
+            "ann", "append", str(new_p), "--method", "bq",
+            "--table", "cli_bq_idx", "--artifacts", str(art),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["index_rows"] == 50
+
+    with pytest.raises(SystemExit, match="contradicts the BQ artifact"):
+        main(
+            [
+                "ann", "append", str(new_p), "--method", "bq",
+                "--table", "cli_bq_idx", "--artifacts", str(art),
+                "--dim", "64",
+            ],
+            spark=spark,
+        )
+    capsys.readouterr()
+
+    out_p = tmp_path / "bq_topk.parquet"
+    rc = main(
+        [
+            "ann", "query", str(union_p), "--method", "bq",
+            "--table", "cli_bq_idx", "--artifacts", str(art),
+            "--queries", str(q_p), "-k", "3", "--refine", "8",
+            "--out", str(out_p),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    served = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in spark.read.parquet(str(out_p)).collect()
+    }
+    from mempool_dumpster_spark.ml.similarity import bq_topk
+
+    inline = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in bq_topk(
+            spark.read.parquet(str(union_p)),
+            spark.read.parquet(str(q_p)),
+            k=3, dim=8, refine=8,
+        ).collect()
+    }
+    assert served == inline and served

@@ -747,6 +747,54 @@ def test_cosine_near_pairs_prefilter_paths_agree(spark):
     assert gemm == gather == join and len(gemm) > 0
 
 
+def test_cosine_near_pairs_gemm_cap_boundary(spark):
+    """r11 verdict #9 (r10 item 7 residue): pin WHICH physical path runs
+    on each side of the GEMM flop cap. The guarded fast path (one-block
+    panel GEMM against the broadcast matrix) is what small corpora take;
+    the LSH bucket join is the UNGUARDED 100 TB form — the cap crossing
+    must demonstrably switch to it, or the scale path silently stops
+    being exercised. The cap test is `n²·dim <= gemm_flops_cap`, so a
+    cap of exactly n²·dim takes the GEMM branch and cap−1 falls through
+    to LSH; the two plans are structurally distinct (the GEMM branch
+    never references the posexplode signature stage — no Generate node;
+    the LSH branch is built on it) and must emit the identical pair
+    set."""
+    import os
+
+    from mempool_dumpster_spark.ml.similarity import cosine_near_pairs
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    n = emb.count()
+    flops = n * n * 64
+    kw = dict(threshold=0.4, dim=64, n_planes=3, n_tables=48)
+
+    at_cap = cosine_near_pairs(emb, gemm_flops_cap=flops, **kw)
+    below_cap = cosine_near_pairs(emb, gemm_flops_cap=flops - 1, **kw)
+
+    plan_gemm = at_cap._jdf.queryExecution().executedPlan().toString()
+    plan_lsh = below_cap._jdf.queryExecution().executedPlan().toString()
+    # GEMM branch: Arrow panel map, no signature explode anywhere.
+    assert "Generate" not in plan_gemm, plan_gemm[:2000]
+    assert "MapInArrow" in plan_gemm or "ArrowEval" in plan_gemm
+    # LSH branch: the posexplode signature stage feeds the bucket join.
+    assert "Generate" in plan_lsh, plan_lsh[:2000]
+    # and neither is allowed a Cartesian anything
+    for p in (plan_gemm, plan_lsh):
+        assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+    got_gemm = {
+        (r["id_a"], r["id_b"], r["sim"]) for r in at_cap.collect()
+    }
+    got_lsh = {
+        (r["id_a"], r["id_b"], r["sim"]) for r in below_cap.collect()
+    }
+    assert got_gemm == got_lsh and len(got_gemm) > 0
+
+
 def test_simhash64_candidate_selectivity(spark):
     """On a 1k-doc corpus of distinct random texts, the 64-bit/16-bit-chunk
     banding yields candidates ∝ docs (expected n²/2^17 per chunk ≈ 4), while

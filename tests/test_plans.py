@@ -302,6 +302,19 @@ def test_registry_driver_contract_invariants():
     # the selection flagship: exact oracle at sf0.01/sf0.1 and in the
     # 10× stress set.
     #
+    # r12 rotation (the r11 verdict's #4, carried from r10 #4): one swap —
+    #   docs_ngram_jaccard → docs_wordpiece_encode
+    # The tokenizer SERVE side had zero driver-slot representation
+    # (docs_bpe_merges covers training only), while near-dup pair mining
+    # held two slots; docs_minhash_lsh_pairs keeps covering that family
+    # (same LSH-candidate machinery, exact oracle), and docs_ngram_jaccard
+    # stays oracle-checked every round via the selfcheck sweep (both
+    # scales) plus the 10× stress gate. docs_wordpiece_encode is the
+    # match-based tokenizer family's exactly-replayable representative:
+    # greedy longest-match is deterministic by construction and its
+    # position-baked digest oracle is exact up to the 100× tier
+    # (SELFCHECK_r10_sf10, re-verified r11).
+    #
     # r10 fourth-batch rotation: one swap —
     #   q6_forecast_revenue → docs_nb_classify
     # The supervised token-vote classifier (model-based filtering, the
@@ -313,10 +326,11 @@ def test_registry_driver_contract_invariants():
     # selfcheck sweep (both scales).
     expected = [
         "docs_langid", "docs_redact_pii", "docs_pack_sequences",
-        "docs_mix_corpus", "docs_dedup_keep", "docs_ngram_jaccard",
+        "docs_mix_corpus", "docs_dedup_keep",
         "docs_minhash_lsh_pairs", "docs_token_stats",
         "docs_binary_stats", "emb_knn", "emb_near_pairs",
-        "emb_centroids", "docs_bpe_merges", "docs_ngram_lm_score",
+        "emb_centroids", "docs_bpe_merges", "docs_wordpiece_encode",
+        "docs_ngram_lm_score",
         "docs_quality_curriculum", "docs_dup_span_strip",
         "docs_dup_components", "docs_dedup_keeplist", "docs_gopher_rules",
         "docs_tfidf_terms", "docs_prep_pipeline", "docs_split_assign",

@@ -87,6 +87,12 @@ STRESS_QUERIES = [
     # the match-based tokenizer family's exact representative (greedy
     # longest-match; deterministic by construction, green at 100x too)
     "docs_wordpiece_encode",
+    # r12: the distributed unigram-LM candidate seeding (r11's
+    # scale-killer fix, ml/text.py:991 — substring explode + one grouped
+    # aggregate + deterministic top-k cap) must be exercised at the 10×
+    # tier, where the old driver-side Counter over distinct pretokens
+    # would have choked on the ~500k-substring explode.
+    "docs_unigram_train",
 ]
 
 
@@ -125,19 +131,6 @@ def test_stress_sweep_10x():
     assert f"{len(STRESS_QUERIES)}/{len(STRESS_QUERIES)} passing" in proc.stdout
 
 
-#: md5_192mb_sec measured on the box that set the floors (r10); the gate
-#: scales its thresholds by the CURRENT box's probe so a slower machine
-#: relaxes the floors instead of flapping the gate.
-REF_CPU_PROBE = 0.32
-
-#: floors at ~0.7× the best observed values (r8-r10: merge steady
-#: 1757-2272 tx/s, prep 1269-1404 docs/s, headline 7.33-8.07 s) — wide
-#: enough that session noise doesn't flap them, tight enough that a
-#: regression of the r9-driver-artifact size (if it had been real code
-#: slowdown rather than environment drift) fails the builder's own tests.
-MERGE_STEADY_FLOOR_TX_S = 1500.0
-PREP_FLOOR_DOCS_S = 800.0
-HEADLINE_CEILING_SEC = 9.0
 
 
 def test_bench_median_and_artifact_round_sort():
@@ -162,16 +155,68 @@ def test_bench_median_and_artifact_round_sort():
     assert "_r0*" in src  # numeric-round sort key, not plain sorted()
 
 
+def test_sweep_all_tier_lists_are_registry_names():
+    """tools/sweep_all.py (r11 verdict #7) is the one-command
+    reproduction of every committed SELFCHECK tier; its 100×-tier list
+    and the shared STRESS_QUERIES must stay real registry names, or a
+    rename silently empties a tier."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sweep_all
+
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    names = set(all_queries())
+    assert set(sweep_all.SF10_QUERIES) <= names
+    assert set(sweep_all.STRESS_QUERIES) <= names
+    assert sweep_all.STRESS_QUERIES is STRESS_QUERIES  # single source
+
+
+def _degraded(data: dict, factor: float) -> dict:
+    """A synthetic code-slowdown at probe parity: every throughput drops
+    by `factor`, every per-query median inflates by `factor`, the CPU
+    probe is UNTOUCHED (that is what distinguishes a code regression
+    from environment drift)."""
+    import copy
+
+    d = copy.deepcopy(data)
+    m15 = d.get("merge_pipeline_15k") or {}
+    if "tx_per_sec_steady" in m15:
+        m15["tx_per_sec_steady"] = round(m15["tx_per_sec_steady"] / factor, 1)
+    prep = d.get("prep_pipeline") or {}
+    if prep.get("docs_per_sec") is not None:
+        prep["docs_per_sec"] = round(prep["docs_per_sec"] / factor, 1)
+    d["queries"] = {
+        k: round(v * factor, 3) for k, v in (d.get("queries") or {}).items()
+    }
+    return d
+
+
 @pytest.mark.sweep
 def test_throughput_floor_gates():
-    """r9 verdict #6: the merge-steady and prep regressions were only
-    visible by diffing round artifacts — this gate runs the real bench
-    at sf0.1 and fails the build if throughput drops below the floors.
-    Thresholds are probe-normalized: bench.py records a deterministic
-    single-thread CPU probe, and a machine slower than the one that set
-    the floors relaxes them proportionally (environment drift — the r9
-    false alarm — must not flap the gate; real code regressions move
-    bench while the probe stays flat, so they still fail)."""
+    """r11 verdict #1 (third time of asking): the OLD gates gated noisy
+    signals — the fixed-overhead-dominated n=1500 merge run and the
+    14-query headline TOTAL, which swings ±30% across sessions on
+    identical code (r10 and r11 judge runs both failed healthy code) —
+    and normalized by a single-core probe that read exact parity on a
+    host whose 32-way capacity was 2-14× degraded.
+
+    Re-based gates (logic lives in bench.check_throughput_gates so this
+    test exercises exactly the shipping code):
+      * merge_pipeline_15k steady receipts/s — the run's most stable
+        signal (recorded spread 3.06-3.34 s, r11 verdict) — floored at
+        ~0.78× calibration so a 1.3× code slowdown at probe parity
+        fails;
+      * the prep pipeline at ≥15k docs (per-doc cost dominates);
+      * each headline query's MEDIAN vs its own recorded-dispersion
+        ceiling (max-of-runs × 1.5) — a single query regressing ≥2×
+        fails its gate even when the total hides it;
+    all normalized by the new MULTI-CORE md5 probe, which sees the
+    contention the single-core probe was blind to.
+
+    The same run's data, synthetically degraded 1.3× at probe parity,
+    must FAIL — both directions are asserted here, per the r11 verdict's
+    done-criterion."""
+    import importlib.util
     import json
 
     sf_dir = "/root/testdata/sf0.1"
@@ -187,18 +232,26 @@ def test_throughput_floor_gates():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     data = json.loads(proc.stdout.strip().splitlines()[-1])
-    probe = data["env"]["cpu_probe"]["md5_192mb_sec"]
-    scale = max(1.0, probe / REF_CPU_PROBE)
-    merge = data["merge_pipeline"]["tx_per_sec_steady"]
-    prep = data["prep_pipeline"]["docs_per_sec"]
-    headline = data["value"]
-    msg = (
-        f"headline={headline}s merge_steady={merge}tx/s prep={prep}docs/s "
-        f"probe={probe}s (scale {scale:.2f})"
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
     )
-    assert merge >= MERGE_STEADY_FLOOR_TX_S / scale, msg
-    assert prep >= PREP_FLOOR_DOCS_S / scale, msg
-    assert headline <= HEADLINE_CEILING_SEC * scale, msg
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    violations = bench.check_throughput_gates(data)
+    assert not violations, "throughput gates failed:\n" + "\n".join(violations)
+
+    # A 30% synthetic code slowdown at probe parity must fire the
+    # throughput floors (the per-query ceilings fire at ≥2× — asserted
+    # below at 2.5× — because 1.5× of recorded max is inside the
+    # documented cross-session noise band for single queries).
+    degraded = bench.check_throughput_gates(_degraded(data, 1.3))
+    assert any("merge_15k" in v for v in degraded), degraded
+    assert any("prep " in v for v in degraded), degraded
+    if bench.REF_QUERY_CEILING_SEC:
+        badly = bench.check_throughput_gates(_degraded(data, 2.5))
+        assert any("median" in v for v in badly), badly
 
 
 @pytest.mark.sweep
