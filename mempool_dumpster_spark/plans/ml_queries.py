@@ -561,6 +561,86 @@ def emb_knn_ivfpq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_knn_sq8_pretrained",
+    oracle=None,  # approximate by construction — rows-only check
+    overflow=True,
+    doc="The serve-side half of the SQ8 train-once/serve-many lifecycle "
+    "(r11 verdict #8, completing the ladder symmetry: every persistable "
+    "rung now has a pretrained twin): write_sq8_index materializes the "
+    "(neighbor_id, codes) dim-byte grid-code table, the 2·dim-float "
+    "bounds — the ENTIRE trained state — round-trip through the "
+    "sq8-bounds-v1 JSON format (loud-failure loader incl. the "
+    "inverted-bounds guard), and sq8_topk_pretrained serves queries by "
+    "scanning ONLY the persisted codes (pure Catalyst, whole-stage "
+    "codegen, no per-batch encode work) before the exact-cosine "
+    "re-rank. Identical parameters to emb_knn_sq8 → bit-identical "
+    "output by construction (shared encode/score expression builders); "
+    "inline-vs-pretrained parity also pinned through the `ann "
+    "--method sq8` CLI e2e in tests/test_cli.py.",
+)
+def emb_knn_sq8_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from mempool_dumpster_spark.ml.similarity import (
+        sq8_bounds_from_json,
+        sq8_bounds_to_json,
+        sq8_topk_pretrained,
+        write_sq8_index,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    tbl = "sq8_idx_" + re.sub(
+        r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    bounds = write_sq8_index(emb, tbl, dim=64)
+    # round-trip through the persisted bounds format — what a deployment
+    # actually reloads on the serving cluster
+    bounds = sq8_bounds_from_json(sq8_bounds_to_json(bounds))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sq8_topk_pretrained(
+        spark, tbl, emb, queries, bounds, k=3, dim=64, refine=8
+    ).select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
+@register(
+    "emb_knn_bq_pretrained",
+    oracle=None,  # approximate by construction — rows-only check
+    overflow=True,
+    doc="The serve-side half of the BQ lifecycle (r11 verdict #8): "
+    "write_bq_index materializes the (neighbor_id, w0..) sign-word "
+    "table — ONE BIGINT per vector at dim 64, no trained state to "
+    "round-trip at all (the dim contract alone is persisted by the "
+    "CLI) — and bq_topk_pretrained serves queries with the "
+    "bit_count(XOR) Hamming prescore over the persisted words plus the "
+    "exact-cosine re-rank. Identical parameters to emb_knn_bq → "
+    "bit-identical output by construction (shared word/Hamming "
+    "expression builders); parity also pinned through the `ann "
+    "--method bq` CLI e2e in tests/test_cli.py.",
+)
+def emb_knn_bq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from mempool_dumpster_spark.ml.similarity import (
+        bq_topk_pretrained,
+        write_bq_index,
+    )
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    tbl = "bq_idx_" + re.sub(
+        r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    write_bq_index(emb, tbl, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return bq_topk_pretrained(
+        spark, tbl, emb, queries, k=3, dim=64, refine=32
+    ).select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
+@register(
     "docs_gopher_rules",
     oracle="""
     WITH w AS (
