@@ -221,6 +221,32 @@ def _bench_gate_calibration(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _bench_prep_15k(spark) -> dict | None:
+    """The ≥15k-doc prep run the throughput gate requires (r11 verdict
+    #1): sf0.1's documents table holds only 4,750 non-benchmark docs, so
+    per-SESSION fixed overhead is ~25% of its prep wall — a noisy gate
+    signal. The 10×-sf0.1 stress corpus (47.5k docs, deterministic
+    seedless derivation with a LINEAR dup structure — tools/stressgen)
+    puts per-doc cost in charge. Derives the corpus on first use (~2
+    min, cached under /tmp and shared with the pytest stress gate)."""
+    import subprocess
+
+    out = "/tmp/spark_graft_sf1"
+    base = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        if not os.path.isdir(base):
+            return None
+        repo = os.path.dirname(os.path.abspath(__file__))
+        gen = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "stressgen.py"),
+             base, out, "10"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if gen.returncode != 0:
+            return None
+    return _bench_prep(spark, out)
+
+
 def _bench_prep(spark, sf_dir: str) -> dict | None:
     """Time the end-to-end training-corpus prep composition (ml.prep:
     Gopher ∧ exact-dedup ∧ LSH keep-list ∧ decontamination ∧ splits) at
@@ -493,20 +519,46 @@ def _cpu_probe() -> dict:
 #: parity while matmul ran 63× slow and Spark 2-14× slow).
 REF_CPU_PROBE_MT = 0.21  # md5_mt_48mb_sec on the box that set the floors
 
-#: floor = ~0.78× the calibration steady rate: tight enough that a 1.3×
-#: code slowdown at probe parity fails, wide enough for the signal's
-#: recorded ≤1.10× run spread. Host-level slowdowns inflate the mt probe
-#: and relax the floor proportionally instead of flapping the gate.
-MERGE_15K_STEADY_FLOOR = 7300.0
-#: prep pipeline at sf0.1 processes ~45k docs (≥15k — per-doc cost
-#: dominates, not session fixed overhead); floor ~0.7× calibration.
-PREP_FLOOR_DOCS_S = 800.0
+#: Calibration run (r12, quiet box, probe_mt 0.222): merge_15k steady
+#: 9,007.7 r/s with run spread 3.232-3.376 s; a SECOND run with a full
+#: 32-core selfcheck sweep deliberately contending read 7,920.8 — the
+#: signal moves ≤16% under worst-case co-tenancy while the 14-query
+#: headline total moved 26% in the same pair of runs. Floor = ~0.83×
+#: calibration: a 1.3× code slowdown at probe parity fails (9007/1.3 =
+#: 6929 < 7500/1.06), the contended-but-healthy reading passes (its
+#: probe read 0.246 → floor relaxes to 6400). Host-level slowdowns
+#: inflate the mt probe and relax the floor instead of flapping the gate.
+MERGE_15K_STEADY_FLOOR = 7500.0
+#: prep over the 47.5k-doc stress corpus (per-doc cost in charge, not
+#: session fixed overhead): calibration 3,315.6 docs/s; floor catches a
+#: 1.3× slowdown (3315/1.3 = 2550 < 3000/1.06 = 2830) with a 1.17×
+#: healthy margin on top of probe normalization.
+PREP_FLOOR_DOCS_S = 3000.0
 PREP_MIN_DOCS_IN = 15_000
 
-#: per-query median ceilings = r12 calibration max-of-7 × 1.5 (each
+#: per-query median ceilings = r12 calibration max-of-runs × 1.6 (each
 #: query's recorded dispersion band, not a shared headline total — one
-#: query regressing 2× fails ITS gate even when the total hides it).
-REF_QUERY_CEILING_SEC: dict[str, float] = {}
+#: query regressing ≥2× fails ITS gate even when the total hides it;
+#: the 1.6 slack covers the documented single-query cross-session noise
+#: that the old shared 9-s ceiling punished healthy code for). The
+#: worst-case-contention run stays under every ceiling once its own
+#: probe scale (1.17) is applied.
+REF_QUERY_CEILING_SEC: dict[str, float] = {
+    "q1_pricing_summary": 1.44,
+    "q3_shipping_priority": 1.53,
+    "q5_regional_revenue": 2.18,
+    "top_partkeys": 0.44,
+    "dedup_earliest": 0.66,
+    "sources_attach": 0.60,
+    "first_source_counts": 0.61,
+    "hourly_stats": 0.71,
+    "value_quantiles": 0.87,
+    "docs_exact_dedup": 0.44,
+    "docs_ngram_jaccard": 2.42,
+    "docs_minhash_lsh_pairs": 1.75,
+    "docs_simhash": 1.74,
+    "emb_knn": 1.16,
+}
 
 
 def check_throughput_gates(data: dict) -> list[str]:
@@ -531,9 +583,9 @@ def check_throughput_gates(data: dict) -> list[str]:
             f"{MERGE_15K_STEADY_FLOOR / scale:.0f} (scale {scale:.2f})"
         )
 
-    prep = data.get("prep_pipeline") or {}
+    prep = data.get("prep_pipeline_15k") or {}
     if prep.get("docs_per_sec") is None:
-        violations.append("prep_pipeline missing from bench output")
+        violations.append("prep_pipeline_15k missing from bench output")
     else:
         if prep.get("docs_in", 0) < PREP_MIN_DOCS_IN:
             violations.append(
@@ -551,7 +603,7 @@ def check_throughput_gates(data: dict) -> list[str]:
         if med is not None and med > ceiling * scale:
             violations.append(
                 f"{name} median {med}s > ceiling {ceiling * scale:.2f}s "
-                f"(recorded-dispersion × 1.5, scale {scale:.2f})"
+                f"(recorded-dispersion × 1.6, scale {scale:.2f})"
             )
     return violations
 
@@ -673,6 +725,7 @@ def main() -> None:
     merge_mid = _bench_merge(spark, n=15_000, n_runs=2)
     ann_recall = _bench_ann_recall(spark)
     prep_stats = _bench_prep(spark, sf_dir)
+    prep_mid = _bench_prep_15k(spark)
     gate_cal = _bench_gate_calibration(spark, sf_dir)
     text_micro = _bench_text_microcost(spark, sf_dir)
     selection = _bench_selection(spark, sf_dir)
@@ -701,7 +754,7 @@ def main() -> None:
                 "env": env,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "merge_pipeline_15k": merge_mid,
-                "prep_docs_per_sec": (prep_stats or {}).get("docs_per_sec"),
+                "prep_pipeline_15k": prep_mid,
                 "queries": timings,
                 "value": total,
             }
