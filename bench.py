@@ -731,35 +731,60 @@ def main() -> None:
     selection = _bench_selection(spark, sf_dir)
     env["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
     env["bench_wall_sec"] = round(time.time() - wall0, 1)
-    # Key order is LOAD-BEARING (r11 verdict #2): the round driver
-    # archives only the LAST 2000 characters of this JSON line, so
-    # BENCH_r10/r11 — which printed value/queries FIRST — lost the
-    # headline total and every per-query number to truncation. The big
-    # diagnostic sections go first; everything needed for per-query
-    # round-over-round comparison (merge_15k steady, prep docs/s, the
-    # per-query medians, the headline total) forms the dict's TAIL.
     print(
         json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "unit": "sec",
-                "queries_dispersion": dispersion,
-                "merge_pipeline": merge_stats,
-                "merge_stress_10x": _load_merge_stress(),
-                "ann_recall_at3": ann_recall,
-                "prep_pipeline": prep_stats,
-                "minhash_gate_calibration": gate_cal,
-                "text_microcost": text_micro,
-                "selection": selection,
-                "env": env,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "merge_pipeline_15k": merge_mid,
-                "prep_pipeline_15k": prep_mid,
-                "queries": timings,
-                "value": total,
-            }
+            _assemble_output(
+                dispersion=dispersion,
+                merge_stats=merge_stats,
+                merge_stress=_load_merge_stress(),
+                ann_recall=ann_recall,
+                prep_stats=prep_stats,
+                gate_cal=gate_cal,
+                text_micro=text_micro,
+                selection=selection,
+                env=env,
+                sf=float(sf) if sf.replace(".", "").isdigit() else sf,
+                merge_mid=merge_mid,
+                prep_mid=prep_mid,
+                timings=timings,
+                total=total,
+            )
         )
     )
+
+
+def _assemble_output(
+    dispersion, merge_stats, merge_stress, ann_recall, prep_stats,
+    gate_cal, text_micro, selection, env, sf, merge_mid, prep_mid,
+    timings, total,
+) -> dict:
+    """Key order is LOAD-BEARING (r11 verdict #2): the round driver
+    archives only the LAST 2000 characters of the printed JSON line, so
+    BENCH_r10/r11 — which printed value/queries FIRST — lost the
+    headline total and every per-query number to truncation. The big
+    diagnostic sections go first; everything needed for per-query
+    round-over-round comparison (merge_15k steady, the ≥15k-doc prep
+    rate, the per-query medians, the headline total) forms the dict's
+    TAIL. tests/test_sweep.py pins that the tail survives the 2000-char
+    cut with realistic section sizes."""
+    return {
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "queries_dispersion": dispersion,
+        "merge_pipeline": merge_stats,
+        "merge_stress_10x": merge_stress,
+        "ann_recall_at3": ann_recall,
+        "prep_pipeline": prep_stats,
+        "minhash_gate_calibration": gate_cal,
+        "text_microcost": text_micro,
+        "selection": selection,
+        "env": env,
+        "sf": sf,
+        "merge_pipeline_15k": merge_mid,
+        "prep_pipeline_15k": prep_mid,
+        "queries": timings,
+        "value": total,
+    }
     spark.stop()
 
 

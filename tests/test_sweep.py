@@ -155,6 +155,65 @@ def test_bench_median_and_artifact_round_sort():
     assert "_r0*" in src  # numeric-round sort key, not plain sorted()
 
 
+def test_bench_tail_survives_driver_truncation():
+    """r11 verdict #2's done-criterion, pinned forever: the round driver
+    archives only the LAST 2000 characters of bench.py's JSON line, and
+    BENCH_r10/r11 lost the headline total and every per-query number to
+    the old value-first key order. Assemble the output dict with
+    REALISTIC section payloads (taken from the committed r12 calibration
+    shapes) and assert that the 2000-char tail still contains the gated
+    signals: every per-query median, the headline total, merge_15k
+    steady, and the prep-15k rate."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    queries = {name: 1.234 for name in bench.HEADLINE}
+    dispersion = {
+        name: {"min": 1.1, "median": 1.234, "max": 1.4, "n": 7}
+        for name in bench.HEADLINE
+    }
+    big = {f"section_key_{i}": round(i * 1.111, 3) for i in range(40)}
+    out = bench._assemble_output(
+        dispersion=dispersion,
+        merge_stats=dict(big, tx_per_sec_steady=1700.0),
+        merge_stress=dict(big, receipts_per_sec=14110.3),
+        ann_recall={"lsh": 0.967, "ivf": 0.967, "pq": 0.967,
+                    "ivfpq": 0.967, "sq8": 1.0, "bq": 0.933},
+        prep_stats={"sec": 4.1, "docs_in": 4750, "docs_kept": 3108,
+                    "docs_per_sec": 1149.8, "splits": {"train": 2785}},
+        gate_cal=big,
+        text_micro=big,
+        selection=big,
+        env={"cpu_probe": {"md5_192mb_sec": 0.32, "md5_mt_48mb_sec": 0.21},
+             "load_avg_start": [0.1, 0.2, 0.3],
+             "load_avg_end": [9.9, 9.9, 9.9], "bench_wall_sec": 233.4},
+        sf=0.1,
+        merge_mid={"sec": 3.2, "sec_steady": 3.3, "n_receipts": 30000,
+                   "unique_txs": 15000, "tx_per_sec": 9000.0,
+                   "tx_per_sec_steady": 9007.7, "n_runs": 3,
+                   "run_secs": [3.2, 3.3, 3.4]},
+        prep_mid={"sec": 14.3, "docs_in": 47500, "docs_kept": 3487,
+                  "docs_per_sec": 3315.6, "splits": {"train": 3122}},
+        timings=queries,
+        total=9.76,
+    )
+    tail = json.dumps(out)[-2000:]
+    for name in bench.HEADLINE:
+        assert f'"{name}"' in tail, f"{name} truncated out of the tail"
+    assert '"value"' in tail and '"tx_per_sec_steady"' in tail
+    assert '"prep_pipeline_15k"' in tail
+    # and the parsed dict's LAST keys are exactly the comparison tail
+    assert list(out)[-4:] == [
+        "merge_pipeline_15k", "prep_pipeline_15k", "queries", "value"
+    ]
+
+
 def test_sweep_all_tier_lists_are_registry_names():
     """tools/sweep_all.py (r11 verdict #7) is the one-command
     reproduction of every committed SELFCHECK tier; its 100×-tier list
