@@ -237,11 +237,16 @@ def _bench_prep_15k(spark) -> dict | None:
         if not os.path.isdir(base):
             return None
         repo = os.path.dirname(os.path.abspath(__file__))
-        gen = subprocess.run(
-            [sys.executable, os.path.join(repo, "tools", "stressgen.py"),
-             base, out, "10"],
-            capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            gen = subprocess.run(
+                [sys.executable, os.path.join(repo, "tools", "stressgen.py"),
+                 base, out, "10"],
+                capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # Degrade to prep_pipeline_15k: null rather than aborting the
+            # whole bench run — the gate reports a missing section cleanly.
+            return None
         if gen.returncode != 0:
             return None
     return _bench_prep(spark, out)
@@ -751,6 +756,7 @@ def main() -> None:
             )
         )
     )
+    spark.stop()
 
 
 def _assemble_output(
@@ -785,7 +791,6 @@ def _assemble_output(
         "queries": timings,
         "value": total,
     }
-    spark.stop()
 
 
 if __name__ == "__main__":

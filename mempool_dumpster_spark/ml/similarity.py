@@ -1884,6 +1884,17 @@ def sq8_topk_pretrained(
     # appends land from other sessions; a cached file listing would
     # silently serve the pre-append index (same as ivfpq_topk_pretrained)
     spark.catalog.refreshTable(index_table)
+    # Guard the dim contract against the persisted codes (r12 advice):
+    # a caller passing e.g. dim=64 against a 128-dim table would
+    # otherwise silently score a word prefix and return wrong
+    # neighbors. Codes length isn't in the schema (array<int>), so
+    # probe one row — a LIMIT 1 scan, negligible on the serving path.
+    head = spark.table(index_table).select(F.size("codes").alias("n")).head(1)
+    if head and head[0]["n"] != dim:
+        raise ValueError(
+            f"dim={dim} but {index_table} holds {head[0]['n']}-byte codes "
+            f"— the table was built at a different dim"
+        )
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -2084,6 +2095,15 @@ def bq_topk_pretrained(
     identical to `bq_topk(candidates, queries)` because the Hamming
     expressions and re-rank tail are the same code objects."""
     spark.catalog.refreshTable(index_table)
+    # Same dim-contract guard as append_bq_index (r12 advice): Hamming
+    # over a word prefix of a wider table is silently wrong, not slow.
+    n_words = (dim + 63) // 64
+    existing = len(spark.table(index_table).columns) - 1
+    if existing != n_words:
+        raise ValueError(
+            f"dim={dim} implies {n_words} sign words but {index_table} has "
+            f"{existing} — the table was built at a different dim"
+        )
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )

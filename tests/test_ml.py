@@ -3355,3 +3355,58 @@ def test_pretoken_digest_twins_preserve_empty_docs(spark):
     assert set(out) == {0, 1, 2}
     assert out[1] == (0, 0)
     assert out[0][0] > 0 and out[2][0] > 0
+
+
+def test_pretrained_quantized_dim_guard(spark, tmp_path):
+    """The pretrained SQ8/BQ query paths must validate the dim contract
+    against the persisted table like append_* already does (r12 advice):
+    scoring a word/code PREFIX of a wider table is silently wrong —
+    plausible neighbors, wrong ranking — so a mismatched dim is a hard
+    error, not a degraded answer."""
+    from mempool_dumpster_spark.ml.similarity import (
+        bq_topk_pretrained,
+        sq8_topk_pretrained,
+        train_sq8_bounds,
+        write_bq_index,
+        write_sq8_index,
+    )
+
+    rows = []
+    for i in range(20):
+        vec = [0.05 * ((i * 7 + d) % 5) for d in range(64)]
+        vec[i % 3] += 10.0
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 2")
+
+    write_sq8_index(
+        emb, "dim_guard_sq8", dim=64, path=str(tmp_path / "sq8_idx")
+    )
+    narrow = emb.select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    wrong_bounds = train_sq8_bounds(narrow, "embedding", 8)
+    with pytest.raises(ValueError, match="built at a different dim"):
+        sq8_topk_pretrained(
+            spark, "dim_guard_sq8", narrow, narrow.filter("vec_id < 2"),
+            bounds=wrong_bounds, dim=8, k=3,
+        )
+
+    write_bq_index(
+        emb, "dim_guard_bq", dim=64, path=str(tmp_path / "bq_idx")
+    )
+    wide = emb.select(
+        "vec_id",
+        F.concat("embedding", "embedding").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="built at a different dim"):
+        bq_topk_pretrained(
+            spark, "dim_guard_bq", wide, wide.filter("vec_id < 2"),
+            dim=128, k=3,
+        )
+
+    # the matching dim still serves
+    assert sq8_topk_pretrained(
+        spark, "dim_guard_sq8", emb, q,
+        bounds=train_sq8_bounds(emb, "embedding", 64), dim=64, k=3,
+    ).count() > 0

@@ -287,7 +287,7 @@ def test_throughput_floor_gates():
         fails;
       * the prep pipeline at ≥15k docs (per-doc cost dominates);
       * each headline query's MEDIAN vs its own recorded-dispersion
-        ceiling (max-of-runs × 1.5) — a single query regressing ≥2×
+        ceiling (max-of-runs × 1.6) — a single query regressing ≥2×
         fails its gate even when the total hides it;
     all normalized by the new MULTI-CORE md5 probe, which sees the
     contention the single-core probe was blind to.
