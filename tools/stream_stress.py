@@ -1,0 +1,466 @@
+"""Streaming-collector stress: replay a synthetic day through the LIVE
+fork-before-dedup topology with a mid-run kill + checkpoint restart.
+
+The reference's 24/7 component is the collector (SURVEY.md §3.3;
+reference collector/tx_processor.go:201-313): every receipt lands in the
+sourcelog, first arrivals survive a 30-min-TTL dedup, get the full
+RLP+ECDSA parse, and route to transactions or trash. The batch merge has
+three committed stress tiers up to 40 M receipts (MERGE_STRESS_r12), but
+until r13 the streaming topology only had correctness e2e tests — no
+committed rate artifact. This tool closes that gap:
+
+1. Generates a deterministic ≥1 M-receipt day (index-derived like
+   tools/merge_stress.py — tx i signed with priv 0x300000+i, 1+i%3
+   receipts across three sources, every 50th index an undecodable
+   payload to exercise trash routing) in EVENT-TIME ORDER, because
+   `dropDuplicatesWithinWatermark` only guarantees dedup for rows
+   arriving within the watermark delay — a replay that scatters event
+   times across the day would let the watermark evict state mid-day
+   and re-admit duplicates the real collector (which sees wall-clock
+   order) never would. File mtimes are set ascending so the file
+   source's oldest-first listing replays the day in order.
+
+2. Replays through the REAL `start_collector` topology (both queries:
+   pre-dedup sourcelog sink + dedup→parse→foreachBatch), KILLS the
+   queries mid-run (after ~45% of receipts, without waiting for a batch
+   boundary), then restarts from the same checkpoint with
+   `trigger(availableNow=True)` to drain the rest.
+
+3. Verifies the exactly-once story post-restart, honestly split by sink
+   semantics:
+   - sourcelog is a true streaming file sink (transactional
+     _spark_metadata commit log) → read back EXACTLY n_valid_receipts;
+   - transactions/trash are foreachBatch CSV appends → at-least-once by
+     design (collector.py docstring; the daily merge re-dedups): the
+     DISTINCT hash count must be exactly n_valid_unique, and any
+     duplicate rows (≤ one replayed micro-batch) are counted and
+     reported, never hidden.
+
+4. Records steady receipts/s (Σ inputRows / Σ triggerExecution over the
+   dedup query's micro-batches, both legs), wall-clock rate, and the
+   dedup state store's peak rows/bytes from the progress events.
+
+5. `--inclusion` additionally replays the watermarked stream-stream
+   inclusion join (streaming/inclusion.py) over the same day plus a
+   block stream (60% of valid txs included at +3 s): left-outer rows
+   must emit EXACTLY once each after the watermark closes their
+   [received_at - 30 s, received_at + 10 min] window — two sentinel
+   drain waves push the min-of-both-streams watermark past the last
+   real window — and the join state peak is recorded. This is the one
+   streaming operator whose state growth at scale was previously only
+   unit-tested.
+
+Usage:
+    python tools/stream_stress.py [n_unique] [out_json] [--inclusion]
+    python tools/stream_stress.py 500000 STREAM_STRESS_r13.json --inclusion
+
+Generation parallelizes across processes and caches shards under
+/tmp/spark_graft_stream_stress_<n>; re-runs reuse them. Sinks and
+checkpoints are recreated fresh per run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import multiprocessing as mp
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+T0_MS = 1_693_785_600_000  # 2023-09-04 00:00:00 UTC
+DAY_MS = 86_400_000
+SOURCES = ["alchemy", "infura", "bloxroute"]
+GARBAGE_EVERY = 50  # i % 50 == 7 → undecodable payload (trash routing)
+INCLUDED_MOD = 5  # i % 5 in (0,1,2) → 60% of valid txs land on chain
+
+
+def _ts_str(ms: int) -> str:
+    t = dt.datetime.fromtimestamp(ms / 1000.0, tz=dt.timezone.utc)
+    return t.strftime("%Y-%m-%d %H:%M:%S.") + f"{ms % 1000:03d}"
+
+
+def _gen_shard(args: tuple[int, int, int, str, int, int]) -> dict:
+    """Generate txs [lo, hi) — a CONTIGUOUS event-time slice — into
+    several small receipt files (so the stream replays in many
+    micro-batches) plus one blocks file for the inclusion phase."""
+    shard, lo, hi, base, step_ms, parts = args
+    from txgen import make_tx, tx_hash_of
+
+    span = hi - lo
+    bounds = [lo + (span * p) // parts for p in range(parts + 1)]
+    counts = {"receipts": 0, "valid_receipts": 0, "valid_unique": 0,
+              "garbage": 0, "included_unique": 0, "included_receipts": 0}
+    bl_f = open(os.path.join(base, "blocks", f"blocks_{shard:03d}.csv"), "w")
+    for p in range(parts):
+        f = open(
+            os.path.join(base, "in", f"rx_{shard:03d}_{p:03d}.csv"), "w"
+        )
+        for i in range(bounds[p], bounds[p + 1]):
+            ts = T0_MS + i * step_ms
+            if i % GARBAGE_EVERY == 7:
+                # undecodable payload, unique per index → trashes once
+                f.write(f"{_ts_str(ts)},0xdead{i:010x},{SOURCES[i % 3]}\n")
+                counts["garbage"] += 1
+                counts["receipts"] += 1
+                continue
+            raw = make_tx(priv=0x300000 + i, nonce=i % 1000, tx_type=i % 3)
+            counts["valid_unique"] += 1
+            n_rx = 1 + (i % 3)
+            for j in range(n_rx):
+                f.write(f"{_ts_str(ts + 211 * j)},{raw},{SOURCES[(i + j) % 3]}\n")
+            counts["receipts"] += n_rx
+            counts["valid_receipts"] += n_rx
+            if i % INCLUDED_MOD < 3:
+                h = tx_hash_of(raw)
+                bl_f.write(
+                    f"{_ts_str(ts + 3000)},{18_000_000 + i // 1000},{h}\n"
+                )
+                counts["included_unique"] += 1
+                counts["included_receipts"] += n_rx
+        f.close()
+    bl_f.close()
+    return counts
+
+
+def generate(n_unique: int, base: str, procs: int, parts: int = 8) -> dict:
+    marker = os.path.join(base, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    for sub in ("in", "blocks"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    step_ms = max(1, DAY_MS // max(n_unique, 1))
+    step = (n_unique + procs - 1) // procs
+    jobs = [
+        (w, w * step, min((w + 1) * step, n_unique), base, step_ms, parts)
+        for w in range(procs)
+        if w * step < n_unique
+    ]
+    with mp.Pool(procs) as pool:
+        shard_counts = pool.map(_gen_shard, jobs)
+    totals: dict = {k: sum(c[k] for c in shard_counts) for k in shard_counts[0]}
+    totals["n_unique"] = n_unique
+    totals["step_ms"] = step_ms
+    # ascending mtimes = the file source's oldest-first listing replays
+    # the day in event-time order (see module docstring)
+    now = time.time() - 86_400
+    for k, name in enumerate(sorted(os.listdir(os.path.join(base, "in")))):
+        os.utime(os.path.join(base, "in", name), (now + k, now + k))
+    with open(marker, "w") as f:
+        json.dump(totals, f)
+    return totals
+
+
+class _ProgressTap:
+    """Dedup-query progress accumulator: batchId → (inputRows, durMs,
+    stateRows, stateBytes), deduped so poll-loop lastProgress reads and
+    post-run recentProgress sweeps never double-count a batch."""
+
+    def __init__(self) -> None:
+        self.batches: dict[int, tuple[int, int, int, int]] = {}
+
+    def record(self, p: dict | None) -> None:
+        if not p:
+            return
+        ops = p.get("stateOperators") or []
+        srows = max((o.get("numRowsTotal", 0) for o in ops), default=0)
+        sbytes = max((o.get("memoryUsedBytes", 0) for o in ops), default=0)
+        self.batches[p["batchId"]] = (
+            int(p.get("numInputRows", 0)),
+            int((p.get("durationMs") or {}).get("triggerExecution", 0)),
+            srows,
+            sbytes,
+        )
+
+    def sweep(self, query) -> None:
+        for p in query.recentProgress:
+            self.record(p)
+
+    @property
+    def input_rows(self) -> int:
+        return sum(v[0] for v in self.batches.values())
+
+    def summary(self) -> dict:
+        rows = self.input_rows
+        busy_ms = sum(v[1] for v in self.batches.values() if v[0] > 0)
+        return {
+            "n_batches": len(self.batches),
+            "input_rows_seen": rows,
+            "busy_sec": round(busy_ms / 1000.0, 1),
+            "steady_rows_per_sec": (
+                round(rows / (busy_ms / 1000.0), 1) if busy_ms else None
+            ),
+            "state_rows_peak": max(
+                (v[2] for v in self.batches.values()), default=0
+            ),
+            "state_bytes_peak": max(
+                (v[3] for v in self.batches.values()), default=0
+            ),
+        }
+
+
+def replay_collector(
+    spark, base: str, counts: dict, kill_frac: float = 0.45,
+    max_files_per_trigger: int = 12,
+) -> dict:
+    from mempool_dumpster_spark.streaming.collector import (
+        file_stream_source,
+        start_collector,
+    )
+
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    tap = _ProgressTap()
+    n_receipts = counts["receipts"]
+
+    # Leg 1 — continuous trigger; kill mid-run, not at a batch boundary.
+    t0 = time.time()
+    qs = start_collector(
+        file_stream_source(spark, in_dir, max_files_per_trigger),
+        out_dir=out_dir,
+        checkpoint_dir=ckpt,
+        trigger_available_now=False,
+    )
+    deadline = time.time() + 3600
+    while tap.input_rows < kill_frac * n_receipts:
+        if time.time() > deadline:
+            qs.stop_all()
+            raise RuntimeError("leg 1 made no progress within 1 h")
+        time.sleep(0.5)
+        tap.record(qs.transactions.lastProgress)
+    tap.sweep(qs.transactions)
+    qs.stop_all()  # interrupts any in-flight micro-batch
+    leg1_sec = round(time.time() - t0, 1)
+    rows_at_kill = tap.input_rows
+
+    # Leg 2 — restart from the SAME checkpoint, drain to completion.
+    t1 = time.time()
+    qs2 = start_collector(
+        file_stream_source(spark, in_dir, max_files_per_trigger),
+        out_dir=out_dir,
+        checkpoint_dir=ckpt,
+        trigger_available_now=True,
+    )
+    qs2.await_all()
+    leg2_sec = round(time.time() - t1, 1)
+    tap.sweep(qs2.transactions)
+
+    # --- exactly-once verification, split by sink semantics ---
+    sl = spark.read.schema(
+        "timestamp_ms long, hash string, source string"
+    ).csv(f"{out_dir}/sourcelog")
+    sourcelog_rows = sl.count()
+
+    txs = spark.read.schema(
+        "timestamp_ms long, hash string, raw_tx string"
+    ).csv(f"{out_dir}/transactions")
+    tx_rows = txs.count()
+    tx_distinct = txs.select("hash").distinct().count()
+
+    trash = spark.read.schema(
+        "timestamp_ms long, hash string, source string, reason string,"
+        " notes string"
+    ).csv(f"{out_dir}/trash")
+    trash_rows = trash.count()
+    trash_distinct = trash.select("timestamp_ms").distinct().count()
+
+    wall = leg1_sec + leg2_sec
+    report = {
+        "n_receipts": n_receipts,
+        "n_valid_receipts": counts["valid_receipts"],
+        "n_valid_unique": counts["valid_unique"],
+        "n_garbage": counts["garbage"],
+        "leg1_wall_sec": leg1_sec,
+        "leg2_wall_sec": leg2_sec,
+        "rows_seen_at_kill": rows_at_kill,
+        "receipts_per_sec_wall": round(n_receipts / wall, 1),
+        "dedup_query": tap.summary(),
+        "sourcelog_rows": sourcelog_rows,
+        "sourcelog_exact": sourcelog_rows == counts["valid_receipts"],
+        "transactions_rows": tx_rows,
+        "transactions_distinct": tx_distinct,
+        "transactions_distinct_exact": tx_distinct == counts["valid_unique"],
+        "transactions_duplicate_rows": tx_rows - tx_distinct,
+        "trash_rows": trash_rows,
+        "trash_distinct": trash_distinct,
+        "trash_distinct_exact": trash_distinct == counts["garbage"],
+        "max_files_per_trigger": max_files_per_trigger,
+    }
+    failures = [
+        k for k in
+        ("sourcelog_exact", "transactions_distinct_exact",
+         "trash_distinct_exact")
+        if not report[k]
+    ]
+    report["pass"] = not failures
+    if failures:
+        report["failed_checks"] = failures
+    return report
+
+
+def _link_tree(src: str, dst: str) -> None:
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for name in sorted(os.listdir(src)):
+        os.link(os.path.join(src, name), os.path.join(dst, name))
+
+
+def replay_inclusion(
+    spark, base: str, counts: dict, max_files_per_trigger: int = 12
+) -> dict:
+    """Watermarked stream-stream inclusion join at replay scale
+    (verdict r12 #7): every receipt of an included tx joins its block
+    row exactly once; every receipt of a not-included tx emits its
+    left-outer row exactly once AFTER the watermark closes its window.
+    The parquet sink's _spark_metadata commit log makes the read-back
+    exactly-once, so row counts are hard assertions, not estimates."""
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.functions.rlp_udf import tx_hash_udf
+    from mempool_dumpster_spark.streaming.collector import file_stream_source
+    from mempool_dumpster_spark.streaming.inclusion import stream_inclusion_join
+
+    tx_dir = os.path.join(base, "incl_tx")
+    bl_dir = os.path.join(base, "incl_blocks")
+    _link_tree(os.path.join(base, "in"), tx_dir)
+    _link_tree(os.path.join(base, "blocks"), bl_dir)
+    out = os.path.join(base, "incl_out")
+    ckpt = os.path.join(base, "incl_ckpt")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    n_unique = counts["n_unique"]
+    last_ms = T0_MS + (n_unique - 1) * counts["step_ms"]
+    # sentinel event times: far past the last real window
+    # (received_at + 10 min + 5 min watermark), so the min-of-both
+    # watermark closes every real left-outer row
+    sent_ms = last_ms + 2 * 3_600_000
+    from txgen import make_tx
+
+    sent_raw = make_tx(priv=0x7FFFFF, nonce=1)
+
+    tap = _ProgressTap()
+
+    def drain() -> None:
+        txs = (
+            file_stream_source(spark, tx_dir, max_files_per_trigger)
+            .withColumn("hash", tx_hash_udf(F.col("raw_tx")))
+            .filter(F.col("hash").isNotNull())
+            .drop("raw_tx")
+        )
+        blocks = (
+            spark.readStream.schema(
+                "block_ts timestamp, block_number long, hash string"
+            )
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .csv(bl_dir)
+        )
+        joined = stream_inclusion_join(
+            txs, blocks, max_delay="10 minutes", before_slack="30 seconds",
+            watermark_delay="5 minutes", how="leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        while q.isActive:
+            time.sleep(0.5)
+            tap.record(q.lastProgress)
+        q.awaitTermination()
+        tap.sweep(q)
+
+    t0 = time.time()
+    drain()
+    # Two sentinel waves: wave 1's rows advance the watermark that wave 2's
+    # batch USES for eviction (Spark applies the watermark computed from
+    # batch k-1 in batch k), so every real window is closed by the end of
+    # wave 2. Sentinel rows themselves stay in state, never emitted.
+    for wave in (1, 2):
+        with open(os.path.join(tx_dir, f"zz_sentinel_{wave}.csv"), "w") as f:
+            f.write(f"{_ts_str(sent_ms + wave)},{sent_raw},alchemy\n")
+        with open(os.path.join(bl_dir, f"zz_sentinel_{wave}.csv"), "w") as f:
+            f.write(f"{_ts_str(sent_ms + wave)},0,0xsentinel\n")
+        drain()
+    wall = round(time.time() - t0, 1)
+
+    res = spark.read.parquet(out)
+    total = res.count()
+    included = res.filter("included = 1").count()
+    not_included = total - included
+    distinct = res.select("received_at", "source", "hash").distinct().count()
+
+    exp_included = counts["included_receipts"]
+    exp_not = counts["valid_receipts"] - exp_included
+    report = {
+        "wall_sec": wall,
+        "receipts_per_sec_wall": round(counts["valid_receipts"] / wall, 1),
+        "rows_out": total,
+        "included_rows": included,
+        "not_included_rows": not_included,
+        "expected_included": exp_included,
+        "expected_not_included": exp_not,
+        "exactly_once": (
+            total == distinct
+            and included == exp_included
+            and not_included == exp_not
+        ),
+        "join_query": tap.summary(),
+    }
+    report["pass"] = report["exactly_once"]
+    return report
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_unique = int(args[0]) if args else 500_000
+    out_json = args[1] if len(args) > 1 else None
+    with_inclusion = "--inclusion" in sys.argv
+    procs = int(os.environ.get("SPARK_GRAFT_GEN_PROCS", os.cpu_count() or 8))
+    base = f"/tmp/spark_graft_stream_stress_{n_unique}"
+
+    t0 = time.time()
+    counts = generate(n_unique, base, procs)
+    gen_sec = round(time.time() - t0, 1)
+    print(
+        f"generated {counts['receipts']} receipts / {n_unique} unique "
+        f"in {gen_sec}s",
+        flush=True,
+    )
+
+    from mempool_dumpster_spark.session import get_spark
+
+    spark = get_spark("stream-stress")
+    report = {
+        "n_unique": n_unique,
+        "gen_sec": gen_sec,
+        "collector": replay_collector(spark, base, counts),
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+    if with_inclusion:
+        report["inclusion_join"] = replay_inclusion(spark, base, counts)
+    report["pass"] = report["collector"]["pass"] and (
+        not with_inclusion or report["inclusion_join"]["pass"]
+    )
+    print(json.dumps(report))
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=1)
+    spark.stop()
+    sys.exit(0 if report["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
