@@ -193,6 +193,42 @@ def _bench_ann_recall(spark) -> dict[str, float] | None:
     return out
 
 
+def _bench_pretrained_serve(spark, sf_dir: str) -> dict | None:
+    """Build vs serve timing for every pretrained ANN entry (r12 verdict
+    finding #1 → r13 item #4): each entry rebuilds its index inside the
+    timed call — right for the lifecycle gate, wrong for a serving SLA,
+    because the one number is mostly `write_*_index`. The entries record
+    their eager build phase on the plans.timing side channel; this
+    section publishes build_sec and serve_sec (serve-plan construction +
+    collect) separately so the SERVING path gets its own dispersion
+    ceiling in check_throughput_gates."""
+    from mempool_dumpster_spark.plans.registry import all_queries
+    from mempool_dumpster_spark.plans.timing import pop_build
+
+    qs = all_queries()
+    out: dict = {}
+    for name in (
+        "emb_knn_ivf_pretrained",
+        "emb_knn_ivfpq_pretrained",
+        "emb_knn_sq8_pretrained",
+        "emb_knn_bq_pretrained",
+    ):
+        try:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            total = time.time() - t0
+            build = pop_build(name) or 0.0
+            out[name] = {
+                "build_sec": round(build, 2),
+                "serve_sec": round(total - build, 2),
+            }
+        except Exception as exc:
+            out[name] = {"error": str(exc)[:200]}
+    return out
+
+
 def _bench_gate_calibration(spark, sf_dir: str) -> dict | None:
     """Measured false-drop / false-keep rates of the incremental-dedup
     gate (ml.prep.cross_corpus_filter defaults: 64-slot MinHash, 16×4
@@ -416,12 +452,13 @@ def _bench_text_microcost(spark, sf_dir: str) -> dict | None:
         return None
 
 
-def _load_merge_stress() -> dict | None:
-    """Embed the committed 10×-day merge-stress artifact
-    (MERGE_STRESS_r{N}.json, produced by tools/merge_stress.py — a
-    ~25-min 15 M-receipt run, far too heavy to re-run per bench). The
-    artifact name rides along so a stale embed is attributable;
-    regenerate it whenever plans/merge.py or the parse UDF change."""
+def _load_stress_artifact(prefix: str) -> dict | None:
+    """Embed the newest committed stress artifact for `prefix`
+    (MERGE_STRESS_r{N}.json from tools/merge_stress.py, STREAM_STRESS_r{N}
+    .json from tools/stream_stress.py — multi-minute full-scale runs, far
+    too heavy to re-run per bench). The artifact name rides along so a
+    stale embed is attributable; regenerate whenever the covered pipeline
+    (plans/merge.py, streaming/collector.py, the parse UDF) changes."""
     import glob
 
     import re
@@ -434,7 +471,7 @@ def _load_merge_stress() -> dict | None:
         return int(m.group(1)) if m else -1
 
     paths = sorted(
-        glob.glob(os.path.join(here, "MERGE_STRESS_r*.json")), key=round_no
+        glob.glob(os.path.join(here, f"{prefix}_r*.json")), key=round_no
     )
     if not paths:
         return None
@@ -445,6 +482,56 @@ def _load_merge_stress() -> dict | None:
         return None
     d["artifact"] = os.path.basename(paths[-1])
     return d
+
+
+def _load_merge_stress() -> dict | None:
+    return _load_stress_artifact("MERGE_STRESS")
+
+
+def _bench_stream_15k(spark) -> dict | None:
+    """Live streaming-collector throughput at the ~15k-receipt tier —
+    the streaming twin of _bench_merge(n=15000) (r12 verdict #1): one
+    availableNow drain of a deterministic 7,500-unique day through the
+    REAL two-query topology (pre-dedup sourcelog sink + watermarked
+    dedup → RLP/ECDSA parse → foreachBatch transactions/trash), via
+    tools/stream_stress.drain_collector. The kill/restart semantics are
+    proven by the committed STREAM_STRESS artifact; this measures the
+    steady micro-batch rate so a streaming-path regression trips a
+    floor the way a merge regression trips merge_15k's."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    sys.path.insert(0, os.path.join(repo, "tests"))
+    try:
+        from stream_stress import drain_collector, generate
+
+        base = "/tmp/spark_graft_stream_bench_7500"
+        counts = generate(
+            7500, base, procs=min(16, os.cpu_count() or 8), parts=4
+        )
+        spark.catalog.clearCache()
+        # drain 1 is warm-up (streaming-engine classloading + sink/ckpt
+        # setup cost ~2× the steady drains: 730 vs 1215/1243 r/s in the
+        # r13 calibration) — the gated number is the median of the two
+        # WARM drains, same discipline as the headline queries' warm-up
+        runs = [drain_collector(spark, base, counts) for _ in range(3)][1:]
+    except Exception as exc:
+        return {"error": str(exc)[:300]}
+    steady = _median(
+        [r["receipts_per_sec_steady"] for r in runs
+         if r["receipts_per_sec_steady"]]
+    )
+    return {
+        "n_receipts": counts["receipts"],
+        "unique_txs": counts["valid_unique"],
+        "n_runs": len(runs),
+        "wall_secs": [r["wall_sec"] for r in runs],
+        "n_batches": runs[0]["n_batches"],
+        "receipts_per_sec_wall": _median(
+            [r["receipts_per_sec_wall"] for r in runs]
+        ),
+        "receipts_per_sec_steady": steady,
+        "unique_exact": all(r["unique_exact"] for r in runs),
+    }
 
 
 def _cpu_probe() -> dict:
@@ -540,6 +627,33 @@ MERGE_15K_STEADY_FLOOR = 7500.0
 #: healthy margin on top of probe normalization.
 PREP_FLOOR_DOCS_S = 3000.0
 PREP_MIN_DOCS_IN = 15_000
+#: streaming collector at the ~15k-receipt tier (r12 verdict #1 — the
+#: merge had floors, the 24/7 component had none): calibration r13,
+#: quiet box — warm steady 1,214.8/1,242.7 r/s (5 micro-batches of
+#: ~3.7k receipts through the live two-query topology; per-batch
+#: trigger overhead + the concurrent sourcelog query keep this well
+#: below merge_15k's 9k — the signal is the micro-batch pipeline rate,
+#: not raw parse throughput; the committed 1 M-receipt STREAM_STRESS
+#: run reads 7.3k r/s at 43k-receipt batches, same code). Floor ~0.81×
+#: calibration: a 1.3× code slowdown at probe parity fails
+#: (1230/1.3 = 946 < 1000), ambient wobble relaxes via the probe.
+STREAM_15K_STEADY_FLOOR = 1000.0
+
+#: serve-only ceilings for the pretrained ANN entries (r12 verdict
+#: finding #1 → r13 item #4): serve_sec = entry wall − recorded index
+#: build, measured at the bench SF after the HEADLINE warm-ups (emb_knn
+#: warms the sf0.1 embeddings scan). r13 warm calibration: ivf 2.26 /
+#: ivfpq 6.65 / sq8 2.51 / bq 1.54 s. Ceilings = ~3× warm — a serving
+#: regression on these paths is a PLAN regression (an Exchange
+#: reintroduced on the probe side, codes scan falling out of
+#: whole-stage codegen) and shows up ≥2×, while session noise on
+#: single sub-10s readings stays under 3×.
+PRETRAINED_SERVE_CEILING_SEC: dict[str, float] = {
+    "emb_knn_ivf_pretrained": 7.0,
+    "emb_knn_ivfpq_pretrained": 20.0,
+    "emb_knn_sq8_pretrained": 7.5,
+    "emb_knn_bq_pretrained": 4.6,
+}
 
 #: per-query median ceilings = r12 calibration max-of-runs × 1.6 (each
 #: query's recorded dispersion band, not a shared headline total — one
@@ -588,6 +702,17 @@ def check_throughput_gates(data: dict) -> list[str]:
             f"{MERGE_15K_STEADY_FLOOR / scale:.0f} (scale {scale:.2f})"
         )
 
+    stream15k = (data.get("stream_pipeline_15k") or {}).get(
+        "receipts_per_sec_steady"
+    )
+    if stream15k is None:
+        violations.append("stream_pipeline_15k missing from bench output")
+    elif stream15k < STREAM_15K_STEADY_FLOOR / scale:
+        violations.append(
+            f"stream_15k steady {stream15k} receipts/s < floor "
+            f"{STREAM_15K_STEADY_FLOOR / scale:.0f} (scale {scale:.2f})"
+        )
+
     prep = data.get("prep_pipeline_15k") or {}
     if prep.get("docs_per_sec") is None:
         violations.append("prep_pipeline_15k missing from bench output")
@@ -609,6 +734,17 @@ def check_throughput_gates(data: dict) -> list[str]:
             violations.append(
                 f"{name} median {med}s > ceiling {ceiling * scale:.2f}s "
                 f"(recorded-dispersion × 1.6, scale {scale:.2f})"
+            )
+
+    serve = data.get("pretrained_serve") or {}
+    if not serve:
+        violations.append("pretrained_serve missing from bench output")
+    for name, ceiling in PRETRAINED_SERVE_CEILING_SEC.items():
+        sec = (serve.get(name) or {}).get("serve_sec")
+        if sec is not None and sec > ceiling * scale:
+            violations.append(
+                f"{name} serve {sec}s > ceiling {ceiling * scale:.2f}s "
+                f"(3× warm calibration, scale {scale:.2f})"
             )
     return violations
 
@@ -728,7 +864,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     merge_stats = _bench_merge(spark)
     merge_mid = _bench_merge(spark, n=15_000, n_runs=2)
+    stream_mid = _bench_stream_15k(spark)
     ann_recall = _bench_ann_recall(spark)
+    pretrained_serve = _bench_pretrained_serve(spark, sf_dir)
     prep_stats = _bench_prep(spark, sf_dir)
     prep_mid = _bench_prep_15k(spark)
     gate_cal = _bench_gate_calibration(spark, sf_dir)
@@ -742,7 +880,9 @@ def main() -> None:
                 dispersion=dispersion,
                 merge_stats=merge_stats,
                 merge_stress=_load_merge_stress(),
+                stream_stress=_load_stress_artifact("STREAM_STRESS"),
                 ann_recall=ann_recall,
+                pretrained_serve=pretrained_serve,
                 prep_stats=prep_stats,
                 gate_cal=gate_cal,
                 text_micro=text_micro,
@@ -750,6 +890,7 @@ def main() -> None:
                 env=env,
                 sf=float(sf) if sf.replace(".", "").isdigit() else sf,
                 merge_mid=merge_mid,
+                stream_mid=stream_mid,
                 prep_mid=prep_mid,
                 timings=timings,
                 total=total,
@@ -762,7 +903,8 @@ def main() -> None:
 def _assemble_output(
     dispersion, merge_stats, merge_stress, ann_recall, prep_stats,
     gate_cal, text_micro, selection, env, sf, merge_mid, prep_mid,
-    timings, total,
+    timings, total, stream_stress=None, stream_mid=None,
+    pretrained_serve=None,
 ) -> dict:
     """Key order is LOAD-BEARING (r11 verdict #2): the round driver
     archives only the LAST 2000 characters of the printed JSON line, so
@@ -779,13 +921,16 @@ def _assemble_output(
         "queries_dispersion": dispersion,
         "merge_pipeline": merge_stats,
         "merge_stress_10x": merge_stress,
+        "stream_stress": stream_stress,
         "ann_recall_at3": ann_recall,
+        "pretrained_serve": pretrained_serve,
         "prep_pipeline": prep_stats,
         "minhash_gate_calibration": gate_cal,
         "text_microcost": text_micro,
         "selection": selection,
         "env": env,
         "sf": sf,
+        "stream_pipeline_15k": stream_mid,
         "merge_pipeline_15k": merge_mid,
         "prep_pipeline_15k": prep_mid,
         "queries": timings,

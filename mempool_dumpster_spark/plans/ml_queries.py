@@ -499,11 +499,17 @@ def emb_knn_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
+    import time as _time
+
+    from mempool_dumpster_spark.plans.timing import record_build
+
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     sample = emb.filter(F.crc32(F.col("vec_id").cast("string")) % 2 == 0)
+    _t0 = _time.time()
     stored = centroids_to_json(
         train_ivf_centroids(sample, n_cells=16, n_iters=3, dim=64)
     )
+    record_build("emb_knn_ivf_pretrained", _time.time() - _t0)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(
         emb, queries, k=3, dim=64, nprobe=8, n_assign=3,
@@ -544,9 +550,15 @@ def emb_knn_ivfpq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = "ivfpq_idx_" + re.sub(
         r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
     )
+    import time as _time
+
+    from mempool_dumpster_spark.plans.timing import record_build
+
+    _t0 = _time.time()
     centroids, codebooks = write_ivfpq_index(
         emb, tbl, dim=64, n_cells=16, n_assign=4, m=16, k_codes=32, n_iters=5
     )
+    record_build("emb_knn_ivfpq_pretrained", _time.time() - _t0)
     # round-trip through the persisted index formats — what a deployment
     # actually reloads on the serving cluster
     centroids = centroids_from_json(centroids_to_json(centroids))
@@ -592,7 +604,13 @@ def emb_knn_sq8_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = "sq8_idx_" + re.sub(
         r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
     )
+    import time as _time
+
+    from mempool_dumpster_spark.plans.timing import record_build
+
+    _t0 = _time.time()
     bounds = write_sq8_index(emb, tbl, dim=64)
+    record_build("emb_knn_sq8_pretrained", _time.time() - _t0)
     # round-trip through the persisted bounds format — what a deployment
     # actually reloads on the serving cluster
     bounds = sq8_bounds_from_json(sq8_bounds_to_json(bounds))
@@ -631,7 +649,13 @@ def emb_knn_bq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = "bq_idx_" + re.sub(
         r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
     )
+    import time as _time
+
+    from mempool_dumpster_spark.plans.timing import record_build
+
+    _t0 = _time.time()
     write_bq_index(emb, tbl, dim=64)
+    record_build("emb_knn_bq_pretrained", _time.time() - _t0)
     queries = emb.filter(F.col("vec_id") < 10)
     return bq_topk_pretrained(
         spark, tbl, emb, queries, k=3, dim=64, refine=32

@@ -151,7 +151,7 @@ def test_bench_median_and_artifact_round_sort():
 
     import inspect
 
-    src = inspect.getsource(bench._load_merge_stress)
+    src = inspect.getsource(bench._load_stress_artifact)
     assert "_r0*" in src  # numeric-round sort key, not plain sorted()
 
 
@@ -198,6 +198,12 @@ def test_bench_tail_survives_driver_truncation():
                    "unique_txs": 15000, "tx_per_sec": 9000.0,
                    "tx_per_sec_steady": 9007.7, "n_runs": 3,
                    "run_secs": [3.2, 3.3, 3.4]},
+        stream_stress=dict(big, artifact="STREAM_STRESS_r13.json"),
+        stream_mid={"n_receipts": 14850, "unique_txs": 7350, "n_runs": 2,
+                    "wall_secs": [14.08, 13.67], "n_batches": 5,
+                    "receipts_per_sec_wall": 1070.5,
+                    "receipts_per_sec_steady": 1228.8,
+                    "unique_exact": True},
         prep_mid={"sec": 14.3, "docs_in": 47500, "docs_kept": 3487,
                   "docs_per_sec": 3315.6, "splits": {"train": 3122}},
         timings=queries,
@@ -208,9 +214,11 @@ def test_bench_tail_survives_driver_truncation():
         assert f'"{name}"' in tail, f"{name} truncated out of the tail"
     assert '"value"' in tail and '"tx_per_sec_steady"' in tail
     assert '"prep_pipeline_15k"' in tail
+    assert '"receipts_per_sec_steady"' in tail  # the stream_15k gate signal
     # and the parsed dict's LAST keys are exactly the comparison tail
-    assert list(out)[-4:] == [
-        "merge_pipeline_15k", "prep_pipeline_15k", "queries", "value"
+    assert list(out)[-5:] == [
+        "stream_pipeline_15k", "merge_pipeline_15k", "prep_pipeline_15k",
+        "queries", "value",
     ]
 
 
@@ -234,6 +242,7 @@ def test_sweep_all_tier_lists_are_registry_names():
 #: (bench.py's REF_* constants derive from these; see its docstrings)
 CAL_MERGE_15K_STEADY = 9007.7
 CAL_PREP_DOCS_S = 3315.6
+CAL_STREAM_15K_STEADY = 1228.8  # r13 warm-drain calibration (bench.py note)
 
 
 def _degraded(bench, data: dict, factor: float) -> dict:
@@ -263,6 +272,17 @@ def _degraded(bench, data: dict, factor: float) -> dict:
         docs_in=max((d.get("prep_pipeline_15k") or {}).get("docs_in", 0),
                     15_000),
     )
+    d["stream_pipeline_15k"] = dict(
+        d.get("stream_pipeline_15k") or {},
+        receipts_per_sec_steady=round(CAL_STREAM_15K_STEADY / factor, 1),
+    )
+    # serve-only ANN ceilings are 3× warm calibration — synthesize each
+    # serve_sec from its own ceiling so the fire threshold is exactly
+    # factor > 3 regardless of per-rung calibration drift
+    d["pretrained_serve"] = {
+        name: {"build_sec": 5.0, "serve_sec": round(c / 3.0 * factor, 2)}
+        for name, c in bench.PRETRAINED_SERVE_CEILING_SEC.items()
+    }
     d["queries"] = {
         name: round(ceiling / 1.6 * factor, 3)
         for name, ceiling in bench.REF_QUERY_CEILING_SEC.items()
@@ -328,9 +348,17 @@ def test_throughput_floor_gates():
     degraded = bench.check_throughput_gates(_degraded(bench, data, 1.3))
     assert any("merge_15k" in v for v in degraded), degraded
     assert any("prep " in v for v in degraded), degraded
+    assert any("stream_15k" in v for v in degraded), degraded
     if bench.REF_QUERY_CEILING_SEC:
         badly = bench.check_throughput_gates(_degraded(bench, data, 2.5))
         assert any("median" in v for v in badly), badly
+    # the pretrained serve-only ceilings (3× warm calibration) fire on a
+    # >3× serving regression — e.g. an Exchange reintroduced on the
+    # probe side — and stay quiet at 2.5×
+    worse = bench.check_throughput_gates(_degraded(bench, data, 3.5))
+    assert any(" serve " in v for v in worse), worse
+    calm = bench.check_throughput_gates(_degraded(bench, data, 1.0))
+    assert not any(" serve " in v for v in calm), calm
 
 
 @pytest.mark.sweep
@@ -355,3 +383,66 @@ def test_merge_stress_harness_small_scale():
     assert r["n_receipts"] == sum(1 + i % 3 for i in range(20000))
     assert r["plan_ops"].get("CartesianProduct", 0) == 0
     assert r["plan_ops"].get("BroadcastNestedLoopJoin", 0) == 0
+
+
+@pytest.mark.sweep
+def test_stream_stress_harness_small_scale():
+    """The streaming-collector stress harness (r12 verdict #1) is
+    CI-checked at a small scale: mid-run kill + checkpoint restart
+    through the LIVE two-query topology, then the exactly-once ledger —
+    sourcelog exact via the file-sink commit log, transactions DISTINCT
+    exact (foreachBatch is at-least-once by design; duplicates are
+    counted, never hidden), trash exact per distinct garbage payload —
+    and the watermarked stream-stream inclusion join emitting every
+    left-outer row exactly once. The committed full run is
+    STREAM_STRESS_r13.json at 990k receipts; this keeps the harness
+    honest between full runs."""
+    import json
+
+    out_json = "/tmp/spark_graft_stream_stress_selftest.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "stream_stress.py"),
+         "2000", out_json, "--inclusion"],
+        cwd=REPO, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    with open(out_json) as f:
+        r = json.load(f)
+    col = r["collector"]
+    assert col["pass"] and r["inclusion_join"]["pass"] and r["pass"]
+    assert col["sourcelog_exact"] and col["transactions_distinct_exact"]
+    assert col["trash_distinct_exact"]
+    # the kill genuinely landed mid-run, not after the drain finished
+    assert 0 < col["rows_seen_at_kill"] < col["n_receipts"]
+    assert r["inclusion_join"]["exactly_once"]
+
+
+def test_sweep_all_disk_projection_and_refusal():
+    """Disk awareness (r12 verdict #5 — the 40 M-receipt merge tier
+    peaked ~58 GB of ~80 GB free with nothing managing it): sweep_all
+    projects each tier's footprint from the base fixtures, refuses a
+    tier that does not fit in free − margin, and admits one that does.
+    Pure-logic check — no disk is filled."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sweep_all
+
+    proj = sweep_all.tier_projection("10")
+    # derived-tier projection scales documents+embeddings by the factor
+    # and carries the scratch allowance — it is never zero even when the
+    # corpus is cached (the ORACLE scratch is per-run, not per-build)
+    assert proj["projected_bytes"] > 0
+    if not proj.get("corpus_cached"):
+        assert proj["corpus_bytes"] > 0
+
+    # plenty of headroom → admitted
+    assert sweep_all.check_headroom(proj, free_bytes=10**12) is None
+    # not enough for the projection + floor margin → refused, loudly
+    msg = sweep_all.check_headroom(
+        proj, free_bytes=proj["projected_bytes"] + sweep_all.FLOOR_MARGIN - 1
+    )
+    assert msg is not None and "refusing to start" in msg
+    # standard tiers only need the floor margin
+    std = sweep_all.tier_projection("0.1")
+    assert std["projected_bytes"] == 0
+    assert sweep_all.check_headroom(std, free_bytes=sweep_all.FLOOR_MARGIN) is None
+    assert sweep_all.check_headroom(std, free_bytes=0) is not None

@@ -205,6 +205,54 @@ class _ProgressTap:
         }
 
 
+def drain_collector(
+    spark, base: str, counts: dict, max_files_per_trigger: int = 16,
+) -> dict:
+    """Single availableNow drain through the live topology, no kill —
+    the bench's streaming-throughput measurement (mirrors _bench_merge's
+    n=15000 tier; the kill/restart semantics live in replay_collector
+    and the committed STREAM_STRESS artifact). Sinks and checkpoint are
+    recreated fresh so every call measures a full cold replay."""
+    from mempool_dumpster_spark.streaming.collector import (
+        file_stream_source,
+        start_collector,
+    )
+
+    out_dir = os.path.join(base, "bench_out")
+    ckpt = os.path.join(base, "bench_ckpt")
+    for d in (out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    tap = _ProgressTap()
+    t0 = time.time()
+    qs = start_collector(
+        file_stream_source(spark, os.path.join(base, "in"),
+                           max_files_per_trigger),
+        out_dir=out_dir,
+        checkpoint_dir=ckpt,
+        trigger_available_now=True,
+    )
+    qs.await_all()
+    wall = round(time.time() - t0, 2)
+    tap.sweep(qs.transactions)
+    tx_distinct = (
+        spark.read.schema("timestamp_ms long, hash string, raw_tx string")
+        .csv(f"{out_dir}/transactions")
+        .select("hash")
+        .distinct()
+        .count()
+    )
+    s = tap.summary()
+    return {
+        "n_receipts": counts["receipts"],
+        "wall_sec": wall,
+        "receipts_per_sec_wall": round(counts["receipts"] / wall, 1),
+        "receipts_per_sec_steady": s["steady_rows_per_sec"],
+        "n_batches": s["n_batches"],
+        "state_rows_peak": s["state_rows_peak"],
+        "unique_exact": tx_distinct == counts["valid_unique"],
+    }
+
+
 def replay_collector(
     spark, base: str, counts: dict, kill_frac: float = 0.45,
     max_files_per_trigger: int = 12,

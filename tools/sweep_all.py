@@ -2,8 +2,10 @@
 r10 #6): the two standard-scale full-registry sweeps PLUS the derived
 stress tiers, including corpus generation — nothing manual left.
 
-    python tools/sweep_all.py r12                 # sf0.01 + sf0.1 + 10x
-    python tools/sweep_all.py r12 --tiers 0.01,0.1,1,10   # + the 100x tier
+    python tools/sweep_all.py r13                 # sf0.01 + sf0.1 + 10x
+    python tools/sweep_all.py r13 --tiers 0.01,0.1,1,10   # + the 100x tier
+    python tools/sweep_all.py r13 --dry-run       # print disk projections only
+    python tools/sweep_all.py r13 --keep          # leave derived corpora
 
 Tiers (artifact name → what runs):
   0.01  SELFCHECK_<tag>_sf0.01.json — full registry vs DuckDB at sf0.01
@@ -21,6 +23,15 @@ Tiers (artifact name → what runs):
         its string-rebuild oracle exhausts DuckDB at 100×, which is why
         the digest twin exists and stays exact).
 
+Disk awareness (r12 verdict #5 — the 40 M-receipt merge tier showed disk
+is now the binding constraint): before each tier this prints the free-
+bytes headroom and a projected footprint (derived corpus bytes scaled
+from the base fixtures + a scratch allowance for the DuckDB oracle and
+Spark local dirs), REFUSES to start a tier whose projection exceeds
+free − margin, and — unless --keep — removes the derived corpora it
+created (never ones that already existed; a re-run reusing a cached
+corpus leaves it alone). --dry-run prints the projections and exits.
+
 Each tier is an isolated subprocess (fresh Spark session, fresh DuckDB),
 exactly as the driver and the pytest sweep gates run them. Exit is
 nonzero on the first failing tier; artifacts land in the repo root.
@@ -30,6 +41,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -39,18 +51,87 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 from test_sweep import STRESS_QUERIES  # noqa: E402  (single source of truth)
 
-#: the 100×-tier set (r10; SELFCHECK_r10_sf10): every entry whose DuckDB
-#: oracle still terminates on the 500k-doc corpus, plus the rows-only
-#: riders whose Spark side must survive the scale. docs_bpe_encode is
-#: forced rows-only HERE (not in the registry): the instance-level
-#: string-rebuild oracle is the part that dies at 100×, the Spark side
-#: is fine — and its digest twin stays exact as the hash evidence.
+#: the 100×-tier set: every entry whose DuckDB oracle still terminates on
+#: the 500k-doc corpus, plus the rows-only riders whose Spark side must
+#: survive the scale. docs_bpe_encode is forced rows-only HERE (not in
+#: the registry): the instance-level string-rebuild oracle is the part
+#: that dies at 100×, the Spark side is fine — and its digest twin stays
+#: exact as the hash evidence. r13 (r12 verdict #6) adds the five
+#: corpus-scale operators whose oracles are linear in the corpus:
+#: span-strip, decontaminate, incremental dedup, novelty, contamination
+#: report.
 SF10_QUERIES = [
     "docs_boilerplate", "docs_bpe_encode", "docs_bpe_encode_digest",
-    "docs_dsir_sample", "docs_langid", "docs_nb_classify",
-    "docs_ngram_lm_score", "docs_soft_dedup_weights",
+    "docs_contamination_report", "docs_decontaminate",
+    "docs_dsir_sample", "docs_dup_span_strip", "docs_incremental_dedup",
+    "docs_langid", "docs_nb_classify",
+    "docs_ngram_lm_score", "docs_ngram_novelty", "docs_soft_dedup_weights",
     "docs_wordpiece_encode", "emb_knn_bq", "emb_knn_ivf", "emb_knn_sq8",
 ]
+
+#: scratch allowance per derived-corpus tier, as a multiple of the
+#: projected corpus bytes: the DuckDB oracle materializes shingle
+#: self-joins and Spark spills shuffle locally — observed peak scratch
+#: on the sf10 tier is well under 20× the ~100 MB corpus, so 20× is the
+#: refuse-early cushion.
+SCRATCH_MULTIPLE = 20
+#: absolute floor margin left free no matter what (bytes) — one
+#: oversized run away from ENOSPC mid-sweep is exactly the failure mode
+#: this exists to prevent (SCALE.md: the 40 M merge tier peaked ~58 GB
+#: of ~80 GB free).
+FLOOR_MARGIN = 5 * 1024**3
+
+BASE_SF = "/root/testdata/sf0.1"
+DERIVED = {"1": ("/tmp/spark_graft_sf1", 10), "10": ("/tmp/spark_graft_sf10", 100)}
+
+
+def tier_projection(tier: str, base_sf: str = BASE_SF) -> dict:
+    """Projected disk footprint for a tier, in bytes. Standard tiers
+    (0.01/0.1) read committed fixtures and only need oracle scratch;
+    derived tiers add factor× the base documents+embeddings plus the
+    copied side tables (tools/stressgen.py's layout)."""
+    if tier not in DERIVED:
+        # committed fixtures, oracle scratch only — the floor margin in
+        # check_headroom is the whole requirement
+        return {"tier": tier, "corpus_bytes": 0, "projected_bytes": 0}
+    out, factor = DERIVED[tier]
+    scaled = sum(
+        os.path.getsize(os.path.join(base_sf, f"{t}.parquet"))
+        for t in ("documents", "embeddings")
+        if os.path.exists(os.path.join(base_sf, f"{t}.parquet"))
+    )
+    copied = sum(
+        os.path.getsize(os.path.join(base_sf, f))
+        for f in os.listdir(base_sf)
+        if f.endswith(".parquet")
+        and not f.startswith(("documents", "embeddings"))
+    )
+    corpus = scaled * factor + copied
+    already = os.path.exists(os.path.join(out, "documents.parquet"))
+    return {
+        "tier": tier,
+        "corpus_bytes": 0 if already else corpus,
+        "projected_bytes": (0 if already else corpus)
+        + corpus * SCRATCH_MULTIPLE,
+        "corpus_cached": already,
+        "out": out,
+    }
+
+
+def check_headroom(projection: dict, free_bytes: int,
+                   floor_margin: int = FLOOR_MARGIN) -> str | None:
+    """None if the tier fits, else the refusal message. Pure logic so
+    the test can exercise the refusal without filling a disk."""
+    need = projection["projected_bytes"] + floor_margin
+    if free_bytes < need:
+        return (
+            f"tier {projection['tier']}: projected footprint "
+            f"{projection['projected_bytes'] / 1e9:.1f} GB + "
+            f"{floor_margin / 1e9:.1f} GB margin exceeds free "
+            f"{free_bytes / 1e9:.1f} GB — refusing to start "
+            f"(free space up or run with a smaller tier set)"
+        )
+    return None
 
 
 def _run(cmd: list[str], env: dict | None = None, timeout: int = 7200) -> None:
@@ -69,11 +150,12 @@ def _run(cmd: list[str], env: dict | None = None, timeout: int = 7200) -> None:
         )
 
 
-def _ensure_corpus(out: str, factor: str) -> None:
+def _ensure_corpus(out: str, factor: str, created: list[str]) -> None:
     if os.path.exists(os.path.join(out, "documents.parquet")):
         return
+    created.append(out)
     _run([sys.executable, os.path.join(REPO, "tools", "stressgen.py"),
-          "/root/testdata/sf0.1", out, factor], timeout=3600)
+          BASE_SF, out, factor], timeout=3600)
 
 
 def _selfcheck(sf_dir: str, artifact: str, names: list[str] | None = None,
@@ -90,11 +172,21 @@ def _selfcheck(sf_dir: str, artifact: str, names: list[str] | None = None,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("tag", help="artifact tag, e.g. r12")
+    ap.add_argument("tag", help="artifact tag, e.g. r13")
     ap.add_argument(
         "--tiers", default="0.01,0.1,1",
         help="comma list from {0.01, 0.1, 1, 10}; the 100× tier (10) is "
         "opt-in — it takes ~25 min of DuckDB oracle time alone",
+    )
+    ap.add_argument(
+        "--keep", action="store_true",
+        help="leave derived corpora this run created under /tmp "
+        "(default: clean them after a fully-green sweep; corpora that "
+        "already existed are never touched)",
+    )
+    ap.add_argument(
+        "--dry-run", action="store_true",
+        help="print per-tier disk projections and exit without running",
     )
     args = ap.parse_args()
     tiers = [t.strip() for t in args.tiers.split(",") if t.strip()]
@@ -102,25 +194,52 @@ def main() -> int:
     if bad:
         raise SystemExit(f"unknown tiers: {bad}")
 
+    for tier in tiers:
+        proj = tier_projection(tier)
+        free = shutil.disk_usage("/tmp").free
+        print(
+            f"tier {tier}: free {free / 1e9:.1f} GB, projected "
+            f"{proj['projected_bytes'] / 1e9:.2f} GB"
+            + (" (corpus cached)" if proj.get("corpus_cached") else ""),
+            flush=True,
+        )
+        refusal = check_headroom(proj, free)
+        if refusal:
+            raise SystemExit(refusal)
+    if args.dry_run:
+        return 0
+
+    created: list[str] = []
     t0 = time.time()
     for tier in tiers:
+        refusal = check_headroom(
+            tier_projection(tier), shutil.disk_usage("/tmp").free
+        )
+        if refusal:
+            raise SystemExit(refusal)
         if tier in ("0.01", "0.1"):
             _selfcheck(
                 f"/root/testdata/sf{tier}",
                 f"SELFCHECK_{args.tag}_sf{tier}.json",
             )
         elif tier == "1":
-            out = "/tmp/spark_graft_sf1"
-            _ensure_corpus(out, "10")
+            out, _f = DERIVED[tier]
+            _ensure_corpus(out, "10", created)
             _selfcheck(out, f"SELFCHECK_{args.tag}_sf1.json",
                        names=STRESS_QUERIES,
                        rows_only="emb_semantic_dedup")
         else:  # "10"
-            out = "/tmp/spark_graft_sf10"
-            _ensure_corpus(out, "100")
+            out, _f = DERIVED[tier]
+            _ensure_corpus(out, "100", created)
             _selfcheck(out, f"SELFCHECK_{args.tag}_sf10.json",
                        names=SF10_QUERIES,
                        rows_only="docs_bpe_encode")
+    if not args.keep:
+        for out in created:
+            shutil.rmtree(out, ignore_errors=True)
+            print(f"cleaned derived corpus {out}", flush=True)
+    elif created:
+        print(f"kept derived corpora: {', '.join(created)}", flush=True)
     print(f"all tiers green in {time.time() - t0:.0f}s")
     return 0
 
