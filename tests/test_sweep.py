@@ -446,3 +446,32 @@ def test_sweep_all_disk_projection_and_refusal():
     assert std["projected_bytes"] == 0
     assert sweep_all.check_headroom(std, free_bytes=sweep_all.FLOOR_MARGIN) is None
     assert sweep_all.check_headroom(std, free_bytes=0) is not None
+
+
+@pytest.mark.sweep
+def test_ann_recall_100x_floors():
+    """ANN recall at the 100× vector tier (r12 verdict #3): the
+    committed 0.967/0.933 recalls are measured at ≤20k vectors, but IVF
+    cell occupancy and BQ's 1-bit Hamming resolution interact with
+    corpus size. tools/ann_recall_100x.py measures every rung's
+    registry parameters against exact ground truth at 200k vectors and
+    enforces its floors (≥0.9 for the exact-re-rank quantized rungs);
+    this gate runs the tool end-to-end so a collapse at scale fails the
+    sweep, not just a future reader of the artifact."""
+    import json
+
+    out_json = "/tmp/spark_graft_ann_recall_100x_selftest.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "ann_recall_100x.py"),
+         out_json],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    assert proc.returncode == 0, (
+        f"exit {proc.returncode}\nstdout tail:\n"
+        f"{chr(10).join(proc.stdout.splitlines()[-10:])}\nstderr tail:\n"
+        f"{chr(10).join(proc.stderr.splitlines()[-10:])}"
+    )
+    with open(out_json) as f:
+        r = json.load(f)
+    assert r["pass"] and not r["violations"], r["violations"]
+    assert r["n_vectors"] >= 200_000

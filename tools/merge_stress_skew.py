@@ -197,40 +197,85 @@ def _stage_task_ratios(ui_port: int, top_n: int = 8) -> list[dict]:
 def control_skew_join(spark, base: str) -> dict:
     """The naive receipt-level join (no pre-aggregation) — the plan the
     skew-join machinery exists for. Asserts AQE actually split the hot
-    partition (isSkew=true in the executed AQEShuffleRead) and the row
-    count is exact: every receipt of a known tx joins once."""
+    partition (`SortMergeJoin(skew=true)` + a `skewed` AQEShuffleRead in
+    the FINAL adaptive plan) and the aggregate over the join is exact.
+
+    The control is the classic enrichment query a user of the merged
+    archive writes: every RECEIPT joined to the merged transaction
+    table on hash (receipts ⋈ transactions.parquet). Both sides are
+    plain scans, so both SMJ children are ENSURE_REQUIREMENTS shuffle
+    stages — the shape OptimizeSkewedJoin requires (a pre-aggregated
+    side satisfies the join's distribution itself, leaves no shuffle
+    stage to split, and the rule correctly skips it — which is also why
+    the SHIPPING pipeline never needs the rule).
+
+    Two pins that keep the demonstration honest rather than rigged:
+    - SMJ is forced (autoBroadcastJoinThreshold=-1) because the skew
+      split only exists for shuffle joins — at production row counts
+      (6.7 M unique txs ≈ hundreds of MB of build side) no broadcast
+      would happen anyway; the override only matters for small smoke
+      runs, where a broadcast join would sidestep the mechanism being
+      demonstrated (broadcast IS the other skew answer).
+    - the BYTE thresholds are scaled to this tier (4 MB vs the stock
+      256 MB/64 MB) because shuffle partition sizes are COMPRESSED
+      bytes and the hot key's repeated 66-byte hash compresses ~10×;
+      the skewedPartitionFactor (5×, the shape test) stays at its
+      default. At the 100 TB operating point the same hot key is tens
+      of GB compressed and the STOCK thresholds fire.
+    """
     from pyspark.sql import functions as F
 
-    shards = sorted(f for f in os.listdir(base) if f.startswith("txs_"))
-    tx_paths = [os.path.join(base, f) for f in shards]
-    sl_paths = [os.path.join(base, f.replace("txs_", "sourcelog_"))
-                for f in shards]
-    txs = (
-        spark.read.schema("timestamp_ms long, hash string, raw_tx string")
-        .csv(tx_paths)
-        .groupBy("hash")
-        .agg(F.min("timestamp_ms").alias("first_ms"))
-    )
-    receipts = spark.read.schema(
-        "timestamp_ms long, hash string, source string"
-    ).csv(sl_paths)
-    # receipt-level SMJ on hash: the 2 M-receipt keys put ~350 MB in one
-    # shuffle partition vs ~50 MB median — over the DEFAULT 256 MB / 5×
-    # AQE skew thresholds, so the split must fire with stock settings
-    joined = receipts.join(txs, "hash").filter(
-        F.col("timestamp_ms") >= F.col("first_ms")
-    )
-    t0 = time.time()
-    n = joined.count()
-    sec = round(time.time() - t0, 1)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    skew_marks = plan.count("isSkew=true")
-    return {
-        "rows": n,
-        "sec": sec,
-        "aqe_skew_splits_in_plan": skew_marks,
-        "aqe_skew_fired": skew_marks > 0,
+    shards = sorted(f for f in os.listdir(base) if f.startswith("sourcelog_"))
+    sl_paths = [os.path.join(base, f) for f in shards]
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4MB",
     }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        receipts = spark.read.schema(
+            "timestamp_ms long, hash string, source string"
+        ).csv(sl_paths)
+        merged = spark.read.parquet(
+            os.path.join(base, "out", "transactions.parquet")
+        ).select("hash", "txType", "to")
+        # the aggregate reads ts+to so column pruning cannot strip the
+        # shuffle down to the (perfectly compressible) hot hash alone
+        joined = (
+            receipts.join(merged, "hash")
+            .groupBy()
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum("timestamp_ms").alias("ts_sum"),
+                F.sum(F.length("to")).alias("to_bytes"),
+            )
+        )
+        t0 = time.time()
+        row = joined.collect()[0]
+        sec = round(time.time() - t0, 1)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        skew_joins = final.count("skew=true")
+        skew_reads = sum(
+            1 for ln in final.splitlines()
+            if "AQEShuffleRead" in ln and "skewed" in ln
+        )
+        return {
+            "rows": row["rows"],
+            "sec": sec,
+            "smj_skew_true": skew_joins,
+            "skewed_shuffle_reads": skew_reads,
+            "aqe_skew_fired": skew_joins > 0 and skew_reads > 0,
+        }
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def main() -> int:
@@ -279,6 +324,7 @@ def main() -> int:
     shuffle = _shuffle_stats(ui_port)
 
     control = control_skew_join(spark, base)
+    control["rows_exact"] = control["rows"] == n_receipts
 
     # a straggler from key skew shows as max >> median on a heavy stage;
     # 8× bounds healthy variance (stragglers from a 2M-row key would
@@ -315,6 +361,7 @@ def main() -> int:
         and report["plan_ops_uniform_tier_match"]
         and report["straggler_free"]
         and control["aqe_skew_fired"]
+        and control["rows_exact"]
     )
     print(json.dumps(report))
     if out_json:
