@@ -351,10 +351,19 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the codes, then the refine·k shortlist re-ranks by exact cosine. "
     "Codebook training is DECIMAL-exact Lloyd (bit-identical for any "
     "partitioning, md5 init at the data's 1/√dim scale — no RNG). "
+    "refine=32 (r13, was 8): on a near-dup-heavy corpus — the 100 TB "
+    "norm, and exactly what the 200k-vector stress embeddings model — "
+    "clusters of near-identical vectors quantize to IDENTICAL codes, "
+    "the ADC prescore ties ~100-way at the top, and a refine·k=24 "
+    "shortlist cannot contain the tie (measured recall@3 collapsed "
+    "0.967→0.6 at 200k vectors, ANN_RECALL_100X_r13). Oversampling is "
+    "the production answer (it is why BQ always ran refine=32): "
+    "refine=32 restores 1.0 at 200k, and the re-rank still touches "
+    "only refine·k·|Q| vectors. "
     "Measured recall@3 = 0.967 vs emb_knn on the driver's sf0.01 "
     "embeddings (the isotropic worst case; asserted in "
     "tests/test_ml.py::test_pq_ann_recall_on_testdata and republished "
-    "by bench.py).",
+    "by bench.py) and 1.0 at the 200k-vector tier.",
 )
 def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mempool_dumpster_spark.ml.similarity import pq_topk
@@ -362,7 +371,7 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(
-        emb, queries, k=3, dim=64, m=16, k_codes=32, refine=8, n_iters=5
+        emb, queries, k=3, dim=64, m=16, k_codes=32, refine=32, n_iters=5
     ).select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
     )
@@ -439,6 +448,9 @@ def emb_knn_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "artifact — no float vectors in the pruned scan), and the refine·k "
     "shortlist re-ranks by exact cosine. Both trainings are "
     "DECIMAL-exact/md5-seeded (bit-stable across partitionings). "
+    "refine=32 (r13, was 8): near-dup clusters quantize to identical "
+    "PQ codes and tie the ADC prescore ~100-way — see emb_knn_pq; "
+    "recall@3 at 200k vectors was 0.6 at refine=8, 1.0 at 32. "
     "Measured recall@3 = 0.967 vs emb_knn on the driver's sf0.01 "
     "embeddings; gated in tests/test_ml.py::"
     "test_ivfpq_ann_recall_on_testdata and republished by bench.py.",
@@ -450,7 +462,7 @@ def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_topk(
         emb, queries, k=3, dim=64, n_cells=16, nprobe=6, n_assign=4,
-        m=16, k_codes=32, refine=8, n_iters=5,
+        m=16, k_codes=32, refine=32, n_iters=5,
     ).select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
     )
@@ -566,7 +578,7 @@ def emb_knn_ivfpq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_topk_pretrained(
         spark, tbl, emb, queries, centroids, codebooks,
-        k=3, dim=64, nprobe=6, refine=8,
+        k=3, dim=64, nprobe=6, refine=32,
     ).select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
     )
