@@ -634,7 +634,7 @@ PREP_MIN_DOCS_IN = 15_000
 #: trigger overhead + the concurrent sourcelog query keep this well
 #: below merge_15k's 9k — the signal is the micro-batch pipeline rate,
 #: not raw parse throughput; the committed 1 M-receipt STREAM_STRESS
-#: run reads 7.3k r/s at 43k-receipt batches, same code). Floor ~0.81×
+#: run reads 7.7k r/s at 44k-receipt batches, same code). Floor ~0.81×
 #: calibration: a 1.3× code slowdown at probe parity fails
 #: (1230/1.3 = 946 < 1000), ambient wobble relaxes via the probe.
 STREAM_15K_STEADY_FLOOR = 1000.0
