@@ -448,6 +448,51 @@ def test_sweep_all_disk_projection_and_refusal():
     assert sweep_all.check_headroom(std, free_bytes=0) is not None
 
 
+def test_sweep_all_chunked_selfcheck_rotates_processes(tmp_path, monkeypatch):
+    """The 100× tier runs its selfcheck in CHUNKS of fresh subprocesses
+    (r13 diagnosis: DuckDB's bundled jemalloc retains purged virtual
+    mappings for the life of the process, so one process running 17
+    heavy oracles exhausts vm.max_map_count — ~65k VMAs — and malloc
+    dies with "bad allocation" at ~8 GB RSS on a ~100 GB-free box; a
+    fresh connection does not help, the retention is process-global).
+    Pins: chunking slices names in order, every chunk runs in its own
+    subprocess with SELFCHECK_APPEND=1, and a stale artifact is removed
+    before the first chunk so append starts clean."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import sweep_all
+
+    calls: list[tuple[list[str], dict]] = []
+    monkeypatch.setattr(
+        sweep_all, "_run", lambda cmd, env=None, timeout=0: calls.append(
+            (cmd, env)
+        )
+    )
+    art = "SELFCHECK_test_chunk.json"
+    stale = os.path.join(sweep_all.REPO, art)
+    with open(stale, "w") as f:
+        f.write("{}")
+    try:
+        names = [f"q{i}" for i in range(10)]
+        sweep_all._selfcheck("/data", art, names=names, rows_only="q3",
+                             chunk=4)
+        assert not os.path.exists(stale), "stale artifact must be removed"
+        assert len(calls) == 3
+        got = [cmd[len(cmd) - len(names[i:i + 4]):]
+               for i, (cmd, _) in zip(range(0, 10, 4), calls)]
+        assert got == [names[0:4], names[4:8], names[8:10]]
+        for cmd, env in calls:
+            assert env["SELFCHECK_APPEND"] == "1"
+            assert env["SELFCHECK_ROWS_ONLY"] == "q3"
+            assert env["SELFCHECK_JSON"].endswith(art)
+        # chunk=0 keeps the single-invocation path, no append
+        calls.clear()
+        sweep_all._selfcheck("/data", art, names=names)
+        assert len(calls) == 1 and "SELFCHECK_APPEND" not in calls[0][1]
+    finally:
+        if os.path.exists(stale):
+            os.remove(stale)
+
+
 @pytest.mark.sweep
 def test_skew_stress_harness_small_scale():
     """The Zipfian-day harness (r12 verdict #2) CI-checked small: the

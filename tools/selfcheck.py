@@ -62,8 +62,19 @@ def main() -> int:
     # oracle-side memory pressure into disk I/O, keeping stress sweeps a
     # test of the ENGINE, not of the oracle harness.
     con.execute("SET temp_directory='/tmp/duckdb_selfcheck_spill'")
+    # 12GB, NOT higher, because the binding constraint is the kernel's
+    # mmap-region table, not RAM: glibc serves DuckDB's buffer-manager
+    # blocks (~389 KiB average, measured) as individual mmap'd VMAs, so
+    # a 24GB pool is ~65k mappings — exactly vm.max_map_count's default
+    # 65,530 — at which point malloc returns NULL and DuckDB dies with
+    # "Out of Memory Error: ... (bad allocation)" DESPITE ~100 GB of
+    # free RAM (diagnosed r13: the 17-entry 100x sweep failed 8 entries
+    # this way; /proc/<pid>/maps read 64,744 anon maps / 24.0 GiB, the
+    # exact pool size). 12GB keeps the map table at ~half the cap with
+    # headroom for Spark/Arrow/Python, and the temp_directory turns the
+    # rest into spill I/O, which is the behavior we want anyway.
     con.execute(
-        f"SET memory_limit='{os.environ.get('SELFCHECK_DUCK_MEM', '24GB')}'"
+        f"SET memory_limit='{os.environ.get('SELFCHECK_DUCK_MEM', '12GB')}'"
     )
     # MATERIALIZE the tables once per connection: a VIEW over
     # read_parquet re-decodes the parquet file on every oracle query,
@@ -187,20 +198,44 @@ def main() -> int:
           + (f" (of {len(qs)} registered)" if only else ""))
     artifact = os.environ.get("SELFCHECK_JSON")
     if artifact:
+        # SELFCHECK_APPEND=1 merges into an existing artifact instead of
+        # overwriting: tools/sweep_all.py runs the heaviest tier in CHUNKS
+        # of fresh subprocesses because DuckDB's bundled jemalloc RETAINS
+        # purged virtual mappings for the life of the process — across
+        # enough heavy oracles the VMA count alone hits the kernel's
+        # vm.max_map_count (default 65,530) and malloc dies with "bad
+        # allocation" at ~8 GB RSS on a ~100 GB-free box (diagnosed r13;
+        # a fresh connection does NOT help, the retention is
+        # process-global). Each chunk re-runs its own entries; merged
+        # meta is recomputed over the union.
+        prior: dict = {}
+        prior_forced: set = set()
+        if os.environ.get("SELFCHECK_APPEND") and os.path.exists(artifact):
+            with open(artifact) as f:
+                prior = json.load(f)
+            prior_forced = set(
+                (prior.get("__meta__") or {}).get("forced_rows_only", [])
+            )
+            prior.pop("__meta__", None)
+        merged = {**prior, **results}
+        all_failures = sorted(
+            k for k, v in merged.items() if v.get("status") == "FAIL"
+        )
+        all_forced = prior_forced | forced_rows_only
         payload = {
             "__meta__": {
                 "sf_dir": sf_dir,
-                "total": n_ran,
+                "total": len(merged),
                 "registered": len(qs),
-                "passing": n_ran - len(failures),
-                "failures": failures,
+                "passing": len(merged) - len(all_failures),
+                "failures": all_failures,
                 **(
-                    {"forced_rows_only": sorted(forced_rows_only)}
-                    if forced_rows_only
+                    {"forced_rows_only": sorted(all_forced)}
+                    if all_forced
                     else {}
                 ),
             },
-            **results,
+            **merged,
         }
         with open(artifact, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)

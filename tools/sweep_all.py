@@ -159,15 +159,34 @@ def _ensure_corpus(out: str, factor: str, created: list[str]) -> None:
 
 
 def _selfcheck(sf_dir: str, artifact: str, names: list[str] | None = None,
-               rows_only: str | None = None) -> None:
+               rows_only: str | None = None, chunk: int = 0) -> None:
+    """Run tools/selfcheck.py over `names` (or the full registry),
+    writing `artifact`. chunk>0 splits `names` into groups of that size,
+    each in a FRESH subprocess appending to the same artifact
+    (SELFCHECK_APPEND): DuckDB's bundled jemalloc retains purged virtual
+    mappings for the life of the process, so one process running many
+    500k-doc oracles exhausts the kernel's vm.max_map_count (~65k VMAs)
+    and malloc fails with RAM to spare — process rotation resets the
+    map table. Diagnosed r13 on the 17-entry 100× tier; a SINGLE heavy
+    oracle (docs_decontaminate's n-gram join churn) retains enough
+    address space to starve the NEXT one, so the stress tier runs
+    chunk=1 — every entry in its own process (each passes in
+    isolation; ~30 s session setup per entry is the price of
+    determinism at this tier)."""
     env = dict(os.environ, SELFCHECK_JSON=os.path.join(REPO, artifact))
     if rows_only:
         env["SELFCHECK_ROWS_ONLY"] = rows_only
-    _run(
-        [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"), sf_dir]
-        + (names or []),
-        env=env,
-    )
+    base = [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"),
+            sf_dir]
+    if not chunk or not names:
+        _run(base + (names or []), env=env)
+        return
+    path = os.path.join(REPO, artifact)
+    if os.path.exists(path):
+        os.remove(path)  # append mode must start from a clean artifact
+    env["SELFCHECK_APPEND"] = "1"
+    for i in range(0, len(names), chunk):
+        _run(base + names[i:i + chunk], env=env)
 
 
 def main() -> int:
@@ -233,7 +252,7 @@ def main() -> int:
             _ensure_corpus(out, "100", created)
             _selfcheck(out, f"SELFCHECK_{args.tag}_sf10.json",
                        names=SF10_QUERIES,
-                       rows_only="docs_bpe_encode")
+                       rows_only="docs_bpe_encode", chunk=1)
     if not args.keep:
         for out in created:
             shutil.rmtree(out, ignore_errors=True)
