@@ -686,7 +686,11 @@ REF_QUERY_CEILING_SEC: dict[str, float] = {
     "hourly_stats": 0.71,
     "value_quantiles": 0.87,
     "docs_exact_dedup": 0.44,
-    "docs_ngram_jaccard": 2.42,
+    # re-based r13 when the band count doubled 16 → 32 (the 100× sweep
+    # caught a threshold-edge pair the 16-band prefilter missed; see
+    # plans/text_queries.py) — warm medians with the new code: 2.05/2.05
+    # on a quiet box; 2.05 × 1.6 ≈ 3.3
+    "docs_ngram_jaccard": 3.3,
     "docs_minhash_lsh_pairs": 1.75,
     "docs_simhash": 1.74,
     "emb_knn": 1.16,

@@ -227,16 +227,23 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Near-dup detection: exact n-gram Jaccard over word-3-gram shingle "
     "sets, computed scale-safe as MinHash-LSH candidates → exact verify. "
     "The oracle is the all-pairs definition; the Spark plan never runs an "
-    "all-pairs join — candidate pairs come from a 16-band LSH equi-join "
+    "all-pairs join — candidate pairs come from a banded LSH equi-join "
     "(shuffle ∝ docs × bands) and the exact intersection is "
-    "size(array_intersect) per candidate row. Banding is r=1/b=16/≥2 "
-    "bands (r9; was b=8): miss probability P[Bin(16,j) < 2] ≈ 3e-5 at "
-    "j=0.57, ~1e-8 at 0.75, vs b=8's 1.3% at 0.57 — the 10× stress sweep "
-    "planted ~900 true pairs at j≈0.57 and b=8 measurably missed 14 of "
-    "them (SELFCHECK_r09_sf1 caught it; the fix doubled the band count). "
-    "tests/test_ml.py::test_ngram_jaccard_band_assumption still guards "
-    "the residual assumption (no true pairs at the 0.5 threshold edge "
-    "where even 16 bands miss ~2.6e-4 of pairs).",
+    "size(array_intersect) per candidate row. Banding is r=1/b=32/≥2 "
+    "bands. History of the band count, because it is THE scale knob: b=8 "
+    "missed 14 of ~900 planted j≈0.57 pairs at the 10× tier (1.3% "
+    "per-pair miss; SELFCHECK_r09_sf1 caught it, r9 doubled to 16); b=16 "
+    "missed exactly ONE pair — (2220, 20002220), jaccard exactly 0.5 — "
+    "out of 288,293 at the 100× tier (P[Bin(16,0.5) < 2] = 17/2^16 ≈ "
+    "2.6e-4 per edge pair, and 100× the pair volume finally bought a "
+    "miss; r13 doubled to 32). At b=32 the edge-pair miss probability is "
+    "33/2^32 ≈ 7.7e-9 — expected misses < 1e-2 even at a million "
+    "threshold-edge pairs — and the bands shuffle stays ∝ docs. The "
+    "general rule this encodes: per-pair miss falls EXPONENTIALLY in b, "
+    "so exactness at k× the pair volume costs log(k) more bands, not "
+    "more verify work. tests/test_ml.py::test_ngram_jaccard_band_"
+    "assumption guards the residual (driver corpora keep their true "
+    "pairs at ≥0.75, where b=32 misses ~1e-17).",
 )
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -248,8 +255,9 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-bound signature projection over the cache (AQE would coalesce
     # a byte-small shuffle to 1 task otherwise).
     par = spark.sparkContext.defaultParallelism
+    n_bands = 32  # see the registry doc: the exactness-vs-scale knob
     sh = doc_shingles(docs, distinct=False)
-    # ONE aggregate produces the exact shingle set AND the 16 per-band
+    # ONE aggregate produces the exact shingle set AND the per-band
     # minhash keys — there is no separate signature projection stage at
     # all. Two wins over hashing the cached arrays afterwards:
     # - the band keys are prefilter-only (unlike docs_minhash_lsh_pairs,
@@ -270,14 +278,14 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_set("shingle").alias("shs"),
             *[
                 F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
-                for i in range(16)
+                for i in range(n_bands)
             ],
         )
         .select(
             "doc_id",
             "shs",
             F.size("shs").cast("bigint").alias("n_sh"),
-            *[f"m{i}" for i in range(16)],
+            *[f"m{i}" for i in range(n_bands)],
         )
         .cache()
     )
@@ -287,7 +295,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(i).alias("band"), F.col(f"m{i}").alias("key"))
-                    for i in range(16)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bk"),

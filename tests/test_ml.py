@@ -850,16 +850,17 @@ def test_simhash64_candidate_selectivity(spark):
 
 
 def test_ngram_jaccard_band_assumption(spark):
-    """docs_ngram_jaccard's Spark plan prefilters with >=2-of-16 MinHash
-    bands (r9; b=8 before — the 10x stress sweep planted ~900 true pairs
-    at j~0.57 where b=8's miss probability is 1.3% and measurably missed
-    14); a true pair at jaccard j is missed w.p. P[Bin(16, j) < 2] —
-    ~2.6e-4 at j = 0.5, ~3e-5 at 0.57, ~1e-8 at 0.75. The oracle is the
-    exact all-pairs >= 0.5 definition, so oracle equality rests on the
-    corpus having no true pairs pinned to the 0.5 threshold edge. Guard
-    the driver corpora at >= 0.75 as before (where the miss rate is
-    ~1e-8); the stress corpus's j~0.57 band is covered by
-    SELFCHECK_r09_sf1 exact-matching after the b=16 fix."""
+    """docs_ngram_jaccard's Spark plan prefilters with >=2-of-32 MinHash
+    bands (r13; b=16 before, which missed exactly ONE pair — jaccard
+    exactly 0.5 — out of 288,293 at the 100x tier: per-edge-pair miss
+    P[Bin(16,0.5) < 2] = 17/2^16 ~ 2.6e-4, and 100x the pair volume
+    finally bought a miss; b=8 before r9 missed 14 of ~900 planted
+    j~0.57 pairs at 10x). A true pair at jaccard j is missed w.p.
+    P[Bin(b, j) < 2] — at b=32: ~7.7e-9 at the j=0.5 edge, ~1e-17 at
+    0.75. The oracle is the exact all-pairs >= 0.5 definition; guard the
+    driver corpora at >= 0.75 (where misses are astronomically unlikely);
+    the threshold-edge regime is covered by the 100x sweep exact-matching
+    after the b=32 fix (SELFCHECK_r13_sf10)."""
     import os
 
     import duckdb
@@ -880,7 +881,7 @@ def test_ngram_jaccard_band_assumption(spark):
         min_j = min(r[2] for r in rows)
         assert min_j >= 0.75, (
             f"{sf_dir}: true pair at jaccard {min_j:.3f} < 0.75 — the "
-            "2-of-16 band prefilter's miss probability is no longer "
+            "2-of-32 band prefilter's miss probability is no longer "
             "negligible at this corpus's similarity floor"
         )
 

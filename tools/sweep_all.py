@@ -19,9 +19,14 @@ Tiers (artifact name → what runs):
         rows-only (its oracle is the quadratic all-pairs definition).
   10    SELFCHECK_<tag>_sf10.json — the 100×-sf0.1 corpus (500k docs)
         and the SF10_QUERIES subset: the entries whose ORACLES still
-        terminate at that scale (docs_bpe_encode demotes to rows-only —
-        its string-rebuild oracle exhausts DuckDB at 100×, which is why
-        the digest twin exists and stays exact).
+        terminate at that scale. Two honest demotions to rows-only,
+        both oracle-side (the Spark side runs fine and stays checked
+        exact at sf1): docs_bpe_encode — its string-rebuild oracle
+        exhausts DuckDB at 100× (why the digest twin exists and stays
+        exact) — and docs_incremental_dedup (r13) — its signature-
+        chain oracle spills past the machine's free disk (>79 GB) at
+        500k docs. Entries run ONE PER SUBPROCESS here (see
+        _selfcheck's chunk note).
 
 Disk awareness (r12 verdict #5 — the 40 M-receipt merge tier showed disk
 is now the binding constraint): before each tier this prints the free-
@@ -67,6 +72,19 @@ SF10_QUERIES = [
     "docs_langid", "docs_nb_classify",
     "docs_ngram_lm_score", "docs_ngram_novelty", "docs_soft_dedup_weights",
     "docs_wordpiece_encode", "emb_knn_bq", "emb_knn_ivf", "emb_knn_sq8",
+    # r13 widening (enabled by the per-entry process isolation below —
+    # the old single-session form hit the jemalloc VMA ceiling at 17):
+    # the LSH-verified Jaccard near-dup entry plus the linear-oracle
+    # text/selection surface, all exact at this scale.
+    # docs_minhash_lsh_pairs was attempted and EXCLUDED: its oracle
+    # recomputes the full 64-slot signature chain from the shingle
+    # explode and spilled past 53 GB (heading for the disk) at 500k
+    # docs — the same oracle-infeasibility class as the
+    # docs_incremental_dedup demotion; the family keeps 100× coverage
+    # through docs_ngram_jaccard below (candidate-bounded exact verify).
+    "docs_ngram_jaccard", "docs_repetition",
+    "docs_gopher_rules", "docs_redact_pii", "docs_tfidf_terms",
+    "docs_token_stats", "docs_quality_curriculum",
 ]
 
 #: scratch allowance per derived-corpus tier, as a multiple of the
@@ -252,7 +270,8 @@ def main() -> int:
             _ensure_corpus(out, "100", created)
             _selfcheck(out, f"SELFCHECK_{args.tag}_sf10.json",
                        names=SF10_QUERIES,
-                       rows_only="docs_bpe_encode", chunk=1)
+                       rows_only="docs_bpe_encode,docs_incremental_dedup",
+                       chunk=1)
     if not args.keep:
         for out in created:
             shutil.rmtree(out, ignore_errors=True)
