@@ -290,6 +290,41 @@ def _degraded(bench, data: dict, factor: float) -> dict:
     return d
 
 
+def test_calibration_probe_quality_bound():
+    """r13 verdict finding #2: BENCH_r13 ran at probe scale 2.86 (box
+    contention) — valid as a gate INPUT (the scale relaxes floors) but
+    poison as a calibration SOURCE, since ceilings re-based from it
+    would let a genuinely 2×-slower query pass forever. Pins that
+    bench.calibration_eligible rejects a contended artifact and admits
+    a quiet-box one, at exactly the documented 1.3 bound."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def art(probe_mt):
+        return {"env": {"cpu_probe": {"md5_mt_48mb_sec": probe_mt}}}
+
+    # BENCH_r13's actual reading (0.6 → scale 2.86): rejected, loudly
+    ok, reason = bench.calibration_eligible(art(0.6))
+    assert not ok and "contended" in reason, reason
+    # the r12 quiet-box calibration reading (0.222 → scale 1.06): admitted
+    ok, reason = bench.calibration_eligible(art(0.222))
+    assert ok, reason
+    # boundary: exactly at the bound passes, just over fails
+    bound = bench.REF_CPU_PROBE_MT * bench.CALIBRATION_MAX_PROBE_SCALE
+    assert bench.calibration_eligible(art(bound))[0]
+    assert not bench.calibration_eligible(art(bound + 0.01))[0]
+    # a faster-than-reference box is parity, never a tighter gate
+    assert bench.probe_scale(art(0.1)) == 1.0
+    # pre-r12 artifact falls back to the single-core probe
+    legacy = {"env": {"cpu_probe": {"md5_192mb_sec": 0.64}}}
+    assert bench.probe_scale(legacy) == 2.0
+
+
 @pytest.mark.sweep
 def test_throughput_floor_gates():
     """r11 verdict #1 (third time of asking): the OLD gates gated noisy
@@ -461,6 +496,14 @@ def test_sweep_all_chunked_selfcheck_rotates_processes(tmp_path, monkeypatch):
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import sweep_all
 
+    # Isolate from the caller's environment and the live repo root
+    # (advice r13): a leaked SELFCHECK_APPEND/SELFCHECK_ROWS_ONLY makes
+    # the chunk=0 assertions fail spuriously, and the stale-artifact
+    # fixture belongs in tmp_path, not the repo.
+    monkeypatch.delenv("SELFCHECK_APPEND", raising=False)
+    monkeypatch.delenv("SELFCHECK_ROWS_ONLY", raising=False)
+    monkeypatch.setattr(sweep_all, "REPO", str(tmp_path))
+
     calls: list[tuple[list[str], dict]] = []
     monkeypatch.setattr(
         sweep_all, "_run", lambda cmd, env=None, timeout=0: calls.append(
@@ -471,26 +514,22 @@ def test_sweep_all_chunked_selfcheck_rotates_processes(tmp_path, monkeypatch):
     stale = os.path.join(sweep_all.REPO, art)
     with open(stale, "w") as f:
         f.write("{}")
-    try:
-        names = [f"q{i}" for i in range(10)]
-        sweep_all._selfcheck("/data", art, names=names, rows_only="q3",
-                             chunk=4)
-        assert not os.path.exists(stale), "stale artifact must be removed"
-        assert len(calls) == 3
-        got = [cmd[len(cmd) - len(names[i:i + 4]):]
-               for i, (cmd, _) in zip(range(0, 10, 4), calls)]
-        assert got == [names[0:4], names[4:8], names[8:10]]
-        for cmd, env in calls:
-            assert env["SELFCHECK_APPEND"] == "1"
-            assert env["SELFCHECK_ROWS_ONLY"] == "q3"
-            assert env["SELFCHECK_JSON"].endswith(art)
-        # chunk=0 keeps the single-invocation path, no append
-        calls.clear()
-        sweep_all._selfcheck("/data", art, names=names)
-        assert len(calls) == 1 and "SELFCHECK_APPEND" not in calls[0][1]
-    finally:
-        if os.path.exists(stale):
-            os.remove(stale)
+    names = [f"q{i}" for i in range(10)]
+    sweep_all._selfcheck("/data", art, names=names, rows_only="q3",
+                         chunk=4)
+    assert not os.path.exists(stale), "stale artifact must be removed"
+    assert len(calls) == 3
+    got = [cmd[len(cmd) - len(names[i:i + 4]):]
+           for i, (cmd, _) in zip(range(0, 10, 4), calls)]
+    assert got == [names[0:4], names[4:8], names[8:10]]
+    for cmd, env in calls:
+        assert env["SELFCHECK_APPEND"] == "1"
+        assert env["SELFCHECK_ROWS_ONLY"] == "q3"
+        assert env["SELFCHECK_JSON"].endswith(art)
+    # chunk=0 keeps the single-invocation path, no append
+    calls.clear()
+    sweep_all._selfcheck("/data", art, names=names)
+    assert len(calls) == 1 and "SELFCHECK_APPEND" not in calls[0][1]
 
 
 @pytest.mark.sweep

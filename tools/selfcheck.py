@@ -63,16 +63,22 @@ def main() -> int:
     # test of the ENGINE, not of the oracle harness.
     con.execute("SET temp_directory='/tmp/duckdb_selfcheck_spill'")
     # 12GB, NOT higher, because the binding constraint is the kernel's
-    # mmap-region table, not RAM: glibc serves DuckDB's buffer-manager
-    # blocks (~389 KiB average, measured) as individual mmap'd VMAs, so
-    # a 24GB pool is ~65k mappings — exactly vm.max_map_count's default
-    # 65,530 — at which point malloc returns NULL and DuckDB dies with
-    # "Out of Memory Error: ... (bad allocation)" DESPITE ~100 GB of
-    # free RAM (diagnosed r13: the 17-entry 100x sweep failed 8 entries
-    # this way; /proc/<pid>/maps read 64,744 anon maps / 24.0 GiB, the
-    # exact pool size). 12GB keeps the map table at ~half the cap with
-    # headroom for Spark/Arrow/Python, and the temp_directory turns the
-    # rest into spill I/O, which is the behavior we want anyway.
+    # mmap-region table (vm.max_map_count, default 65,530), not RAM:
+    # DuckDB's bundled jemalloc RETAINS purged virtual mappings for the
+    # life of the process (opt.retain), so long-lived heavy-oracle runs
+    # accumulate anon VMAs (~389 KiB average, measured) until the table
+    # fills and malloc returns NULL — DuckDB dies with "Out of Memory
+    # Error: ... (bad allocation)" DESPITE ~100 GB of free RAM
+    # (diagnosed r13: the 17-entry 100x sweep failed 8 entries this
+    # way; /proc/<pid>/maps read 64,744 anon maps / 24.0 GiB). Raising
+    # vm.max_map_count would also work but needs root on every host;
+    # the shipped mitigations are allocation-side instead: 12GB keeps
+    # the mapping count at ~half the cap with headroom for
+    # Spark/Arrow/Python, temp_directory turns the rest into spill I/O
+    # (the behavior we want anyway), and tools/sweep_all.py rotates
+    # fresh subprocesses per chunk since the retention is
+    # process-global (same mechanism, same diagnosis — keep the two
+    # comments in agreement).
     con.execute(
         f"SET memory_limit='{os.environ.get('SELFCHECK_DUCK_MEM', '12GB')}'"
     )
@@ -211,8 +217,18 @@ def main() -> int:
         prior: dict = {}
         prior_forced: set = set()
         if os.environ.get("SELFCHECK_APPEND") and os.path.exists(artifact):
-            with open(artifact) as f:
-                prior = json.load(f)
+            # A chunk killed mid-json.dump leaves a truncated artifact;
+            # without this guard every SUBSEQUENT chunk dies with a raw
+            # JSONDecodeError and the sweep looks like an engine failure.
+            try:
+                with open(artifact) as f:
+                    prior = json.load(f)
+            except json.JSONDecodeError as exc:
+                raise SystemExit(
+                    f"stale/corrupt selfcheck artifact {artifact} "
+                    f"({exc}) — a prior chunk died mid-write; delete the "
+                    "file and rerun the whole tier"
+                )
             prior_forced = set(
                 (prior.get("__meta__") or {}).get("forced_rows_only", [])
             )
@@ -221,7 +237,10 @@ def main() -> int:
         all_failures = sorted(
             k for k, v in merged.items() if v.get("status") == "FAIL"
         )
-        all_forced = prior_forced | forced_rows_only
+        # Intersect with entries actually present: each chunk inherits
+        # the full SELFCHECK_ROWS_ONLY list, so an interrupted sweep
+        # would otherwise record demotions for entries that never ran.
+        all_forced = (prior_forced | forced_rows_only) & set(merged)
         payload = {
             "__meta__": {
                 "sf_dir": sf_dir,
