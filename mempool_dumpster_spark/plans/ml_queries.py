@@ -315,6 +315,45 @@ def docs_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_cluster_heads.unionByName(singletons)
 
 
+def ann_rung_topk(name: str, emb: DataFrame, queries: DataFrame) -> DataFrame:
+    """Single source of truth for the PRODUCTION parameters of every
+    approximate ANN rung, keyed by registry name. The registry entries
+    below and the 100×-scale recall harness (tools/ann_recall_100x.py)
+    both dispatch through here, so the recall artifact measures exactly
+    the parameters users run — a rung whose registry entry drifts from
+    the recall measurement can't exist (r13 verdict finding #1 made the
+    recall artifact the ladder's real guardrail; this keeps it honest).
+    Parameter rationale lives on each registry entry's docstring."""
+    from mempool_dumpster_spark.ml.similarity import (
+        bq_topk,
+        ivfpq_topk,
+        pq_topk,
+        sq8_topk,
+    )
+
+    calls = {
+        "emb_knn_lsh": lambda: lsh_bucketed_topk(
+            emb, queries, k=3, dim=64, n_planes=3, n_tables=12
+        ),
+        "emb_knn_pq": lambda: pq_topk(
+            emb, queries, k=3, dim=64, m=16, k_codes=32, refine=32, n_iters=5
+        ),
+        "emb_knn_sq8": lambda: sq8_topk(emb, queries, k=3, dim=64, refine=8),
+        "emb_knn_bq": lambda: bq_topk(emb, queries, k=3, dim=64, refine=32),
+        "emb_knn_ivfpq": lambda: ivfpq_topk(
+            emb, queries, k=3, dim=64, n_cells=16, nprobe=6, n_assign=4,
+            m=16, k_codes=32, refine=32, n_iters=5,
+        ),
+        "emb_knn_ivf": lambda: ivf_topk(
+            emb, queries, k=3, dim=64, n_cells=16, n_iters=3, nprobe=8,
+            n_assign=3,
+        ),
+    }
+    return calls[name]().select(
+        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    )
+
+
 @register(
     "emb_knn_lsh",
     oracle=None,  # approximate by construction — rows-only check
@@ -333,10 +372,7 @@ def docs_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(emb, queries, k=3, dim=64, n_planes=3, n_tables=12).select(
-        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
-    )
+    return ann_rung_topk("emb_knn_lsh", emb, emb.filter(F.col("vec_id") < 10))
 
 
 @register(
@@ -366,15 +402,8 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by bench.py) and 1.0 at the 200k-vector tier.",
 )
 def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.similarity import pq_topk
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(
-        emb, queries, k=3, dim=64, m=16, k_codes=32, refine=32, n_iters=5
-    ).select(
-        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
-    )
+    return ann_rung_topk("emb_knn_pq", emb, emb.filter(F.col("vec_id") < 10))
 
 
 @register(
@@ -397,13 +426,8 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_ml.py::test_sq8_ann_recall_on_testdata).",
 )
 def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.similarity import sq8_topk
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 10)
-    return sq8_topk(emb, queries, k=3, dim=64, refine=8).select(
-        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
-    )
+    return ann_rung_topk("emb_knn_sq8", emb, emb.filter(F.col("vec_id") < 10))
 
 
 @register(
@@ -427,13 +451,8 @@ def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit_count prescore).",
 )
 def emb_knn_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.similarity import bq_topk
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 10)
-    return bq_topk(emb, queries, k=3, dim=64, refine=32).select(
-        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
-    )
+    return ann_rung_topk("emb_knn_bq", emb, emb.filter(F.col("vec_id") < 10))
 
 
 @register(
@@ -456,16 +475,8 @@ def emb_knn_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test_ivfpq_ann_recall_on_testdata and republished by bench.py.",
 )
 def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.similarity import ivfpq_topk
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivfpq_topk(
-        emb, queries, k=3, dim=64, n_cells=16, nprobe=6, n_assign=4,
-        m=16, k_codes=32, refine=32, n_iters=5,
-    ).select(
-        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
-    )
+    return ann_rung_topk("emb_knn_ivfpq", emb, emb.filter(F.col("vec_id") < 10))
 
 
 @register(
@@ -485,10 +496,7 @@ def emb_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(
-        emb, queries, k=3, dim=64, n_cells=16, n_iters=3, nprobe=8, n_assign=3
-    ).select("query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank")
+    return ann_rung_topk("emb_knn_ivf", emb, emb.filter(F.col("vec_id") < 10))
 
 
 @register(

@@ -1942,3 +1942,44 @@ def docs_source_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs").cast("double") / F.col("total"), 4)
         .alias("pct_r"),
     )
+
+
+@register(
+    "docs_minhash_sig_digest",
+    oracle=f"""
+    WITH sh AS ({DUCK_SHINGLES}),
+    sig AS ({_duck_minhash(8)})
+    SELECT doc_id,
+           md5(m0 || '|' || m1 || '|' || m2 || '|' || m3 || '|' || m4
+               || '|' || m5 || '|' || m6 || '|' || m7) AS sig_digest
+    FROM sig
+    """,
+    overflow=True,  # oracle-checked, but cedes its driver slot: this is
+    # 100x-sweep evidence for docs_minhash_lsh_pairs, which already
+    # holds a slot (slot rotation is pinned in tests/test_plans.py)
+    doc="Scale-proof digest twin of the MinHash signature chain (r13 "
+    "verdict #4, the docs_bpe_encode_digest pattern): one md5 over the "
+    "8 per-doc signature slots in fixed slot order. The pairs entry's "
+    "oracle is infeasible at the 100× tier — its band SELF-JOIN "
+    "recomputes the signature chain per branch and spilled past 53 GB "
+    "at 500k docs — while this oracle is LINEAR in the corpus (one "
+    "shingle explode, 8 min() aggregates, one md5), so the exact-hash "
+    "evidence that the shingle→md5→min signature pipeline is "
+    "bit-identical cross-engine extends to 500k docs. Slot order is a "
+    "fixed column list, not an ordered aggregate, so no engine builds "
+    "a per-doc ordering. Plan shape: the same single digest shuffle as "
+    "the pairs entry's signature stage, no join at all.",
+)
+def docs_minhash_sig_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sig = (
+        doc_shingles(docs, distinct=False)
+        .groupBy("doc_id")
+        .agg(*_minhash_cols(8))
+    )
+    return sig.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws("|", *[F.col(f"m{i}") for i in range(8)])
+        ).alias("sig_digest"),
+    )

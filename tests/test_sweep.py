@@ -589,3 +589,8 @@ def test_ann_recall_100x_floors():
         r = json.load(f)
     assert r["pass"] and not r["violations"], r["violations"]
     assert r["n_vectors"] >= 200_000
+    # r13 verdict finding #1: 30 pairs can't distinguish recall 1.0
+    # from 0.9 — the artifact must carry a statistically meaningful
+    # ground truth drawn from a seeded hash sample, not vec_id < 10
+    assert r["n_ground_truth_pairs"] >= 600, r["n_ground_truth_pairs"]
+    assert "crc32" in r["query_sample"]

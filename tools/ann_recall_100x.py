@@ -1,26 +1,34 @@
-"""ANN recall@3 at the 100× vector tier (r12 verdict #3).
+"""ANN recall@3 at the 100× vector tier, with statistical teeth.
 
 bench.py's standing recall section measures every ANN rung at sf0.01
 (2k vectors); the SELFCHECK sf10 tier runs three rungs at 200k vectors
 but rows-only — no recall number. IVF's fixed cell count (n_cells=16 →
 12.5k vectors/cell at 200k) and BQ's 1-bit Hamming resolution both
-interact with corpus size, so the committed 0.967/0.933 figures must be
-shown not to collapse at 100× the vectors.
+interact with corpus size, so the small-scale recall figures must be
+shown not to collapse at 100× the vectors. r13 proved the point: the
+refine=8 PQ/IVFPQ shortlist read recall@3 = 0.6 here while every
+smaller tier read ≥0.967.
 
-This tool derives the deterministic 100× corpus (tools/stressgen.py —
-the same 200k-vector embeddings the SELFCHECK sf10 tier uses), runs the
-REGISTRY entries themselves (same nprobe/refine/n_cells as every other
-tier — the point is to measure the production parameters at scale, not
-parameters retuned to flatter the number) against the exact emb_knn
-ground truth at the same dir, and writes ANN_RECALL_100X_r{N}.json,
-which bench.py embeds by reference. Floors are asserted here AND in the
-sweep gate (tests/test_sweep.py): ≥0.9 for the exact-re-rank quantized
-rungs (IVF/PQ/IVFPQ/SQ8), a recorded-calibration floor for the 1-bit BQ
-rung and the bucket-recall LSH rung.
+r14 (r13 verdict finding #1): the r13 run used 10 query vectors / 30
+ground-truth pairs — recall 1.0 over 30 pairs is consistent with true
+recall as low as ~0.9 (0.9³⁰ ≈ 4%), and `vec_id < 10` is a
+head-of-corpus probe, not a random one. The query set is now a SEEDED
+HASH SAMPLE of the corpus (crc32(vec_id) ≡ QUERY_RES mod QUERY_MOD →
+~200 queries at 200k vectors, ≥600 ground-truth pairs; the tool
+REFUSES to report on fewer), and every rung dispatches through
+plans.ml_queries.ann_rung_topk — the same production parameters the
+registry entries run, by construction. The exact ground truth is
+ml.similarity.cosine_topk's brute-force broadcast scan (~20× the r13
+cost — a few minutes once per round).
+
+Floors are asserted here AND in the sweep gate (tests/test_sweep.py):
+≥0.9 for the exact-re-rank quantized rungs (IVF/PQ/IVFPQ/SQ8), a
+recorded-calibration floor for the 1-bit BQ rung and the bucket-recall
+LSH rung.
 
 Usage:
     python tools/ann_recall_100x.py [out_json]
-    python tools/ann_recall_100x.py ANN_RECALL_100X_r13.json
+    python tools/ann_recall_100x.py ANN_RECALL_100X_r14.json
 """
 
 from __future__ import annotations
@@ -36,10 +44,25 @@ sys.path.insert(0, REPO)
 
 SF10_DIR = "/tmp/spark_graft_sf10"
 
+#: seeded hash sample defining the query set: vec_ids with
+#: crc32(str(vec_id)) ≡ QUERY_RES (mod QUERY_MOD). At the 200k-vector
+#: tier this admits ~200k/997 ≈ 200 queries spread uniformly over the
+#: id space (exact/near/independent copy strata alike — the stressgen
+#: corpus interleaves them by id). Deterministic, so the artifact is
+#: reproducible; no RNG, so reruns compare.
+QUERY_MOD = 997
+QUERY_RES = 13
+#: refuse to publish a recall number on fewer pairs than this — the
+#: whole point of the r14 rework (30 pairs could not distinguish
+#: recall 1.0 from 0.9; 600 pairs bound true recall ≥ ~0.995 at an
+#: observed 1.0, since 0.995^600 ≈ 5%).
+MIN_GROUND_TRUTH_PAIRS = 600
+
 #: recall@3 floors at 200k vectors. The quantized exact-re-rank rungs
-#: must hold ≥0.9 (verdict #3's bar); LSH/BQ floors are set from the r13
-#: measurement at this tier minus one ground-truth-set quantum (1/30),
-#: so a future collapse fires while measurement-noise does not.
+#: must hold ≥0.9 (the r12 verdict's bar); LSH/BQ floors are set from
+#: the r13 measurement at this tier with one measurement quantum of
+#: slack — now 1/600 rather than 1/30, so the slack is effectively the
+#: documented calibration margin, not noise cover.
 FLOORS = {
     "emb_knn_ivf": 0.90,
     "emb_knn_pq": 0.90,
@@ -63,21 +86,33 @@ def ensure_corpus() -> None:
 
 
 def measure(spark) -> dict:
-    from mempool_dumpster_spark.plans.registry import all_queries
+    from pyspark.sql import functions as F
 
-    qs = all_queries()
+    from mempool_dumpster_spark.ml.similarity import cosine_topk
+    from mempool_dumpster_spark.plans.ml_queries import ann_rung_topk
+
+    emb = spark.read.parquet(os.path.join(SF10_DIR, "embeddings.parquet"))
+    queries = emb.filter(
+        F.crc32(F.col("vec_id").cast("string")) % QUERY_MOD == QUERY_RES
+    ).cache()
+    n_queries = queries.count()
+
     t0 = time.time()
     exact = {
         (r["query_id"], r["neighbor_id"])
-        for r in qs["emb_knn"](spark, SF10_DIR).collect()
+        for r in cosine_topk(emb, queries, k=3).collect()
     }
     exact_sec = round(time.time() - t0, 1)
-    if not exact:
-        raise SystemExit("exact ground truth came back empty")
+    if len(exact) < MIN_GROUND_TRUTH_PAIRS:
+        raise SystemExit(
+            f"ground truth has {len(exact)} pairs < required "
+            f"{MIN_GROUND_TRUTH_PAIRS} — the recall number would have no "
+            "statistical teeth; widen the query sample"
+        )
     out: dict = {
-        "n_vectors": spark.read.parquet(
-            os.path.join(SF10_DIR, "embeddings.parquet")
-        ).count(),
+        "n_vectors": emb.count(),
+        "n_queries": n_queries,
+        "query_sample": f"crc32(vec_id) % {QUERY_MOD} == {QUERY_RES}",
         "n_ground_truth_pairs": len(exact),
         "exact_sec": exact_sec,
         "recall_at3": {},
@@ -87,10 +122,11 @@ def measure(spark) -> dict:
         t1 = time.time()
         approx = {
             (r["query_id"], r["neighbor_id"])
-            for r in qs[name](spark, SF10_DIR).collect()
+            for r in ann_rung_topk(name, emb, queries).collect()
         }
-        out["recall_at3"][name] = round(len(exact & approx) / len(exact), 3)
+        out["recall_at3"][name] = round(len(exact & approx) / len(exact), 4)
         out["rung_sec"][name] = round(time.time() - t1, 1)
+    queries.unpersist()
     return out
 
 

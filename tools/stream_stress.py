@@ -128,14 +128,23 @@ def _gen_shard(args: tuple[int, int, int, str, int, int]) -> dict:
     return counts
 
 
-def generate(n_unique: int, base: str, procs: int, parts: int = 8) -> dict:
+def generate(
+    n_unique: int, base: str, procs: int, parts: int = 8,
+    span_days: int = 1,
+) -> dict:
+    """span_days stretches the EVENT-TIME span while keeping the
+    arrival RATE fixed (step_ms depends only on n_unique/span_days):
+    a 3-day replay at the same rate has the same 30-min dedup working
+    set but 3× the total receipts — the shape the TTL-plateau check
+    needs (a state leak grows with total, a healthy TTL with the
+    window)."""
     marker = os.path.join(base, "_DONE")
     if os.path.exists(marker):
         with open(marker) as f:
             return json.load(f)
     for sub in ("in", "blocks"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
-    step_ms = max(1, DAY_MS // max(n_unique, 1))
+    step_ms = max(1, span_days * DAY_MS // max(n_unique, 1))
     step = (n_unique + procs - 1) // procs
     jobs = [
         (w, w * step, min((w + 1) * step, n_unique), base, step_ms, parts)
@@ -363,28 +372,41 @@ def _link_tree(src: str, dst: str) -> None:
 
 
 def replay_inclusion(
-    spark, base: str, counts: dict, max_files_per_trigger: int = 12
+    spark, base: str, counts: dict, max_files_per_trigger: int = 12,
+    tag: str = "", state_store: str | None = None,
 ) -> dict:
     """Watermarked stream-stream inclusion join at replay scale
     (verdict r12 #7): every receipt of an included tx joins its block
     row exactly once; every receipt of a not-included tx emits its
     left-outer row exactly once AFTER the watermark closes its window.
     The parquet sink's _spark_metadata commit log makes the read-back
-    exactly-once, so row counts are hard assertions, not estimates."""
+    exactly-once, so row counts are hard assertions, not estimates.
+
+    state_store="rocksdb" (r13 verdict #3) runs the same leg under the
+    RocksDB provider — the scale-safe backend for this operator's
+    314.8 MB/1M-day heap state — set via session conf for THIS leg's
+    fresh checkpoint only (the provider is fixed per checkpoint, so
+    the tag keeps the two legs' checkpoints separate)."""
     from pyspark.sql import functions as F
 
     from mempool_dumpster_spark.functions.rlp_udf import tx_hash_udf
+    from mempool_dumpster_spark.session import ROCKSDB_STATE_STORE_PROVIDER
     from mempool_dumpster_spark.streaming.collector import file_stream_source
     from mempool_dumpster_spark.streaming.inclusion import stream_inclusion_join
 
-    tx_dir = os.path.join(base, "incl_tx")
-    bl_dir = os.path.join(base, "incl_blocks")
+    tx_dir = os.path.join(base, f"incl_tx{tag}")
+    bl_dir = os.path.join(base, f"incl_blocks{tag}")
     _link_tree(os.path.join(base, "in"), tx_dir)
     _link_tree(os.path.join(base, "blocks"), bl_dir)
-    out = os.path.join(base, "incl_out")
-    ckpt = os.path.join(base, "incl_ckpt")
+    out = os.path.join(base, f"incl_out{tag}")
+    ckpt = os.path.join(base, f"incl_ckpt{tag}")
     for d in (out, ckpt):
         shutil.rmtree(d, ignore_errors=True)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    if state_store == "rocksdb":
+        spark.conf.set(conf_key, ROCKSDB_STATE_STORE_PROVIDER)
 
     n_unique = counts["n_unique"]
     last_ms = T0_MS + (n_unique - 1) * counts["step_ms"]
@@ -431,17 +453,25 @@ def replay_inclusion(
         tap.sweep(q)
 
     t0 = time.time()
-    drain()
-    # Two sentinel waves: wave 1's rows advance the watermark that wave 2's
-    # batch USES for eviction (Spark applies the watermark computed from
-    # batch k-1 in batch k), so every real window is closed by the end of
-    # wave 2. Sentinel rows themselves stay in state, never emitted.
-    for wave in (1, 2):
-        with open(os.path.join(tx_dir, f"zz_sentinel_{wave}.csv"), "w") as f:
-            f.write(f"{_ts_str(sent_ms + wave)},{sent_raw},alchemy\n")
-        with open(os.path.join(bl_dir, f"zz_sentinel_{wave}.csv"), "w") as f:
-            f.write(f"{_ts_str(sent_ms + wave)},0,0xsentinel\n")
+    try:
         drain()
+        # Two sentinel waves: wave 1's rows advance the watermark that wave
+        # 2's batch USES for eviction (Spark applies the watermark computed
+        # from batch k-1 in batch k), so every real window is closed by the
+        # end of wave 2. Sentinel rows themselves stay in state, never
+        # emitted.
+        for wave in (1, 2):
+            with open(os.path.join(tx_dir, f"zz_sentinel_{wave}.csv"), "w") as f:
+                f.write(f"{_ts_str(sent_ms + wave)},{sent_raw},alchemy\n")
+            with open(os.path.join(bl_dir, f"zz_sentinel_{wave}.csv"), "w") as f:
+                f.write(f"{_ts_str(sent_ms + wave)},0,0xsentinel\n")
+            drain()
+    finally:
+        if state_store == "rocksdb":
+            if prev_provider:
+                spark.conf.set(conf_key, prev_provider)
+            else:
+                spark.conf.unset(conf_key)
     wall = round(time.time() - t0, 1)
 
     res = spark.read.parquet(out)
@@ -453,6 +483,7 @@ def replay_inclusion(
     exp_included = counts["included_receipts"]
     exp_not = counts["valid_receipts"] - exp_included
     report = {
+        "state_store": state_store or "memory",
         "wall_sec": wall,
         "receipts_per_sec_wall": round(counts["valid_receipts"] / wall, 1),
         "rows_out": total,
@@ -471,11 +502,55 @@ def replay_inclusion(
     return report
 
 
+#: max allowed growth of the dedup state peak when total receipts
+#: triple at FIXED arrival rate — a healthy 30-min TTL holds state at
+#: the window's working set; a leak tracks total volume and reads ~3×.
+PLATEAU_MAX_RATIO = 1.2
+
+
+def ttl_plateau(spark, n_unique_per_day: int, procs: int) -> dict:
+    """Watermark-eviction plateau assertion (r13 verdict #5): r13's
+    state_rows_peak 45,207 at 1 M receipts SHOWED eviction working but
+    never asserted it — a state leak would only read as a bigger peak.
+    Replay the same arrival rate over 1 day and over a 3×-longer day
+    (3× uniques, identical step_ms → identical 30-min working set) and
+    assert the dedup state peak stays within PLATEAU_MAX_RATIO instead
+    of growing with total receipts."""
+    legs: dict = {}
+    peaks: dict[int, int] = {}
+    for span in (1, 3):
+        base = (
+            f"/tmp/spark_graft_stream_plateau_{n_unique_per_day}_{span}d"
+        )
+        counts = generate(
+            n_unique_per_day * span, base, procs, span_days=span
+        )
+        r = drain_collector(spark, base, counts)
+        legs[f"span_{span}d"] = r
+        peaks[span] = r["state_rows_peak"]
+    ratio = round(peaks[3] / max(peaks[1], 1), 3)
+    # context: uniques arriving inside one 30-min watermark window —
+    # the working set a healthy TTL holds, independent of span
+    window_uniques = int(n_unique_per_day * 30 / 1440)
+    return {
+        "n_unique_per_day": n_unique_per_day,
+        "window_30min_uniques": window_uniques,
+        "state_rows_peak_1d": peaks[1],
+        "state_rows_peak_3d": peaks[3],
+        "peak_ratio_3d_over_1d": ratio,
+        "max_ratio": PLATEAU_MAX_RATIO,
+        "legs": legs,
+        "pass": ratio <= PLATEAU_MAX_RATIO
+        and all(r["unique_exact"] for r in legs.values()),
+    }
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_unique = int(args[0]) if args else 500_000
     out_json = args[1] if len(args) > 1 else None
     with_inclusion = "--inclusion" in sys.argv
+    with_plateau = "--plateau" in sys.argv
     procs = int(os.environ.get("SPARK_GRAFT_GEN_PROCS", os.cpu_count() or 8))
     base = f"/tmp/spark_graft_stream_stress_{n_unique}"
 
@@ -497,11 +572,25 @@ def main() -> None:
         "collector": replay_collector(spark, base, counts),
         "cpus": spark.sparkContext.defaultParallelism,
     }
+    checks = [report["collector"]["pass"]]
     if with_inclusion:
+        # side-by-side state-store legs (r13 verdict #3): same day, same
+        # join, fresh checkpoints — in-memory vs RocksDB at parity rates
         report["inclusion_join"] = replay_inclusion(spark, base, counts)
-    report["pass"] = report["collector"]["pass"] and (
-        not with_inclusion or report["inclusion_join"]["pass"]
-    )
+        report["inclusion_join_rocksdb"] = replay_inclusion(
+            spark, base, counts, tag="_rocks", state_store="rocksdb"
+        )
+        checks += [
+            report["inclusion_join"]["pass"],
+            report["inclusion_join_rocksdb"]["pass"],
+        ]
+    if with_plateau:
+        report["ttl_plateau"] = ttl_plateau(
+            spark, int(os.environ.get("SPARK_GRAFT_PLATEAU_UNIQUES",
+                                      "60000")), procs
+        )
+        checks.append(report["ttl_plateau"]["pass"])
+    report["pass"] = all(checks)
     print(json.dumps(report))
     if out_json:
         with open(out_json, "w") as f:

@@ -83,6 +83,11 @@ SF10_QUERIES = [
     # docs_incremental_dedup demotion; the family keeps 100× coverage
     # through docs_ngram_jaccard below (candidate-bounded exact verify).
     "docs_ngram_jaccard", "docs_repetition",
+    # r14 (r13 verdict #4): the signature-chain digest twin — linear
+    # oracle (one shingle explode + 8 mins + md5), so the MinHash
+    # family's 100× coverage is exact-hash again instead of riding on
+    # docs_ngram_jaccard alone.
+    "docs_minhash_sig_digest",
     "docs_gopher_rules", "docs_redact_pii", "docs_tfidf_terms",
     "docs_token_stats", "docs_quality_curriculum",
 ]
