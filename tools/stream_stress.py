@@ -141,7 +141,9 @@ def generate(
     marker = os.path.join(base, "_DONE")
     if os.path.exists(marker):
         with open(marker) as f:
-            return json.load(f)
+            totals = json.load(f)
+        _apply_replay_order(base)
+        return totals
     for sub in ("in", "blocks"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
     step_ms = max(1, span_days * DAY_MS // max(n_unique, 1))
@@ -156,14 +158,30 @@ def generate(
     totals: dict = {k: sum(c[k] for c in shard_counts) for k in shard_counts[0]}
     totals["n_unique"] = n_unique
     totals["step_ms"] = step_ms
-    # ascending mtimes = the file source's oldest-first listing replays
-    # the day in event-time order (see module docstring)
-    now = time.time() - 86_400
-    for k, name in enumerate(sorted(os.listdir(os.path.join(base, "in")))):
-        os.utime(os.path.join(base, "in", name), (now + k, now + k))
+    _apply_replay_order(base)
     with open(marker, "w") as f:
         json.dump(totals, f)
     return totals
+
+
+def _apply_replay_order(base: str) -> None:
+    """Ascending mtimes = the file source's oldest-first listing replays
+    the day in event-time order (see module docstring). Applied to the
+    blocks dir too (r14 fix): the pool workers write blocks shards with
+    effectively simultaneous mtimes, so the block stream could list a
+    DAY-END shard before a mid-day one — its watermark then advances
+    past the earlier shard and drops those block rows as late, flipping
+    their txs' inclusion rows to not-included (caught by the 12k smoke
+    leg; the committed r13 500k pass was mtime luck). Filenames sort by
+    shard = ascending event time, so name order IS event-time order.
+    Reapplied on every cache hit — mtimes are not durable corpus state."""
+    now = time.time() - 86_400
+    for sub in ("in", "blocks"):
+        d = os.path.join(base, sub)
+        if not os.path.isdir(d):
+            continue
+        for k, name in enumerate(sorted(os.listdir(d))):
+            os.utime(os.path.join(d, name), (now + k, now + k))
 
 
 class _ProgressTap:
@@ -522,8 +540,18 @@ def ttl_plateau(spark, n_unique_per_day: int, procs: int) -> dict:
         base = (
             f"/tmp/spark_graft_stream_plateau_{n_unique_per_day}_{span}d"
         )
+        # parts scales with span so EVENT-TIME-PER-FILE is constant:
+        # the drain ingests a fixed number of files per micro-batch,
+        # and state holds roughly one batch's event-time width (the
+        # watermark used for eviction lags one batch) — with a fixed
+        # file count the 3-day leg would see 3×-wider batches and its
+        # state peak would triple for batch-granularity reasons that
+        # have nothing to do with TTL health (measured: ratio 2.2 on
+        # the 12k smoke before this fix). Equal-width files make the
+        # peaks comparable, so the ratio isolates leak-vs-TTL.
         counts = generate(
-            n_unique_per_day * span, base, procs, span_days=span
+            n_unique_per_day * span, base, procs, parts=8 * span,
+            span_days=span,
         )
         r = drain_collector(spark, base, counts)
         legs[f"span_{span}d"] = r
