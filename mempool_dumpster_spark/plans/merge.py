@@ -20,6 +20,7 @@ coalesces/skew-splits them at runtime.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +47,12 @@ from mempool_dumpster_spark.sources.sinks import (
     write_transactions_parquet,
 )
 from mempool_dumpster_spark.sources.zipcsv import expand_zip_inputs
+
+
+#: blacklist CSV bytes above which J2 switches from a broadcast to a
+#: shuffled left-anti join (~64 MB of CSV ≈ 1M hashes — comfortably
+#: broadcastable; a week of accumulated daily outputs is not).
+BLACKLIST_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
 @dataclass
@@ -85,8 +92,24 @@ def merge_transactions(
     raw = tx_read.valid.withColumnRenamed("hash", "csv_hash")
 
     if blacklist_paths:
-        blacklist = read_blacklist_csv(spark, expand_zip_inputs(blacklist_paths))
-        raw = anti_join_blacklist(raw, blacklist, hash_col="csv_hash")
+        bl_paths = expand_zip_inputs(blacklist_paths)
+        blacklist = read_blacklist_csv(spark, bl_paths)
+        # Size-aware J2 (r14, surfaced by the multi-day stress): a
+        # single reference day's blacklist broadcasts fine, but in the
+        # multi-day operating mode the blacklist is EVERY prior day's
+        # output hashes — ~66 bytes/hash, so a week of 1M-unique days
+        # is ~450 MB, past any sane broadcast. File size is a cheap
+        # upper bound on the distinct-hash frame (CSV rows >= distinct
+        # hashes); past the threshold the anti-join shuffles instead —
+        # same semantics, and the hash-partitioned exchange is the
+        # 100 TB-correct plan for a fact-sized exclusion list.
+        bl_bytes = sum(
+            os.path.getsize(p) for p in bl_paths if os.path.exists(p)
+        )
+        raw = anti_join_blacklist(
+            raw, blacklist, hash_col="csv_hash",
+            broadcast=bl_bytes <= BLACKLIST_BROADCAST_MAX_BYTES,
+        )
 
     # A1 before the UDF: one RLP parse per unique hash
     deduped = dedup_keep_earliest(raw, key="csv_hash", ts_col="timestamp_ms")

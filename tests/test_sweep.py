@@ -9,6 +9,7 @@ end-to-end; the default test run skips it (see pytest.ini addopts).
 from __future__ import annotations
 
 import os
+import shutil
 import subprocess
 import sys
 
@@ -530,6 +531,107 @@ def test_sweep_all_chunked_selfcheck_rotates_processes(tmp_path, monkeypatch):
     calls.clear()
     sweep_all._selfcheck("/data", art, names=names)
     assert len(calls) == 1 and "SELFCHECK_APPEND" not in calls[0][1]
+
+
+@pytest.mark.sweep
+def test_multiday_merge_stress_harness_small_scale():
+    """The multi-day incremental merge harness (r13 verdict #6)
+    CI-checked small: 3 consecutive daily merges at 6k uniques/day with
+    ~5% cross-day duplicate receipts re-emitting DAY 0 hashes. Pins the
+    archive-append invariants the full run asserts at 7×1M: day-N
+    output equals the day's fresh uniques exactly, the direct
+    re-admission probe reads zero, and the accumulated blacklist
+    artifact stays under the bytes/hash ceiling (hash list, never
+    prior outputs)."""
+    import json
+
+    out_json = "/tmp/spark_graft_merge_multiday_selftest.json"
+    shutil.rmtree("/tmp/spark_graft_merge_multiday_6000_3",
+                  ignore_errors=True)
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "merge_stress_multiday.py"),
+         "6000", "3", out_json],
+        cwd=REPO, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"exit {proc.returncode}\n{proc.stdout[-1500:]}\n"
+        f"{proc.stderr[-1500:]}"
+    )
+    with open(out_json) as f:
+        r = json.load(f)
+    assert r["pass"]
+    assert len(r["days_detail"]) == 3
+    d0, d1, d2 = r["days_detail"]
+    assert d0["rows_out"] == 6000 and d0["dup_receipts_injected"] == 0
+    for d in (d1, d2):
+        assert d["dup_receipts_injected"] > 0
+        assert d["rows_out"] == d["expected_fresh_unique"] < 6000
+        assert d["readmitted_prior_hashes"] == 0
+    assert r["artifact_bytes_per_hash"] <= r["artifact_bytes_per_hash_max"]
+
+
+def test_blacklist_antijoin_broadcast_bound(spark, tmp_path, monkeypatch):
+    """The merge's J2 blacklist gate is size-aware (r14, surfaced by the
+    multi-day stress): under BLACKLIST_BROADCAST_MAX_BYTES the anti-join
+    broadcasts; past it (a week of accumulated daily output hashes,
+    ~450 MB) it must fall back to a shuffled left-anti join — forcing a
+    broadcast of a fact-sized exclusion list is the 100 TB failure mode.
+    Both directions asserted on the executed plan."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from txgen import make_tx, tx_hash_of
+
+    from mempool_dumpster_spark.plans import merge as merge_mod
+
+    tx_csv = tmp_path / "txs.csv"
+    with open(tx_csv, "w") as f:
+        for i in range(20):
+            raw = make_tx(priv=0x900000 + i, nonce=i)
+            f.write(f"{1_693_785_600_000 + i},{tx_hash_of(raw)},{raw}\n")
+    bl_csv = tmp_path / "blacklist.csv"
+    with open(bl_csv, "w") as f:
+        f.write(f"0,{tx_hash_of(make_tx(priv=0x900000, nonce=0))}\n")
+
+    def plan_of(result):
+        return result.transactions._jdf.queryExecution().executedPlan().toString()
+
+    big = merge_mod.merge_transactions(
+        spark, tx_paths=[str(tx_csv)], blacklist_paths=[str(bl_csv)]
+    )
+    small_anti = [
+        ln for ln in plan_of(big).splitlines() if "LeftAnti" in ln
+    ]
+    assert small_anti and all(
+        "BroadcastHashJoin" in ln for ln in small_anti
+    ), "small blacklist should broadcast:\n" + "\n".join(small_anti)
+
+    # Past the bound the code drops the F.broadcast HINT — Catalyst/AQE
+    # then picks the strategy by ACTUAL size (a hint overrides size
+    # thresholds unconditionally, which is the failure mode). The test
+    # blacklist is 1 row, so size-based conversion must be disabled to
+    # observe the unforced plan; on a real 450 MB blacklist the
+    # size-based decision is the non-broadcast plan by itself.
+    monkeypatch.setattr(merge_mod, "BLACKLIST_BROADCAST_MAX_BYTES", 1)
+    for key in ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+        spark.conf.set(key, "-1")
+    try:
+        shuffled = merge_mod.merge_transactions(
+            spark, tx_paths=[str(tx_csv)], blacklist_paths=[str(bl_csv)]
+        )
+        plan = plan_of(shuffled)
+        anti_section = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti_section, plan
+        assert not any("Broadcast" in ln for ln in anti_section), (
+            "oversized blacklist must not force a broadcast:\n"
+            + "\n".join(anti_section)
+        )
+        # both plans produce the same rows: 19 of 20 survive
+        assert big.transactions.count() == shuffled.transactions.count() == 19
+    finally:
+        for key in ("spark.sql.autoBroadcastJoinThreshold",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+            spark.conf.unset(key)
 
 
 @pytest.mark.sweep
