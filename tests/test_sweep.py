@@ -451,6 +451,14 @@ def test_stream_stress_harness_small_scale():
     # the kill genuinely landed mid-run, not after the drain finished
     assert 0 < col["rows_seen_at_kill"] < col["n_receipts"]
     assert r["inclusion_join"]["exactly_once"]
+    # r14: the RocksDB state-store leg runs the same join to the same
+    # exactly-once ledger on its own checkpoint
+    rocks = r["inclusion_join_rocksdb"]
+    assert rocks["state_store"] == "rocksdb" and rocks["exactly_once"]
+    assert (
+        rocks["join_query"]["state_rows_peak"]
+        == r["inclusion_join"]["join_query"]["state_rows_peak"]
+    )
 
 
 def test_sweep_all_disk_projection_and_refusal():
