@@ -46,11 +46,14 @@ SF10_DIR = "/tmp/spark_graft_sf10"
 
 #: seeded hash sample defining the query set: vec_ids with
 #: crc32(str(vec_id)) ≡ QUERY_RES (mod QUERY_MOD). At the 200k-vector
-#: tier this admits ~200k/997 ≈ 200 queries spread uniformly over the
-#: id space (exact/near/independent copy strata alike — the stressgen
-#: corpus interleaves them by id). Deterministic, so the artifact is
-#: reproducible; no RNG, so reruns compare.
-QUERY_MOD = 997
+#: tier this realizes 235 queries (hash-sample variance around the
+#: 200k/887 ≈ 225 expectation; mod 997 realized only 192 → 576 pairs
+#: and the ≥600 guard below correctly refused to publish) spread
+#: uniformly over the id space (exact/near/independent copy strata
+#: alike — the stressgen corpus interleaves them by id).
+#: Deterministic, so the artifact is reproducible; no RNG, so reruns
+#: compare.
+QUERY_MOD = 887
 QUERY_RES = 13
 #: refuse to publish a recall number on fewer pairs than this — the
 #: whole point of the r14 rework (30 pairs could not distinguish
