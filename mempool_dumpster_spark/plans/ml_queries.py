@@ -338,7 +338,7 @@ def ann_rung_topk(name: str, emb: DataFrame, queries: DataFrame) -> DataFrame:
         "emb_knn_pq": lambda: pq_topk(
             emb, queries, k=3, dim=64, m=16, k_codes=32, refine=32, n_iters=5
         ),
-        "emb_knn_sq8": lambda: sq8_topk(emb, queries, k=3, dim=64, refine=8),
+        "emb_knn_sq8": lambda: sq8_topk(emb, queries, k=3, dim=64, refine=32),
         "emb_knn_bq": lambda: bq_topk(emb, queries, k=3, dim=64, refine=32),
         "emb_knn_ivfpq": lambda: ivfpq_topk(
             emb, queries, k=3, dim=64, n_cells=16, nprobe=6, n_assign=4,
@@ -420,10 +420,16 @@ def emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "precision — and the refine·k shortlist re-ranks by exact cosine. "
     "Unlike the PQ rungs, encode AND scoring are pure Catalyst "
     "expressions (transform/zip_with/aggregate): the hot path never "
-    "leaves whole-stage codegen. Measured recall@3 = 1.000 vs emb_knn "
-    "on the driver's sf0.01 embeddings (64 codes/vector retain far more "
-    "geometry than 16 PQ sub-codes; asserted in "
-    "tests/test_ml.py::test_sq8_ann_recall_on_testdata).",
+    "leaves whole-stage codegen. refine=32 (r14, was 8): the randomized "
+    "690-pair 200k-vector recall artifact read 0.9971 at refine=8 — two "
+    "true neighbors outside the shortlist, the same near-dup tie "
+    "pressure that collapsed PQ at r13, just milder because 64 uint8 "
+    "codes tie far less often than 16 PQ sub-codes. Same production "
+    "remedy, oversampling; the re-rank still touches only refine·k·|Q| "
+    "rows. Measured recall@3 = 1.000 vs emb_knn on the driver's sf0.01 "
+    "embeddings (asserted in "
+    "tests/test_ml.py::test_sq8_ann_recall_on_testdata) and 1.0 at the "
+    "200k-vector tier (ANN_RECALL_100X_r14).",
 )
 def emb_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
@@ -636,7 +642,7 @@ def emb_knn_sq8_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = sq8_bounds_from_json(sq8_bounds_to_json(bounds))
     queries = emb.filter(F.col("vec_id") < 10)
     return sq8_topk_pretrained(
-        spark, tbl, emb, queries, bounds, k=3, dim=64, refine=8
+        spark, tbl, emb, queries, bounds, k=3, dim=64, refine=32
     ).select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
     )

@@ -2901,9 +2901,10 @@ def test_sq8_bounds_deterministic_roundtrip_and_guards(spark, vectors):
 def test_sq8_ann_recall_on_testdata(spark):
     """Recall@3 of the SQ8 path vs the exact path on the driver's sf0.01
     embeddings — the registered emb_knn_sq8 parameters (dim=64 uint8
-    codes, refine=8) must stay >= 0.9 on the isotropic worst case
-    (1.000 measured; exact min/max training makes this a fixed number,
-    not a flake)."""
+    codes, refine=32 since r14: the 690-pair 200k-vector artifact read
+    0.9971 at refine=8, PQ's near-dup tie pressure in miniature) must
+    stay >= 0.9 on the isotropic worst case (1.000 measured; exact
+    min/max training makes this a fixed number, not a flake)."""
     import os
 
     sf_dir = "/root/testdata/sf0.01"
