@@ -955,6 +955,9 @@ def main() -> None:
                 merge_stress=_load_merge_stress(),
                 stream_stress=_load_stress_artifact("STREAM_STRESS"),
                 merge_stress_skew=_load_stress_artifact("MERGE_STRESS_SKEW"),
+                merge_stress_multiday=_load_stress_artifact(
+                    "MERGE_STRESS_MULTIDAY"
+                ),
                 ann_recall=ann_recall,
                 pretrained_serve=pretrained_serve,
                 prep_stats=prep_stats,
@@ -979,6 +982,7 @@ def _assemble_output(
     gate_cal, text_micro, selection, env, sf, merge_mid, prep_mid,
     timings, total, stream_stress=None, stream_mid=None,
     pretrained_serve=None, merge_stress_skew=None,
+    merge_stress_multiday=None,
 ) -> dict:
     """Key order is LOAD-BEARING (r11 verdict #2): the round driver
     archives only the LAST 2000 characters of the printed JSON line, so
@@ -996,6 +1000,7 @@ def _assemble_output(
         "merge_pipeline": merge_stats,
         "merge_stress_10x": merge_stress,
         "merge_stress_skew": merge_stress_skew,
+        "merge_stress_multiday": merge_stress_multiday,
         "stream_stress": stream_stress,
         "ann_recall_at3": ann_recall,
         "pretrained_serve": pretrained_serve,
