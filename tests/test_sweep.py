@@ -541,6 +541,47 @@ def test_sweep_all_chunked_selfcheck_rotates_processes(tmp_path, monkeypatch):
     assert len(calls) == 1 and "SELFCHECK_APPEND" not in calls[0][1]
 
 
+def test_stream_stress_replay_order_covers_blocks_and_cache_hits(tmp_path):
+    """r14 fix pin: the stress generator must order BOTH stream dirs'
+    mtimes (the blocks dir was unordered — pool workers write shards
+    near-simultaneously, so the block stream could list a day-end shard
+    first, advance its watermark, and drop mid-day blocks as late,
+    flipping their txs to not-included; the r13 500k pass was mtime
+    luck), and must REAPPLY the ordering on a generate() cache hit,
+    since mtimes are not durable corpus state."""
+    import json
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import stream_stress
+
+    base = str(tmp_path)
+    for sub in ("in", "blocks"):
+        os.makedirs(os.path.join(base, sub))
+    # scrambled mtimes: later-named (later event-time) files look older
+    t0 = 1_000_000_000
+    for sub, names in (
+        ("in", ["rx_000_000.csv", "rx_001_000.csv", "rx_002_000.csv"]),
+        ("blocks", ["blocks_000.csv", "blocks_001.csv", "blocks_002.csv"]),
+    ):
+        for k, name in enumerate(names):
+            p = os.path.join(base, sub, name)
+            open(p, "w").write("x\n")
+            os.utime(p, (t0 - k, t0 - k))  # descending = scrambled
+    with open(os.path.join(base, "_DONE"), "w") as f:
+        json.dump({"receipts": 6}, f)
+
+    counts = stream_stress.generate(3, base, procs=1)  # cache hit path
+    assert counts == {"receipts": 6}
+    for sub in ("in", "blocks"):
+        d = os.path.join(base, sub)
+        names = sorted(os.listdir(d))
+        mtimes = [os.path.getmtime(os.path.join(d, n)) for n in names]
+        assert mtimes == sorted(mtimes), (
+            f"{sub} dir must replay in name (= event-time) order"
+        )
+        assert mtimes[0] != mtimes[-1]
+
+
 @pytest.mark.sweep
 def test_multiday_merge_stress_harness_small_scale():
     """The multi-day incremental merge harness (r13 verdict #6)
