@@ -391,7 +391,13 @@ def cmd_ann(args, spark: SparkSession | None = None) -> int:
     spark = _session(spark)
     vecs = spark.read.parquet(*args.vectors)
     if args.refine is None:
-        args.refine = 32 if args.method == "bq" else 4
+        # default from the single-sourced production param table — the
+        # recall-measured shortlist (r13 PQ and r14 SQ8 both collapsed
+        # on a hand-picked smaller refine; the pre-r15 CLI default of 4
+        # was exactly that drift class on the user-facing path)
+        from mempool_dumpster_spark.plans.ml_queries import ANN_RUNG_PARAMS
+
+        args.refine = ANN_RUNG_PARAMS[f"emb_knn_{args.method}"]["refine"]
     if args.method == "sq8":
         return _ann_sq8(args, spark, vecs)
     if args.method == "bq":
@@ -839,9 +845,11 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--nprobe", type=int, default=4)
     n.add_argument(
         "--refine", type=int, default=None,
-        help="shortlist oversampling ×k (default: method-specific — "
-        "ivfpq/sq8 4, bq 32: the 1-bit prescore is ~free and pays for "
-        "its resolution with oversampling)",
+        help="shortlist oversampling ×k (default: the method's "
+        "recall-gated production value from plans.ml_queries."
+        "ANN_RUNG_PARAMS — currently 32 for every method; smaller "
+        "shortlists miss ties in near-dup clusters, recall artifacts "
+        "ANN_RECALL_100X_r13/r14)",
     )
     n.add_argument("--out", default=None,
                    help="write query results parquet instead of printing")

@@ -55,6 +55,57 @@ from mempool_dumpster_spark.sources.zipcsv import expand_zip_inputs
 BLACKLIST_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
+def blacklist_size_bytes(spark: SparkSession, paths: list[str]) -> int | None:
+    """Total on-disk bytes of the blacklist inputs, or None if unknown.
+
+    The r14 probe summed `os.path.getsize` over paths that `os.path.exists`
+    — three silent-undercount holes at deployment scale (r14 verdict #1):
+    a directory input contributed only its inode size (~4 KB), a glob
+    pattern contributed 0, and an object-store URI (`s3://…`, `hdfs://…`
+    — the only place a 100 TB deployment keeps a week of blacklists)
+    contributed 0; `0 <= threshold` then force-broadcast an arbitrarily
+    large exclusion list, resurrecting the pre-r14 OOM.
+
+    This probe closes all three: local globs are expanded, local
+    directories are walked (files summed), and scheme-qualified URIs are
+    sized through the Hadoop FS API (`FileSystem.getContentSummary`, the
+    same listing Spark's own scan planner uses). A path that still can't
+    be sized makes the TOTAL unknown (None) — and the caller treats
+    unknown as over-threshold, so the fail-safe direction is the shuffled
+    anti-join, never the broadcast. Catalyst/AQE can still downgrade the
+    shuffle to a broadcast at runtime from the ACTUAL scan size, so the
+    conservative default costs nothing when the list turns out small.
+    """
+    import glob as _glob
+
+    total = 0
+    for p in paths:
+        if "://" in p:  # object-store / HDFS URI → Hadoop FS
+            try:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(p)
+                conf = spark._jsc.hadoopConfiguration()
+                fs = jpath.getFileSystem(conf)
+                total += fs.getContentSummary(jpath).getLength()
+            except Exception:
+                return None
+            continue
+        expanded = _glob.glob(p) if _glob.has_magic(p) else [p]
+        if not expanded:
+            return None  # glob matched nothing we can size
+        for e in expanded:
+            if os.path.isdir(e):
+                for root, _dirs, files in os.walk(e):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            elif os.path.isfile(e):
+                total += os.path.getsize(e)
+            else:
+                return None
+    return total
+
+
 @dataclass
 class MergeResult:
     transactions: DataFrame  # TXSUMMARY-shaped, sorted by timestamp
@@ -102,13 +153,17 @@ def merge_transactions(
         # upper bound on the distinct-hash frame (CSV rows >= distinct
         # hashes); past the threshold the anti-join shuffles instead —
         # same semantics, and the hash-partitioned exchange is the
-        # 100 TB-correct plan for a fact-sized exclusion list.
-        bl_bytes = sum(
-            os.path.getsize(p) for p in bl_paths if os.path.exists(p)
-        )
+        # 100 TB-correct plan for a fact-sized exclusion list. An
+        # UNKNOWN size (unstatable path) counts as over-threshold: the
+        # shuffled plan is always correct, while a wrongly-broadcast
+        # 450 MB list OOMs the executors (r14 verdict #1).
+        bl_bytes = blacklist_size_bytes(spark, bl_paths)
         raw = anti_join_blacklist(
             raw, blacklist, hash_col="csv_hash",
-            broadcast=bl_bytes <= BLACKLIST_BROADCAST_MAX_BYTES,
+            broadcast=(
+                bl_bytes is not None
+                and bl_bytes <= BLACKLIST_BROADCAST_MAX_BYTES
+            ),
         )
 
     # A1 before the UDF: one RLP parse per unique hash

@@ -315,15 +315,45 @@ def docs_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_cluster_heads.unionByName(singletons)
 
 
+#: Single source of truth for the PRODUCTION parameters of every ANN
+#: rung — inline AND pretrained. Two recall bugs in two rounds (r13 PQ
+#: refine collapse, r14 SQ8 refine=8 shortlist miss) both came from
+#: shortlist-parameter drift between a registry entry and the params
+#: the recall harness measured; the r14 dispatcher killed that for the
+#: inline rungs, and r15 extends it to the serving path: each
+#: `*_pretrained` key ALIASES its inline rung's dict (the same object,
+#: not a copy), so the serve-side parameters cannot diverge from the
+#: recall-gated ones even by a one-key edit. Parameter rationale lives
+#: on each registry entry's docstring.
+ANN_RUNG_PARAMS: dict[str, dict] = {
+    "emb_knn_lsh": {"k": 3, "dim": 64, "n_planes": 3, "n_tables": 12},
+    "emb_knn_pq": {
+        "k": 3, "dim": 64, "m": 16, "k_codes": 32, "refine": 32,
+        "n_iters": 5,
+    },
+    "emb_knn_sq8": {"k": 3, "dim": 64, "refine": 32},
+    "emb_knn_bq": {"k": 3, "dim": 64, "refine": 32},
+    "emb_knn_ivfpq": {
+        "k": 3, "dim": 64, "n_cells": 16, "nprobe": 6, "n_assign": 4,
+        "m": 16, "k_codes": 32, "refine": 32, "n_iters": 5,
+    },
+    "emb_knn_ivf": {
+        "k": 3, "dim": 64, "n_cells": 16, "n_iters": 3, "nprobe": 8,
+        "n_assign": 3,
+    },
+}
+for _base in ("emb_knn_ivf", "emb_knn_ivfpq", "emb_knn_sq8", "emb_knn_bq"):
+    ANN_RUNG_PARAMS[_base + "_pretrained"] = ANN_RUNG_PARAMS[_base]
+
+
 def ann_rung_topk(name: str, emb: DataFrame, queries: DataFrame) -> DataFrame:
-    """Single source of truth for the PRODUCTION parameters of every
-    approximate ANN rung, keyed by registry name. The registry entries
-    below and the 100×-scale recall harness (tools/ann_recall_100x.py)
-    both dispatch through here, so the recall artifact measures exactly
-    the parameters users run — a rung whose registry entry drifts from
-    the recall measurement can't exist (r13 verdict finding #1 made the
-    recall artifact the ladder's real guardrail; this keeps it honest).
-    Parameter rationale lives on each registry entry's docstring."""
+    """Dispatcher for the INLINE approximate ANN rungs, reading
+    ANN_RUNG_PARAMS. The registry entries below and the 100×-scale
+    recall harness (tools/ann_recall_100x.py) both dispatch through
+    here, so the recall artifact measures exactly the parameters users
+    run — a rung whose registry entry drifts from the recall
+    measurement can't exist (r13 verdict finding #1 made the recall
+    artifact the ladder's real guardrail; this keeps it honest)."""
     from mempool_dumpster_spark.ml.similarity import (
         bq_topk,
         ivfpq_topk,
@@ -331,27 +361,127 @@ def ann_rung_topk(name: str, emb: DataFrame, queries: DataFrame) -> DataFrame:
         sq8_topk,
     )
 
+    P = ANN_RUNG_PARAMS[name]
     calls = {
-        "emb_knn_lsh": lambda: lsh_bucketed_topk(
-            emb, queries, k=3, dim=64, n_planes=3, n_tables=12
-        ),
-        "emb_knn_pq": lambda: pq_topk(
-            emb, queries, k=3, dim=64, m=16, k_codes=32, refine=32, n_iters=5
-        ),
-        "emb_knn_sq8": lambda: sq8_topk(emb, queries, k=3, dim=64, refine=32),
-        "emb_knn_bq": lambda: bq_topk(emb, queries, k=3, dim=64, refine=32),
-        "emb_knn_ivfpq": lambda: ivfpq_topk(
-            emb, queries, k=3, dim=64, n_cells=16, nprobe=6, n_assign=4,
-            m=16, k_codes=32, refine=32, n_iters=5,
-        ),
-        "emb_knn_ivf": lambda: ivf_topk(
-            emb, queries, k=3, dim=64, n_cells=16, n_iters=3, nprobe=8,
-            n_assign=3,
-        ),
+        "emb_knn_lsh": lambda: lsh_bucketed_topk(emb, queries, **P),
+        "emb_knn_pq": lambda: pq_topk(emb, queries, **P),
+        "emb_knn_sq8": lambda: sq8_topk(emb, queries, **P),
+        "emb_knn_bq": lambda: bq_topk(emb, queries, **P),
+        "emb_knn_ivfpq": lambda: ivfpq_topk(emb, queries, **P),
+        "emb_knn_ivf": lambda: ivf_topk(emb, queries, **P),
     }
     return calls[name]().select(
         "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
     )
+
+
+def ann_rung_topk_pretrained(
+    name: str,
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    tbl_suffix: str,
+) -> DataFrame:
+    """Dispatcher for the PRETRAINED (train-once/serve-many) rungs:
+    builds the persisted index artifact, round-trips the trained state
+    through its JSON index format (what a deployment actually reloads
+    on the serving cluster), and serves `queries` from it — all with
+    parameters read from ANN_RUNG_PARAMS, which aliases each pretrained
+    key to its inline rung's dict. The r14 SQ8 refine fix had to be
+    HAND-COPIED into sq8_pretrained (exactly the drift class the inline
+    dispatcher exists to kill); routing the registry entries and the
+    recall harness's pretrained legs through here closes that last gap
+    (r14 verdict finding #3). Build time is recorded under the registry
+    name for the build/serve split (plans/timing.py)."""
+    import re
+    import time as _time
+
+    from mempool_dumpster_spark.ml.similarity import (
+        bq_topk_pretrained,
+        centroids_from_json,
+        centroids_to_json,
+        ivfpq_topk_pretrained,
+        pq_codebooks_from_json,
+        pq_codebooks_to_json,
+        sq8_bounds_from_json,
+        sq8_bounds_to_json,
+        sq8_topk_pretrained,
+        train_ivf_centroids,
+        write_bq_index,
+        write_ivfpq_index,
+        write_sq8_index,
+    )
+    from mempool_dumpster_spark.plans.timing import record_build
+
+    P = ANN_RUNG_PARAMS[name]
+    suffix = re.sub(r"[^0-9A-Za-z]", "_", tbl_suffix)
+    _t0 = _time.time()
+
+    if name == "emb_knn_ivf_pretrained":
+        # train-small/index-big: centroids from a deterministic
+        # crc32-parity half-sample, served over the FULL corpus
+        sample = emb.filter(
+            F.crc32(F.col("vec_id").cast("string")) % 2 == 0
+        )
+        stored = centroids_to_json(
+            train_ivf_centroids(
+                sample, n_cells=P["n_cells"], n_iters=P["n_iters"],
+                dim=P["dim"],
+            )
+        )
+        record_build(name, _time.time() - _t0)
+        return ivf_topk(
+            emb, queries, k=P["k"], dim=P["dim"], nprobe=P["nprobe"],
+            n_assign=P["n_assign"], centroids=centroids_from_json(stored),
+        ).select(
+            "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"),
+            "rank",
+        )
+
+    if name == "emb_knn_ivfpq_pretrained":
+        tbl = "ivfpq_idx_" + suffix
+        centroids, codebooks = write_ivfpq_index(
+            emb, tbl, dim=P["dim"], n_cells=P["n_cells"],
+            n_assign=P["n_assign"], m=P["m"], k_codes=P["k_codes"],
+            n_iters=P["n_iters"],
+        )
+        record_build(name, _time.time() - _t0)
+        centroids = centroids_from_json(centroids_to_json(centroids))
+        codebooks = pq_codebooks_from_json(pq_codebooks_to_json(codebooks))
+        return ivfpq_topk_pretrained(
+            spark, tbl, emb, queries, centroids, codebooks,
+            k=P["k"], dim=P["dim"], nprobe=P["nprobe"], refine=P["refine"],
+        ).select(
+            "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"),
+            "rank",
+        )
+
+    if name == "emb_knn_sq8_pretrained":
+        tbl = "sq8_idx_" + suffix
+        bounds = write_sq8_index(emb, tbl, dim=P["dim"])
+        record_build(name, _time.time() - _t0)
+        bounds = sq8_bounds_from_json(sq8_bounds_to_json(bounds))
+        return sq8_topk_pretrained(
+            spark, tbl, emb, queries, bounds, k=P["k"], dim=P["dim"],
+            refine=P["refine"],
+        ).select(
+            "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"),
+            "rank",
+        )
+
+    if name == "emb_knn_bq_pretrained":
+        tbl = "bq_idx_" + suffix
+        write_bq_index(emb, tbl, dim=P["dim"])
+        record_build(name, _time.time() - _t0)
+        return bq_topk_pretrained(
+            spark, tbl, emb, queries, k=P["k"], dim=P["dim"],
+            refine=P["refine"],
+        ).select(
+            "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"),
+            "rank",
+        )
+
+    raise KeyError(name)
 
 
 @register(
@@ -519,28 +649,12 @@ def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_ml.py::test_ivf_pretrained_index_reuse.",
 )
 def emb_knn_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.similarity import (
-        centroids_from_json,
-        centroids_to_json,
-        train_ivf_centroids,
-    )
-
-    import time as _time
-
-    from mempool_dumpster_spark.plans.timing import record_build
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    sample = emb.filter(F.crc32(F.col("vec_id").cast("string")) % 2 == 0)
-    _t0 = _time.time()
-    stored = centroids_to_json(
-        train_ivf_centroids(sample, n_cells=16, n_iters=3, dim=64)
+    return ann_rung_topk_pretrained(
+        "emb_knn_ivf_pretrained", spark, emb,
+        emb.filter(F.col("vec_id") < 10),
+        sf_dir.rstrip("/").rsplit("/", 1)[-1],
     )
-    record_build("emb_knn_ivf_pretrained", _time.time() - _t0)
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(
-        emb, queries, k=3, dim=64, nprobe=8, n_assign=3,
-        centroids=centroids_from_json(stored),
-    ).select("query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank")
 
 
 @register(
@@ -561,40 +675,11 @@ def emb_knn_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero-Exchange probe join in tests/test_bucketed.py.",
 )
 def emb_knn_ivfpq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
-
-    from mempool_dumpster_spark.ml.similarity import (
-        centroids_from_json,
-        centroids_to_json,
-        ivfpq_topk_pretrained,
-        pq_codebooks_from_json,
-        pq_codebooks_to_json,
-        write_ivfpq_index,
-    )
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    tbl = "ivfpq_idx_" + re.sub(
-        r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    )
-    import time as _time
-
-    from mempool_dumpster_spark.plans.timing import record_build
-
-    _t0 = _time.time()
-    centroids, codebooks = write_ivfpq_index(
-        emb, tbl, dim=64, n_cells=16, n_assign=4, m=16, k_codes=32, n_iters=5
-    )
-    record_build("emb_knn_ivfpq_pretrained", _time.time() - _t0)
-    # round-trip through the persisted index formats — what a deployment
-    # actually reloads on the serving cluster
-    centroids = centroids_from_json(centroids_to_json(centroids))
-    codebooks = pq_codebooks_from_json(pq_codebooks_to_json(codebooks))
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivfpq_topk_pretrained(
-        spark, tbl, emb, queries, centroids, codebooks,
-        k=3, dim=64, nprobe=6, refine=32,
-    ).select(
-        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    return ann_rung_topk_pretrained(
+        "emb_knn_ivfpq_pretrained", spark, emb,
+        emb.filter(F.col("vec_id") < 10),
+        sf_dir.rstrip("/").rsplit("/", 1)[-1],
     )
 
 
@@ -617,34 +702,11 @@ def emb_knn_ivfpq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "--method sq8` CLI e2e in tests/test_cli.py.",
 )
 def emb_knn_sq8_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
-
-    from mempool_dumpster_spark.ml.similarity import (
-        sq8_bounds_from_json,
-        sq8_bounds_to_json,
-        sq8_topk_pretrained,
-        write_sq8_index,
-    )
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    tbl = "sq8_idx_" + re.sub(
-        r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    )
-    import time as _time
-
-    from mempool_dumpster_spark.plans.timing import record_build
-
-    _t0 = _time.time()
-    bounds = write_sq8_index(emb, tbl, dim=64)
-    record_build("emb_knn_sq8_pretrained", _time.time() - _t0)
-    # round-trip through the persisted bounds format — what a deployment
-    # actually reloads on the serving cluster
-    bounds = sq8_bounds_from_json(sq8_bounds_to_json(bounds))
-    queries = emb.filter(F.col("vec_id") < 10)
-    return sq8_topk_pretrained(
-        spark, tbl, emb, queries, bounds, k=3, dim=64, refine=32
-    ).select(
-        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    return ann_rung_topk_pretrained(
+        "emb_knn_sq8_pretrained", spark, emb,
+        emb.filter(F.col("vec_id") < 10),
+        sf_dir.rstrip("/").rsplit("/", 1)[-1],
     )
 
 
@@ -664,29 +726,11 @@ def emb_knn_sq8_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "--method bq` CLI e2e in tests/test_cli.py.",
 )
 def emb_knn_bq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
-
-    from mempool_dumpster_spark.ml.similarity import (
-        bq_topk_pretrained,
-        write_bq_index,
-    )
-
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    tbl = "bq_idx_" + re.sub(
-        r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    )
-    import time as _time
-
-    from mempool_dumpster_spark.plans.timing import record_build
-
-    _t0 = _time.time()
-    write_bq_index(emb, tbl, dim=64)
-    record_build("emb_knn_bq_pretrained", _time.time() - _t0)
-    queries = emb.filter(F.col("vec_id") < 10)
-    return bq_topk_pretrained(
-        spark, tbl, emb, queries, k=3, dim=64, refine=32
-    ).select(
-        "query_id", "neighbor_id", F.round("sim", 4).alias("sim_r"), "rank"
+    return ann_rung_topk_pretrained(
+        "emb_knn_bq_pretrained", spark, emb,
+        emb.filter(F.col("vec_id") < 10),
+        sf_dir.rstrip("/").rsplit("/", 1)[-1],
     )
 
 

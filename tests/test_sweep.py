@@ -315,15 +315,84 @@ def test_calibration_probe_quality_bound():
     # the r12 quiet-box calibration reading (0.222 → scale 1.06): admitted
     ok, reason = bench.calibration_eligible(art(0.222))
     assert ok, reason
-    # boundary: exactly at the bound passes, just over fails
+    # boundary: just inside the bound passes, just outside fails (not
+    # the exact float boundary — whether 0.21*1.3/0.21 round-trips to
+    # exactly 1.3 is an IEEE754 accident that changing either constant
+    # can flip; r14 advice)
     bound = bench.REF_CPU_PROBE_MT * bench.CALIBRATION_MAX_PROBE_SCALE
-    assert bench.calibration_eligible(art(bound))[0]
-    assert not bench.calibration_eligible(art(bound + 0.01))[0]
+    assert bench.calibration_eligible(art(bound * 0.999))[0]
+    assert not bench.calibration_eligible(art(bound * 1.001))[0]
     # a faster-than-reference box is parity, never a tighter gate
     assert bench.probe_scale(art(0.1)) == 1.0
     # pre-r12 artifact falls back to the single-core probe
     legacy = {"env": {"cpu_probe": {"md5_192mb_sec": 0.64}}}
     assert bench.probe_scale(legacy) == 2.0
+
+
+def test_contended_section_excluded_from_gates():
+    """r14 verdict #2: BENCH_r14's stream_pipeline_15k read 316 r/s
+    against a 1,000 floor while the quiet artifact read 1,149 on
+    identical code — another run's load ramped through the section after
+    the session-start probe read parity, so the artifact was
+    indistinguishable from a real regression. Pins the fix end-to-end on
+    the shipping gate logic: a section whose own pre-section probe shows
+    heavy contention is EXCLUDED from gate evaluation (named by
+    gate_exclusions, never a violation); mild contention normalizes the
+    section's floor by its own scale; and a slow section with a QUIET
+    section probe still fails — the exclusion can't be used to hide a
+    genuine regression."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def art(stream_rate, section_scale):
+        probe = (
+            None if section_scale is None
+            else {"md5_mt_48mb_sec": round(
+                bench.REF_CPU_PROBE_MT * section_scale, 4),
+                "load_avg_1m": 9.9, "probe_scale": section_scale}
+        )
+        return {
+            "env": {"cpu_probe": {
+                "md5_mt_48mb_sec": bench.REF_CPU_PROBE_MT}},
+            "merge_pipeline_15k": {
+                "tx_per_sec_steady": 9000.0, "section_probe": None},
+            "stream_pipeline_15k": {
+                "receipts_per_sec_steady": stream_rate,
+                "section_probe": probe,
+            },
+            "prep_pipeline_15k": {
+                "docs_per_sec": 3500.0, "docs_in": 16000,
+            },
+            "queries": {},
+            "pretrained_serve": {"emb_knn_ivf_pretrained": {
+                "serve_sec": 1.0}},
+        }
+
+    # r14's actual shape: 316 r/s, box busy (scale 3.2) → excluded, not
+    # a violation, and the exclusion is named
+    polluted = art(316.0, 3.2)
+    violations = bench.check_throughput_gates(polluted)
+    assert not any("stream" in v for v in violations), violations
+    excl = bench.gate_exclusions(polluted)
+    assert len(excl) == 1 and "stream_pipeline_15k" in excl[0], excl
+    # mild contention (scale 1.5, under the 2.0 bound): floor relaxes by
+    # the SECTION scale — 700 r/s passes a 1000/1.5=667 floor
+    assert not any(
+        "stream" in v for v in bench.check_throughput_gates(art(700.0, 1.5))
+    )
+    assert not bench.gate_exclusions(art(700.0, 1.5))
+    # same slow reading on a QUIET section probe → genuine regression
+    quiet_slow = bench.check_throughput_gates(art(316.0, 1.0))
+    assert any("stream_15k" in v for v in quiet_slow), quiet_slow
+    # legacy artifact without section probes: env-scale path unchanged
+    legacy_slow = bench.check_throughput_gates(art(316.0, None))
+    assert any("stream_15k" in v for v in legacy_slow), legacy_slow
+    assert not bench.gate_exclusions(art(316.0, None))
 
 
 @pytest.mark.sweep
@@ -455,9 +524,16 @@ def test_stream_stress_harness_small_scale():
     # exactly-once ledger on its own checkpoint
     rocks = r["inclusion_join_rocksdb"]
     assert rocks["state_store"] == "rocksdb" and rocks["exactly_once"]
-    assert (
-        rocks["join_query"]["state_rows_peak"]
-        == r["inclusion_join"]["join_query"]["state_rows_peak"]
+    # Peaks within 2% of each other, not exactly equal (r14 advice):
+    # exact equality relies on byte-identical micro-batch boundaries
+    # across two separate streaming runs — any listing/batching
+    # nondeterminism would flake the sweep. The invariant under test is
+    # that RocksDB holds the SAME working set, not the same batch cuts.
+    mem_peak = r["inclusion_join"]["join_query"]["state_rows_peak"]
+    rocks_peak = rocks["join_query"]["state_rows_peak"]
+    assert mem_peak > 0
+    assert abs(rocks_peak - mem_peak) <= max(2, 0.02 * mem_peak), (
+        rocks_peak, mem_peak,
     )
 
 
@@ -683,6 +759,102 @@ def test_blacklist_antijoin_broadcast_bound(spark, tmp_path, monkeypatch):
             spark.conf.unset(key)
 
 
+def test_blacklist_size_probe_dirs_globs_uris(spark, tmp_path):
+    """blacklist_size_bytes (r15, closes r14 verdict #1): the size probe
+    must see THROUGH the three input shapes the r14 version silently
+    undercounted — directories (walk and sum files, not the inode),
+    glob patterns (expand, then size), and scheme-qualified URIs (Hadoop
+    FS stat; file:// works in local mode, s3:// without a FS impl must
+    read as UNKNOWN, never 0). Unknown is the broadcast-unsafe case, so
+    it surfaces as None and the caller falls back to the shuffled plan."""
+    from mempool_dumpster_spark.plans.merge import blacklist_size_bytes
+
+    d = tmp_path / "bl_day"
+    (d / "nested").mkdir(parents=True)
+    (d / "a.csv").write_bytes(b"x" * 1000)
+    (d / "nested" / "b.csv").write_bytes(b"y" * 2000)
+    f = tmp_path / "single.csv"
+    f.write_bytes(b"z" * 500)
+
+    assert blacklist_size_bytes(spark, [str(f)]) == 500
+    # directory contributes its CONTENTS (3000), not the dir inode
+    assert blacklist_size_bytes(spark, [str(d)]) == 3000
+    assert blacklist_size_bytes(spark, [str(tmp_path / "*.csv")]) == 500
+    assert blacklist_size_bytes(spark, [str(f), str(d)]) == 3500
+    # Hadoop FS path: file:// URIs stat through the JVM in local mode
+    assert blacklist_size_bytes(spark, [f"file://{f}"]) == 500
+    # unknowns: missing file, empty glob, un-backed object-store scheme
+    assert blacklist_size_bytes(spark, [str(tmp_path / "nope.csv")]) is None
+    assert blacklist_size_bytes(spark, [str(tmp_path / "nope*.csv")]) is None
+    assert (
+        blacklist_size_bytes(spark, ["s3://bucket/blacklists/*.csv"]) is None
+    )
+    # one unknown poisons the total even when siblings are statable
+    assert (
+        blacklist_size_bytes(spark, [str(f), "s3://bucket/day2.csv"]) is None
+    )
+
+
+def test_blacklist_unstatable_path_takes_shuffled_anti(
+    spark, tmp_path, monkeypatch
+):
+    """r14 verdict #1 regression pin: a blacklist path the driver can't
+    stat (object-store URI with no local FS impl) summed to 0 bytes in
+    r14 and FORCE-BROADCAST — the exact 100 TB OOM the size gate exists
+    to prevent, resurrected on the deployment that motivated it. The
+    fail-safe default is now inverted: unknown size → no broadcast hint
+    → shuffled left-anti (reference semantics unchanged,
+    common/txsfile.go:115-119)."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from txgen import make_tx, tx_hash_of
+
+    from mempool_dumpster_spark.plans import merge as merge_mod
+
+    tx_csv = tmp_path / "txs.csv"
+    with open(tx_csv, "w") as f:
+        for i in range(10):
+            raw = make_tx(priv=0x910000 + i, nonce=i)
+            f.write(f"{1_693_785_600_000 + i},{tx_hash_of(raw)},{raw}\n")
+    bl_csv = tmp_path / "blacklist.csv"
+    with open(bl_csv, "w") as f:
+        f.write(f"0,{tx_hash_of(make_tx(priv=0x910000, nonce=0))}\n")
+
+    # The reader resolves the URI to local fixture bytes (scripted, like
+    # the feed tests) — the point under test is the SIZE PROBE's verdict
+    # on the URI, not Spark's s3 client.
+    real_reader = merge_mod.read_blacklist_csv
+    monkeypatch.setattr(
+        merge_mod, "read_blacklist_csv",
+        lambda spark_, paths: real_reader(spark_, [str(bl_csv)]),
+    )
+    monkeypatch.setattr(merge_mod, "expand_zip_inputs", lambda paths: paths)
+    # kill size-based auto-conversion so the 1-row fixture can't be
+    # broadcast on its own merits; only the hint (the bug) could
+    for key in ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+        spark.conf.set(key, "-1")
+    try:
+        result = merge_mod.merge_transactions(
+            spark, tx_paths=[str(tx_csv)],
+            blacklist_paths=["s3://bucket/blacklists/week/*.csv"],
+        )
+        plan = (
+            result.transactions._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan
+        assert not any("Broadcast" in ln for ln in anti), (
+            "unstatable blacklist must not force a broadcast:\n"
+            + "\n".join(anti)
+        )
+        assert result.transactions.count() == 9
+    finally:
+        for key in ("spark.sql.autoBroadcastJoinThreshold",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+            spark.conf.unset(key)
+
+
 @pytest.mark.sweep
 def test_skew_stress_harness_small_scale():
     """The Zipfian-day harness (r12 verdict #2) CI-checked small: the
@@ -745,3 +917,66 @@ def test_ann_recall_100x_floors():
     # ground truth drawn from a seeded hash sample, not vec_id < 10
     assert r["n_ground_truth_pairs"] >= 600, r["n_ground_truth_pairs"]
     assert "crc32" in r["query_sample"]
+    # r14 verdict #3: the SERVING path (pretrained index artifacts) has
+    # its own recall legs at the same tier — measured over the written
+    # index + JSON round-trip, not inherited from the inline twin
+    for rung in ("emb_knn_ivf_pretrained", "emb_knn_ivfpq_pretrained",
+                 "emb_knn_sq8_pretrained", "emb_knn_bq_pretrained"):
+        assert rung in r["recall_at3"], sorted(r["recall_at3"])
+        assert rung in r["floors"], sorted(r["floors"])
+
+
+def test_ann_params_single_sourced_incl_pretrained():
+    """r14 verdict finding #3: two recall bugs in two rounds (r13 PQ
+    refine collapse, r14 SQ8 refine=8 miss) were both shortlist-
+    parameter drift, and the pretrained entries still hand-coded their
+    parameters — the sq8_pretrained refine had to be hand-bumped 8→32.
+    Pins the r15 closure: every pretrained rung's params ARE its inline
+    rung's dict (aliased, not copied — a one-key edit cannot diverge
+    them), the registry entries route through the shared dispatchers
+    with no literal parameter values left in their bodies, and the
+    recall harness's floor tables cover every rung in the param table
+    so a new rung can't ship recall-unmeasured."""
+    import inspect
+
+    from mempool_dumpster_spark.plans import ml_queries as mq
+
+    for base in ("emb_knn_ivf", "emb_knn_ivfpq", "emb_knn_sq8",
+                 "emb_knn_bq"):
+        assert (
+            mq.ANN_RUNG_PARAMS[base + "_pretrained"]
+            is mq.ANN_RUNG_PARAMS[base]
+        ), base
+    # registry bodies are thin wrappers: dispatcher call present, no
+    # hand-coded shortlist/probe parameters left to drift
+    from mempool_dumpster_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("emb_knn_ivf_pretrained", "emb_knn_ivfpq_pretrained",
+                 "emb_knn_sq8_pretrained", "emb_knn_bq_pretrained"):
+        src = inspect.getsource(qs[name])
+        assert "ann_rung_topk_pretrained" in src, name
+        for literal in ("refine=", "nprobe=", "n_cells=", "k_codes="):
+            assert literal not in src, f"{name} hand-codes {literal}"
+    for name in ("emb_knn_lsh", "emb_knn_pq", "emb_knn_sq8", "emb_knn_bq",
+                 "emb_knn_ivfpq", "emb_knn_ivf"):
+        src = inspect.getsource(qs[name])
+        assert "ann_rung_topk(" in src, name
+    # the recall harness measures every rung the param table defines
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import ann_recall_100x as harness
+
+    inline = {k for k in mq.ANN_RUNG_PARAMS if not k.endswith("_pretrained")}
+    assert inline == set(harness.FLOORS), (
+        inline, set(harness.FLOORS),
+    )
+    pretrained = {k for k in mq.ANN_RUNG_PARAMS if k.endswith("_pretrained")}
+    assert pretrained == set(harness.PRETRAINED_FLOORS), (
+        pretrained, set(harness.PRETRAINED_FLOORS),
+    )
+    # the CLI's --refine default reads the same table (the pre-r15
+    # default of 4 was the drift class on the user-facing path)
+    import mempool_dumpster_spark.__main__ as cli
+
+    cli_src = inspect.getsource(cli.cmd_ann)
+    assert "ANN_RUNG_PARAMS" in cli_src

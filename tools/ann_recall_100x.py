@@ -46,9 +46,10 @@ SF10_DIR = "/tmp/spark_graft_sf10"
 
 #: seeded hash sample defining the query set: vec_ids with
 #: crc32(str(vec_id)) ≡ QUERY_RES (mod QUERY_MOD). At the 200k-vector
-#: tier this realizes 235 queries (hash-sample variance around the
-#: 200k/887 ≈ 225 expectation; mod 997 realized only 192 → 576 pairs
-#: and the ≥600 guard below correctly refused to publish) spread
+#: tier this realizes 230 queries / 690 ground-truth pairs (hash-sample
+#: variance around the 200k/887 ≈ 225 expectation; mod 997 realized
+#: only 192 → 576 pairs and the ≥600 guard below refused to publish;
+#: ANN_RECALL_100X_r14.json is the committed realization) spread
 #: uniformly over the id space (exact/near/independent copy strata
 #: alike — the stressgen corpus interleaves them by id).
 #: Deterministic, so the artifact is reproducible; no RNG, so reruns
@@ -73,6 +74,23 @@ FLOORS = {
     "emb_knn_sq8": 0.90,
     "emb_knn_bq": 0.85,
     "emb_knn_lsh": 0.90,
+}
+
+#: r15 (r14 verdict finding #3): the SERVING path gets its own recall
+#: legs at the same 200k tier — both recall bugs (r13 PQ, r14 SQ8) were
+#: shortlist-parameter drift, and the pretrained entries were the one
+#: place parameters were still hand-copied. They now route through
+#: ann_rung_topk_pretrained reading the same ANN_RUNG_PARAMS as the
+#: inline rungs (aliased dicts — cannot diverge), and these legs verify
+#: the SERVED index artifact (write → JSON round-trip → probe) hits the
+#: same floors as its inline twin. sq8/bq are bit-identical to inline
+#: by construction; ivfpq shares the recall gate; ivf trains on a
+#: crc32-parity half-sample so its recall is measured, not inherited.
+PRETRAINED_FLOORS = {
+    "emb_knn_ivf_pretrained": 0.90,
+    "emb_knn_ivfpq_pretrained": 0.90,
+    "emb_knn_sq8_pretrained": 0.90,
+    "emb_knn_bq_pretrained": 0.85,
 }
 
 
@@ -129,6 +147,26 @@ def measure(spark) -> dict:
         }
         out["recall_at3"][name] = round(len(exact & approx) / len(exact), 4)
         out["rung_sec"][name] = round(time.time() - t1, 1)
+
+    from mempool_dumpster_spark.plans.ml_queries import (
+        ann_rung_topk_pretrained,
+    )
+    from mempool_dumpster_spark.plans.timing import pop_build
+
+    for name in PRETRAINED_FLOORS:
+        t1 = time.time()
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_rung_topk_pretrained(
+                name, spark, emb, queries, "recall100x"
+            ).collect()
+        }
+        out["recall_at3"][name] = round(len(exact & approx) / len(exact), 4)
+        wall = time.time() - t1
+        build = pop_build(name) or 0.0
+        out["rung_sec"][name] = round(wall, 1)
+        out.setdefault("rung_build_sec", {})[name] = round(build, 1)
+        out.setdefault("rung_serve_sec", {})[name] = round(wall - build, 1)
     queries.unpersist()
     return out
 
@@ -141,10 +179,10 @@ def main() -> int:
 
     spark = get_spark("ann-recall-100x")
     report = measure(spark)
-    report["floors"] = FLOORS
+    report["floors"] = {**FLOORS, **PRETRAINED_FLOORS}
     report["violations"] = [
         f"{name} recall@3 {report['recall_at3'][name]} < floor {floor}"
-        for name, floor in FLOORS.items()
+        for name, floor in report["floors"].items()
         if report["recall_at3"][name] < floor
     ]
     report["pass"] = not report["violations"]
