@@ -94,6 +94,10 @@ STRESS_QUERIES = [
     # tier, where the old driver-side Counter over distinct pretokens
     # would have choked on the ~500k-substring explode.
     "docs_unigram_train",
+    # r15 (r14 verdict #6): linear-oracle digest twins for the last two
+    # heavyweight families without 100× exact-hash coverage — ride the
+    # 10× tier too so a regression shows before the expensive sweep.
+    "emb_bucket_sig_digest", "docs_gram_fingerprint_digest",
 ]
 
 
@@ -535,6 +539,24 @@ def test_stream_stress_harness_small_scale():
     assert abs(rocks_peak - mem_peak) <= max(2, 0.02 * mem_peak), (
         rocks_peak, mem_peak,
     )
+    # r15 (r14 verdict #5): the collector dedup working set has its own
+    # RocksDB leg with the same exactly-once ledger
+    col_rocks = r["collector_rocksdb"]
+    assert col_rocks["state_store"] == "rocksdb" and col_rocks["pass"]
+    assert col_rocks["sourcelog_exact"]
+    assert col_rocks["transactions_distinct_exact"]
+    # r15 (r14 verdict #7): the ST4 applyInPandasWithState operator at
+    # replay scale — exact ordered-source folds vs the batch J1 answer,
+    # idempotent per-batch output, mid-run kill, bounded state peak —
+    # on BOTH state backends
+    for leg in ("stateful_attach", "stateful_attach_rocksdb"):
+        st = r[leg]
+        assert st["pass"], st
+        assert st["keys_exact"] and st["final_fold_mismatches"] == 0
+        assert st["key_batch_unique"] and st["kill_mid_run"]
+        assert 0 < st["rows_seen_at_kill"] < st["n_receipts"]
+        assert st["state_peak_frac_of_keys"] <= st["state_peak_frac_max"]
+    assert r["stateful_attach_rocksdb"]["state_store"] == "rocksdb"
 
 
 def test_sweep_all_disk_projection_and_refusal():

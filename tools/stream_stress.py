@@ -232,8 +232,43 @@ class _ProgressTap:
         }
 
 
+class _StateStoreConf:
+    """Context manager flipping the session's state-store provider for
+    one leg's FRESH checkpoint (the provider is fixed per checkpoint,
+    so distinct tags keep legs separate), restoring the prior value on
+    exit. Factored out in r15 so the collector-dedup, TTL-plateau and
+    ST4 legs get the same RocksDB parametrization the inclusion join
+    got in r14 (r14 verdict next-round #5)."""
+
+    CONF_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark, state_store: str | None):
+        self.spark = spark
+        self.state_store = state_store
+        self.prev = None
+
+    def __enter__(self):
+        from mempool_dumpster_spark.session import (
+            ROCKSDB_STATE_STORE_PROVIDER,
+        )
+
+        self.prev = self.spark.conf.get(self.CONF_KEY, None)
+        if self.state_store == "rocksdb":
+            self.spark.conf.set(self.CONF_KEY, ROCKSDB_STATE_STORE_PROVIDER)
+        return self
+
+    def __exit__(self, *exc):
+        if self.state_store == "rocksdb":
+            if self.prev:
+                self.spark.conf.set(self.CONF_KEY, self.prev)
+            else:
+                self.spark.conf.unset(self.CONF_KEY)
+        return False
+
+
 def drain_collector(
     spark, base: str, counts: dict, max_files_per_trigger: int = 16,
+    tag: str = "", state_store: str | None = None,
 ) -> dict:
     """Single availableNow drain through the live topology, no kill —
     the bench's streaming-throughput measurement (mirrors _bench_merge's
@@ -245,20 +280,21 @@ def drain_collector(
         start_collector,
     )
 
-    out_dir = os.path.join(base, "bench_out")
-    ckpt = os.path.join(base, "bench_ckpt")
+    out_dir = os.path.join(base, f"bench_out{tag}")
+    ckpt = os.path.join(base, f"bench_ckpt{tag}")
     for d in (out_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     tap = _ProgressTap()
     t0 = time.time()
-    qs = start_collector(
-        file_stream_source(spark, os.path.join(base, "in"),
-                           max_files_per_trigger),
-        out_dir=out_dir,
-        checkpoint_dir=ckpt,
-        trigger_available_now=True,
-    )
-    qs.await_all()
+    with _StateStoreConf(spark, state_store):
+        qs = start_collector(
+            file_stream_source(spark, os.path.join(base, "in"),
+                               max_files_per_trigger),
+            out_dir=out_dir,
+            checkpoint_dir=ckpt,
+            trigger_available_now=True,
+        )
+        qs.await_all()
     wall = round(time.time() - t0, 2)
     tap.sweep(qs.transactions)
     tx_distinct = (
@@ -270,6 +306,7 @@ def drain_collector(
     )
     s = tap.summary()
     return {
+        "state_store": state_store or "memory",
         "n_receipts": counts["receipts"],
         "wall_sec": wall,
         "receipts_per_sec_wall": round(counts["receipts"] / wall, 1),
@@ -283,51 +320,54 @@ def drain_collector(
 def replay_collector(
     spark, base: str, counts: dict, kill_frac: float = 0.45,
     max_files_per_trigger: int = 12,
+    tag: str = "", state_store: str | None = None,
 ) -> dict:
     from mempool_dumpster_spark.streaming.collector import (
         file_stream_source,
         start_collector,
     )
 
-    out_dir = os.path.join(base, "out")
-    ckpt = os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, f"out{tag}")
+    ckpt = os.path.join(base, f"ckpt{tag}")
     for d in (out_dir, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     in_dir = os.path.join(base, "in")
     tap = _ProgressTap()
     n_receipts = counts["receipts"]
 
-    # Leg 1 — continuous trigger; kill mid-run, not at a batch boundary.
-    t0 = time.time()
-    qs = start_collector(
-        file_stream_source(spark, in_dir, max_files_per_trigger),
-        out_dir=out_dir,
-        checkpoint_dir=ckpt,
-        trigger_available_now=False,
-    )
-    deadline = time.time() + 3600
-    while tap.input_rows < kill_frac * n_receipts:
-        if time.time() > deadline:
-            qs.stop_all()
-            raise RuntimeError("leg 1 made no progress within 1 h")
-        time.sleep(0.5)
-        tap.record(qs.transactions.lastProgress)
-    tap.sweep(qs.transactions)
-    qs.stop_all()  # interrupts any in-flight micro-batch
-    leg1_sec = round(time.time() - t0, 1)
-    rows_at_kill = tap.input_rows
+    with _StateStoreConf(spark, state_store):
+        # Leg 1 — continuous trigger; kill mid-run, not at a batch
+        # boundary.
+        t0 = time.time()
+        qs = start_collector(
+            file_stream_source(spark, in_dir, max_files_per_trigger),
+            out_dir=out_dir,
+            checkpoint_dir=ckpt,
+            trigger_available_now=False,
+        )
+        deadline = time.time() + 3600
+        while tap.input_rows < kill_frac * n_receipts:
+            if time.time() > deadline:
+                qs.stop_all()
+                raise RuntimeError("leg 1 made no progress within 1 h")
+            time.sleep(0.5)
+            tap.record(qs.transactions.lastProgress)
+        tap.sweep(qs.transactions)
+        qs.stop_all()  # interrupts any in-flight micro-batch
+        leg1_sec = round(time.time() - t0, 1)
+        rows_at_kill = tap.input_rows
 
-    # Leg 2 — restart from the SAME checkpoint, drain to completion.
-    t1 = time.time()
-    qs2 = start_collector(
-        file_stream_source(spark, in_dir, max_files_per_trigger),
-        out_dir=out_dir,
-        checkpoint_dir=ckpt,
-        trigger_available_now=True,
-    )
-    qs2.await_all()
-    leg2_sec = round(time.time() - t1, 1)
-    tap.sweep(qs2.transactions)
+        # Leg 2 — restart from the SAME checkpoint, drain to completion.
+        t1 = time.time()
+        qs2 = start_collector(
+            file_stream_source(spark, in_dir, max_files_per_trigger),
+            out_dir=out_dir,
+            checkpoint_dir=ckpt,
+            trigger_available_now=True,
+        )
+        qs2.await_all()
+        leg2_sec = round(time.time() - t1, 1)
+        tap.sweep(qs2.transactions)
 
     # --- exactly-once verification, split by sink semantics ---
     sl = spark.read.schema(
@@ -350,6 +390,7 @@ def replay_collector(
 
     wall = leg1_sec + leg2_sec
     report = {
+        "state_store": state_store or "memory",
         "n_receipts": n_receipts,
         "n_valid_receipts": counts["valid_receipts"],
         "n_valid_unique": counts["valid_unique"],
@@ -408,7 +449,6 @@ def replay_inclusion(
     from pyspark.sql import functions as F
 
     from mempool_dumpster_spark.functions.rlp_udf import tx_hash_udf
-    from mempool_dumpster_spark.session import ROCKSDB_STATE_STORE_PROVIDER
     from mempool_dumpster_spark.streaming.collector import file_stream_source
     from mempool_dumpster_spark.streaming.inclusion import stream_inclusion_join
 
@@ -420,11 +460,6 @@ def replay_inclusion(
     ckpt = os.path.join(base, f"incl_ckpt{tag}")
     for d in (out, ckpt):
         shutil.rmtree(d, ignore_errors=True)
-
-    conf_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(conf_key, None)
-    if state_store == "rocksdb":
-        spark.conf.set(conf_key, ROCKSDB_STATE_STORE_PROVIDER)
 
     n_unique = counts["n_unique"]
     last_ms = T0_MS + (n_unique - 1) * counts["step_ms"]
@@ -471,7 +506,7 @@ def replay_inclusion(
         tap.sweep(q)
 
     t0 = time.time()
-    try:
+    with _StateStoreConf(spark, state_store):
         drain()
         # Two sentinel waves: wave 1's rows advance the watermark that wave
         # 2's batch USES for eviction (Spark applies the watermark computed
@@ -484,12 +519,6 @@ def replay_inclusion(
             with open(os.path.join(bl_dir, f"zz_sentinel_{wave}.csv"), "w") as f:
                 f.write(f"{_ts_str(sent_ms + wave)},0,0xsentinel\n")
             drain()
-    finally:
-        if state_store == "rocksdb":
-            if prev_provider:
-                spark.conf.set(conf_key, prev_provider)
-            else:
-                spark.conf.unset(conf_key)
     wall = round(time.time() - t0, 1)
 
     res = spark.read.parquet(out)
@@ -526,7 +555,10 @@ def replay_inclusion(
 PLATEAU_MAX_RATIO = 1.2
 
 
-def ttl_plateau(spark, n_unique_per_day: int, procs: int) -> dict:
+def ttl_plateau(
+    spark, n_unique_per_day: int, procs: int,
+    state_store: str | None = None,
+) -> dict:
     """Watermark-eviction plateau assertion (r13 verdict #5): r13's
     state_rows_peak 45,207 at 1 M receipts SHOWED eviction working but
     never asserted it — a state leak would only read as a bigger peak.
@@ -553,7 +585,11 @@ def ttl_plateau(spark, n_unique_per_day: int, procs: int) -> dict:
             n_unique_per_day * span, base, procs, parts=8 * span,
             span_days=span,
         )
-        r = drain_collector(spark, base, counts)
+        r = drain_collector(
+            spark, base, counts,
+            tag=f"_{state_store}" if state_store else "",
+            state_store=state_store,
+        )
         legs[f"span_{span}d"] = r
         peaks[span] = r["state_rows_peak"]
     ratio = round(peaks[3] / max(peaks[1], 1), 3)
@@ -561,6 +597,7 @@ def ttl_plateau(spark, n_unique_per_day: int, procs: int) -> dict:
     # the working set a healthy TTL holds, independent of span
     window_uniques = int(n_unique_per_day * 30 / 1440)
     return {
+        "state_store": state_store or "memory",
         "n_unique_per_day": n_unique_per_day,
         "window_30min_uniques": window_uniques,
         "state_rows_peak_1d": peaks[1],
@@ -571,6 +608,184 @@ def ttl_plateau(spark, n_unique_per_day: int, procs: int) -> dict:
         "pass": ratio <= PLATEAU_MAX_RATIO
         and all(r["unique_exact"] for r in legs.values()),
     }
+
+
+def replay_stateful(
+    spark, base: str, counts: dict, kill_frac: float = 0.45,
+    max_files_per_trigger: int = 12,
+    tag: str = "", state_store: str | None = None,
+) -> dict:
+    """ST4 stress (r14 verdict next-round #7): the one custom stateful
+    operator family (streaming/stateful.sources_attach_stream —
+    applyInPandasWithState first-source-wins with event-time TTL)
+    replayed at full receipt scale with a mid-run kill/restart.
+
+    Assertions:
+    - EXACT semantics at scale: every key's final emitted (sources
+      array, first_seen_ms) equals the batch J1 fold over the same
+      input — ordered dedup by (ts, source), min timestamp. The stream
+      and batch answers agree because each hash's receipts land within
+      ~1 s of each other (far inside the 30-min TTL) and in one input
+      file, so no key's state is evicted mid-life.
+    - EXACTLY-ONCE OUTPUT: update-mode emissions flow through an
+      idempotent foreachBatch (one overwrite-dir per batch id), so a
+      replayed post-kill batch lands byte-identically instead of
+      duplicating; (key, batch) pairs are asserted unique and the kill
+      is asserted mid-run.
+    - TTL EVICTION: the state peak stays a small fraction of total
+      keys — a 30-min working set over a day-long replay — recorded as
+      peak/keys and bounded, the same leak-vs-TTL signal the plateau
+      section measures for ST1.
+    """
+    from pyspark.sql import functions as F
+
+    from mempool_dumpster_spark.functions.rlp_udf import tx_hash_udf
+    from mempool_dumpster_spark.functions.scalars import epoch_ms
+    from mempool_dumpster_spark.streaming.collector import file_stream_source
+    from mempool_dumpster_spark.streaming.stateful import (
+        sources_attach_stream,
+    )
+
+    in_dir = os.path.join(base, "in")
+    out = os.path.join(base, f"st4_out{tag}")
+    ckpt = os.path.join(base, f"st4_ckpt{tag}")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out)
+    tap = _ProgressTap()
+    n_receipts = counts["receipts"]
+
+    def start(available_now: bool):
+        stream = (
+            file_stream_source(spark, in_dir, max_files_per_trigger)
+            .withColumn("hash", tx_hash_udf(F.col("raw_tx")))
+            .filter(F.col("hash").isNotNull())
+            .select("hash", "source", "received_at")
+        )
+        attached = sources_attach_stream(stream)
+
+        def write_batch(bdf, bid: int) -> None:
+            # idempotent per-batch dir: a post-restart replay of batch
+            # `bid` overwrites with identical content (exactly-once)
+            bdf.withColumn("bid", F.lit(bid)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"b{bid:06d}"))
+
+        w = (
+            attached.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    with _StateStoreConf(spark, state_store):
+        # leg 1: continuous trigger, kill mid-run
+        t0 = time.time()
+        q = start(available_now=False)
+        deadline = time.time() + 3600
+        while tap.input_rows < kill_frac * n_receipts:
+            if time.time() > deadline:
+                q.stop()
+                raise RuntimeError("ST4 leg 1 made no progress within 1 h")
+            time.sleep(0.5)
+            tap.record(q.lastProgress)
+        tap.sweep(q)
+        q.stop()
+        leg1_sec = round(time.time() - t0, 1)
+        rows_at_kill = tap.input_rows
+
+        # leg 2: restart from the same checkpoint, drain
+        t1 = time.time()
+        q2 = start(available_now=True)
+        while q2.isActive:
+            time.sleep(0.5)
+            tap.record(q2.lastProgress)
+        q2.awaitTermination()
+        tap.sweep(q2)
+        leg2_sec = round(time.time() - t1, 1)
+
+    emitted = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    emitted.cache()
+    rows_out = emitted.count()
+    kb_distinct = emitted.select("key", "bid").distinct().count()
+
+    from pyspark.sql import Window
+
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(F.col("bid").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("key", "sources", "first_seen_ms")
+    )
+    expected = (
+        spark.read.schema("received_at timestamp, raw_tx string, source string")
+        .csv(in_dir)
+        .withColumn("hash", tx_hash_udf(F.col("raw_tx")))
+        .filter(F.col("hash").isNotNull())
+        .select(
+            "hash", "source", epoch_ms("received_at").alias("ts_ms")
+        )
+        .groupBy("hash")
+        .agg(
+            F.array_distinct(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_ms", "source"))
+                    ),
+                    lambda s: s.getField("source"),
+                )
+            ).alias("exp_sources"),
+            F.min("ts_ms").alias("exp_first_ms"),
+        )
+    )
+    joined = final.join(expected, final.key == expected.hash, "full_outer")
+    mismatches = joined.filter(
+        F.col("key").isNull()
+        | F.col("hash").isNull()
+        | (F.col("sources") != F.col("exp_sources"))
+        | (F.col("first_seen_ms") != F.col("exp_first_ms"))
+    ).count()
+    n_keys = final.count()
+    emitted.unpersist()
+
+    s = tap.summary()
+    peak_frac = round(s["state_rows_peak"] / max(counts["valid_unique"], 1), 4)
+    report = {
+        "state_store": state_store or "memory",
+        "n_receipts": n_receipts,
+        "leg1_wall_sec": leg1_sec,
+        "leg2_wall_sec": leg2_sec,
+        "rows_seen_at_kill": rows_at_kill,
+        "receipts_per_sec_wall": round(
+            n_receipts / (leg1_sec + leg2_sec), 1
+        ),
+        "rows_emitted": rows_out,
+        "keys_final": n_keys,
+        "keys_exact": n_keys == counts["valid_unique"],
+        "final_fold_mismatches": mismatches,
+        "key_batch_unique": kb_distinct == rows_out,
+        "kill_mid_run": 0 < rows_at_kill < n_receipts,
+        "stateful_query": s,
+        "state_peak_frac_of_keys": peak_frac,
+        # TTL eviction evidence: a leak would hold ~every key (frac→1);
+        # a healthy event-time TTL holds roughly the watermark-lagged
+        # batch window (a few % of a day at 12 files/trigger)
+        "state_peak_frac_max": 0.6,
+    }
+    report["pass"] = (
+        report["keys_exact"]
+        and mismatches == 0
+        and report["key_batch_unique"]
+        and report["kill_mid_run"]
+        and peak_frac <= report["state_peak_frac_max"]
+    )
+    return report
 
 
 def main() -> None:
@@ -601,6 +816,24 @@ def main() -> None:
         "cpus": spark.sparkContext.defaultParallelism,
     }
     checks = [report["collector"]["pass"]]
+    # r15 (r14 verdict #5): the collector's dedup working set
+    # (dropDuplicatesWithinWatermark state) gets its own RocksDB leg —
+    # r14 ran RocksDB only on the inclusion join
+    report["collector_rocksdb"] = replay_collector(
+        spark, base, counts, tag="_rocks", state_store="rocksdb"
+    )
+    checks.append(report["collector_rocksdb"]["pass"])
+    # r15 (r14 verdict #7): the ST4 custom stateful operator
+    # (applyInPandasWithState first-source-wins) at replay scale with
+    # kill/restart, both state backends
+    report["stateful_attach"] = replay_stateful(spark, base, counts)
+    report["stateful_attach_rocksdb"] = replay_stateful(
+        spark, base, counts, tag="_rocks", state_store="rocksdb"
+    )
+    checks += [
+        report["stateful_attach"]["pass"],
+        report["stateful_attach_rocksdb"]["pass"],
+    ]
     if with_inclusion:
         # side-by-side state-store legs (r13 verdict #3): same day, same
         # join, fresh checkpoints — in-memory vs RocksDB at parity rates
@@ -617,7 +850,18 @@ def main() -> None:
             spark, int(os.environ.get("SPARK_GRAFT_PLATEAU_UNIQUES",
                                       "60000")), procs
         )
-        checks.append(report["ttl_plateau"]["pass"])
+        # r15 (r14 verdict #5): the plateau replay under RocksDB too —
+        # eviction behavior is provider-implemented, so the ≤1.2 ratio
+        # must hold on the scale backend, not just in-memory
+        report["ttl_plateau_rocksdb"] = ttl_plateau(
+            spark, int(os.environ.get("SPARK_GRAFT_PLATEAU_UNIQUES",
+                                      "60000")), procs,
+            state_store="rocksdb",
+        )
+        checks += [
+            report["ttl_plateau"]["pass"],
+            report["ttl_plateau_rocksdb"]["pass"],
+        ]
     report["pass"] = all(checks)
     print(json.dumps(report))
     if out_json:

@@ -90,6 +90,12 @@ SF10_QUERIES = [
     "docs_minhash_sig_digest",
     "docs_gopher_rules", "docs_redact_pii", "docs_tfidf_terms",
     "docs_token_stats", "docs_quality_curriculum",
+    # r15 (r14 verdict #6): the last two heavyweight families without
+    # 100× exact-hash coverage get their digest twins — emb_near_pairs'
+    # LSH bucket-signature stage (pairs oracle quadratic) and the
+    # ExactSubstr span family's positional-gram stage (frequent-gram
+    # join oracle spill-heavy). Both oracles are LINEAR in the corpus.
+    "emb_bucket_sig_digest", "docs_gram_fingerprint_digest",
 ]
 
 #: scratch allowance per derived-corpus tier, as a multiple of the
