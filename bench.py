@@ -753,12 +753,16 @@ GATED_SECTIONS = (
 )
 
 
-def _section_probe() -> dict:
-    """One-shot multi-core md5 probe + 1-min load, stamped immediately
-    before a gated pipeline section (cheap: one 48 MB×threads hash round,
-    ~0.2 s quiet). Deliberately a snapshot, not a median — the question
-    it answers is 'was the box busy RIGHT NOW', and smoothing would hide
-    exactly the mid-run ramp it exists to catch."""
+def _section_probe(settle_sec: float = 2.0) -> dict:
+    """Multi-core md5 probe + 1-min load, stamped at each edge of a
+    gated pipeline section. Two snapshots 3 s apart after a short
+    settle, keeping the MIN scale: a probe fired immediately after a
+    32-way Spark burst reads the burst's own decaying GC/executor tail
+    as contention (measured 2.4× on a quiet box, r15 smoke) — that
+    decay is gone one snapshot later, while genuine external load
+    persists across the gap. The min is therefore an estimator of
+    PERSISTENT contention, which is the only kind the gate logic should
+    relax or exclude on; both raw snapshots ride along for forensics."""
     import hashlib
     import threading
 
@@ -770,35 +774,61 @@ def _section_probe() -> dict:
         for _ in range(n_mb):
             h.update(buf)
 
-    threads = [
-        threading.Thread(target=_hash_mb, args=(48,)) for _ in range(n_thr)
-    ]
-    t0 = time.time()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    sec = time.time() - t0
+    def _one() -> float:
+        threads = [
+            threading.Thread(target=_hash_mb, args=(48,))
+            for _ in range(n_thr)
+        ]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return time.time() - t0
+
+    time.sleep(settle_sec)
+    s1 = _one()
+    time.sleep(3.0)
+    s2 = _one()
+    sec = min(s1, s2)
     return {
         "md5_mt_48mb_sec": round(sec, 3),
+        "snapshots": [round(s1, 3), round(s2, 3)],
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "probe_scale": round(max(1.0, sec / REF_CPU_PROBE_MT), 2),
     }
 
 
 def _section_gate_scale(data: dict, section: str, env_scale: float):
-    """(effective scale, excluded?) for one gated section: the floor
-    normalizes by the WORSE of the session probe and the section's own
-    pre-section probe; past GATE_SECTION_MAX_PROBE_SCALE the section is
-    gate-ineligible (normalization past 2× stops being honest — the
-    probe ran before the section, and contention that heavy is not
-    stationary across it)."""
-    sec_scale = ((data.get(section) or {}).get("section_probe") or {}).get(
-        "probe_scale"
-    )
-    if sec_scale is None:
+    """(effective scale, excluded?) for one gated section, from its
+    before/after probe pair:
+
+    - EXCLUSION keys on the pair's MAX — contention visible at either
+      edge of the section past GATE_SECTION_MAX_PROBE_SCALE marks it
+      gate-ineligible (normalization past 2× stops being honest, and a
+      mid-run ramp shows up in the after-probe even when the
+      before-probe read parity — exactly BENCH_r14's shape).
+    - FLOOR RELAXATION keys on the pair's MIN (worst of that and the
+      session scale): the bench's own just-finished section leaves
+      decaying GC/actor load that a single before-probe reads as
+      contention (observed 1.63 on a quiet box, r15) — relaxing the
+      floor on that snapshot would let a genuine regression hide. If
+      the box was quiet at EITHER edge, the section plausibly ran
+      quiet, so the floor stays tight; sustained contention reads high
+      at both edges and relaxes honestly.
+
+    Artifacts from the single-probe interim (before only) fall back to
+    that probe for both roles."""
+    sec = (data.get(section) or {}).get("section_probe") or {}
+    before = sec.get("probe_scale")
+    if before is None:
         return env_scale, False
-    return max(env_scale, sec_scale), sec_scale > GATE_SECTION_MAX_PROBE_SCALE
+    after = (
+        (data.get(section) or {}).get("section_probe_after") or {}
+    ).get("probe_scale", before)
+    relax = max(env_scale, min(before, after))
+    excluded = max(before, after) > GATE_SECTION_MAX_PROBE_SCALE
+    return relax, excluded
 
 
 def gate_exclusions(data: dict) -> list[str]:
@@ -814,10 +844,15 @@ def gate_exclusions(data: dict) -> list[str]:
             continue
         _, excluded = _section_gate_scale(data, section, env_scale)
         if excluded:
-            sec = (data[section].get("section_probe") or {})
+            before = (data[section].get("section_probe") or {}).get(
+                "probe_scale"
+            )
+            after = (data[section].get("section_probe_after") or {}).get(
+                "probe_scale"
+            )
             out.append(
-                f"{section}: section probe scale "
-                f"{sec.get('probe_scale')} > {GATE_SECTION_MAX_PROBE_SCALE}"
+                f"{section}: section probe scale before={before} "
+                f"after={after} exceeds {GATE_SECTION_MAX_PROBE_SCALE}"
                 " — box got busy mid-run; gate-ineligible, rerun quiet"
             )
     return out
@@ -1033,10 +1068,12 @@ def main() -> None:
     probe_m = _section_probe()
     merge_mid = _bench_merge(spark, n=15_000, n_runs=2)
     merge_mid["section_probe"] = probe_m
+    merge_mid["section_probe_after"] = _section_probe()
     probe_s = _section_probe()
     stream_mid = _bench_stream_15k(spark)
     if stream_mid is not None:
         stream_mid["section_probe"] = probe_s
+        stream_mid["section_probe_after"] = _section_probe()
     ann_recall = _bench_ann_recall(spark)
     pretrained_serve = _bench_pretrained_serve(spark, sf_dir)
     prep_stats = _bench_prep(spark, sf_dir)
@@ -1044,6 +1081,7 @@ def main() -> None:
     prep_mid = _bench_prep_15k(spark)
     if prep_mid is not None:
         prep_mid["section_probe"] = probe_p
+        prep_mid["section_probe_after"] = _section_probe()
     gate_cal = _bench_gate_calibration(spark, sf_dir)
     text_micro = _bench_text_microcost(spark, sf_dir)
     selection = _bench_selection(spark, sf_dir)
@@ -1058,8 +1096,7 @@ def main() -> None:
     env["calibration_eligible"] = (
         env["probe_scale"] <= CALIBRATION_MAX_PROBE_SCALE
     )
-    print(
-        json.dumps(
+    out = (
             _assemble_output(
                 dispersion=dispersion,
                 merge_stats=merge_stats,
@@ -1083,8 +1120,12 @@ def main() -> None:
                 timings=timings,
                 total=total,
             )
-        )
     )
+    # self-describing gate eligibility (r15): the artifact names any
+    # section its own probe pair disqualifies, so a polluted run can't
+    # silently read as all-gates-green OR as a regression
+    env["gate_exclusions"] = gate_exclusions(out)
+    print(json.dumps(out))
     spark.stop()
 
 

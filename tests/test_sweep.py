@@ -353,22 +353,27 @@ def test_contended_section_excluded_from_gates():
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 
-    def art(stream_rate, section_scale):
-        probe = (
-            None if section_scale is None
-            else {"md5_mt_48mb_sec": round(
-                bench.REF_CPU_PROBE_MT * section_scale, 4),
-                "load_avg_1m": 9.9, "probe_scale": section_scale}
-        )
+    def art(stream_rate, scale_before, scale_after="same"):
+        def probe(s):
+            return None if s is None else {
+                "md5_mt_48mb_sec": round(bench.REF_CPU_PROBE_MT * s, 4),
+                "load_avg_1m": 9.9, "probe_scale": s,
+            }
+
+        sec = {
+            "receipts_per_sec_steady": stream_rate,
+            "section_probe": probe(scale_before),
+        }
+        if scale_after != "same":
+            sec["section_probe_after"] = probe(scale_after)
+        elif scale_before is not None:
+            sec["section_probe_after"] = probe(scale_before)
         return {
             "env": {"cpu_probe": {
                 "md5_mt_48mb_sec": bench.REF_CPU_PROBE_MT}},
             "merge_pipeline_15k": {
                 "tx_per_sec_steady": 9000.0, "section_probe": None},
-            "stream_pipeline_15k": {
-                "receipts_per_sec_steady": stream_rate,
-                "section_probe": probe,
-            },
+            "stream_pipeline_15k": sec,
             "prep_pipeline_15k": {
                 "docs_per_sec": 3500.0, "docs_in": 16000,
             },
@@ -377,26 +382,45 @@ def test_contended_section_excluded_from_gates():
                 "serve_sec": 1.0}},
         }
 
-    # r14's actual shape: 316 r/s, box busy (scale 3.2) → excluded, not
-    # a violation, and the exclusion is named
+    # sustained contention (scale 3.2 at both edges) → excluded, not a
+    # violation, and the exclusion is named
     polluted = art(316.0, 3.2)
     violations = bench.check_throughput_gates(polluted)
     assert not any("stream" in v for v in violations), violations
     excl = bench.gate_exclusions(polluted)
     assert len(excl) == 1 and "stream_pipeline_15k" in excl[0], excl
-    # mild contention (scale 1.5, under the 2.0 bound): floor relaxes by
-    # the SECTION scale — 700 r/s passes a 1000/1.5=667 floor
+    # r14's actual shape — box got busy MID-RUN (before-probe parity,
+    # after-probe hot): the after edge alone must disqualify the section
+    ramped = art(316.0, 1.0, 3.2)
+    assert not any(
+        "stream" in v for v in bench.check_throughput_gates(ramped)
+    )
+    assert bench.gate_exclusions(ramped)
+    # mild sustained contention (1.5 both edges, under the 2.0 bound):
+    # floor relaxes by the section scale — 700 r/s passes 1000/1.5=667
     assert not any(
         "stream" in v for v in bench.check_throughput_gates(art(700.0, 1.5))
     )
     assert not bench.gate_exclusions(art(700.0, 1.5))
-    # same slow reading on a QUIET section probe → genuine regression
+    # DECAYING bench-tail load (before 1.5, after 1.0): the floor must
+    # NOT relax — the min of the pair keys relaxation, so a genuine
+    # 700 r/s regression on a section that ran quiet still fails
+    decayed = bench.check_throughput_gates(art(700.0, 1.5, 1.0))
+    assert any("stream_15k" in v for v in decayed), decayed
+    # same slow reading on a QUIET probe pair → genuine regression
     quiet_slow = bench.check_throughput_gates(art(316.0, 1.0))
     assert any("stream_15k" in v for v in quiet_slow), quiet_slow
     # legacy artifact without section probes: env-scale path unchanged
     legacy_slow = bench.check_throughput_gates(art(316.0, None))
     assert any("stream_15k" in v for v in legacy_slow), legacy_slow
     assert not bench.gate_exclusions(art(316.0, None))
+    # interim single-probe artifact (before only, e.g. BENCH_r15_quiet):
+    # that probe serves both roles
+    interim = art(700.0, 1.5, None)
+    del interim["stream_pipeline_15k"]["section_probe_after"]
+    assert not any(
+        "stream" in v for v in bench.check_throughput_gates(interim)
+    )
 
 
 @pytest.mark.sweep
