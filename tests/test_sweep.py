@@ -536,7 +536,10 @@ def test_stream_stress_harness_small_scale():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "stream_stress.py"),
          "2000", out_json, "--inclusion"],
-        cwd=REPO, capture_output=True, text=True, timeout=1200,
+        # r15 widened the harness from 3 legs to 7 (collector+ST4 on
+        # both state backends); at the 2k smoke the wall is
+        # kill-poll/file-cadence-bound, ~2-3 min per kill/restart leg
+        cwd=REPO, capture_output=True, text=True, timeout=2400,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     with open(out_json) as f:
