@@ -831,6 +831,22 @@ def _section_gate_scale(data: dict, section: str, env_scale: float):
     return relax, excluded
 
 
+def _queries_gate_scale(data: dict, env_scale: float):
+    """(effective scale, excluded?) for the per-query ceiling gates,
+    from the queries section's before/after probe pair in env — same
+    min/max semantics as _section_gate_scale."""
+    env = data.get("env") or {}
+    before = (env.get("queries_probe") or {}).get("probe_scale")
+    if before is None:
+        return env_scale, False
+    after = (env.get("queries_probe_after") or {}).get(
+        "probe_scale", before
+    )
+    relax = max(env_scale, min(before, after))
+    excluded = max(before, after) > GATE_SECTION_MAX_PROBE_SCALE
+    return relax, excluded
+
+
 def gate_exclusions(data: dict) -> list[str]:
     """Sections excluded from gate evaluation because their own
     pre-section probe shows mid-run contention. Companion to
@@ -855,6 +871,16 @@ def gate_exclusions(data: dict) -> list[str]:
                 f"after={after} exceeds {GATE_SECTION_MAX_PROBE_SCALE}"
                 " — box got busy mid-run; gate-ineligible, rerun quiet"
             )
+    _, q_excluded = _queries_gate_scale(data, env_scale)
+    if q_excluded:
+        env = data.get("env") or {}
+        out.append(
+            "queries: section probe scale before="
+            f"{(env.get('queries_probe') or {}).get('probe_scale')} after="
+            f"{(env.get('queries_probe_after') or {}).get('probe_scale')} "
+            f"exceeds {GATE_SECTION_MAX_PROBE_SCALE} — per-query ceilings "
+            "gate-ineligible, rerun quiet"
+        )
     return out
 
 
@@ -925,13 +951,16 @@ def check_throughput_gates(data: dict) -> list[str]:
                 f"{PREP_FLOOR_DOCS_S / p_scale:.0f} (scale {p_scale:.2f})"
             )
 
-    for name, ceiling in REF_QUERY_CEILING_SEC.items():
-        med = (data.get("queries") or {}).get(name)
-        if med is not None and med > ceiling * scale:
-            violations.append(
-                f"{name} median {med}s > ceiling {ceiling * scale:.2f}s "
-                f"(recorded-dispersion × 1.6, scale {scale:.2f})"
-            )
+    q_scale, q_excluded = _queries_gate_scale(data, scale)
+    if not q_excluded:
+        for name, ceiling in REF_QUERY_CEILING_SEC.items():
+            med = (data.get("queries") or {}).get(name)
+            if med is not None and med > ceiling * q_scale:
+                violations.append(
+                    f"{name} median {med}s > ceiling "
+                    f"{ceiling * q_scale:.2f}s "
+                    f"(recorded-dispersion × 1.6, scale {q_scale:.2f})"
+                )
 
     serve = data.get("pretrained_serve") or {}
     if not serve:
@@ -993,6 +1022,12 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
 
+    # the per-query ceilings get the same contention stamps as the
+    # pipeline sections (r15): the queries section runs for minutes, and
+    # a busy box turns one heavy query's medians into phantom ceiling
+    # violations (observed: docs_ngram_jaccard median 31 s under real
+    # transient IO/CPU load vs 1.97 s quiet, same code same day)
+    env["queries_probe"] = _section_probe()
     timings: dict[str, float] = {}
     dispersion: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
@@ -1059,6 +1094,7 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    env["queries_probe_after"] = _section_probe()
     merge_stats = _bench_merge(spark)
     # Per-section probes (r14 verdict #2): stamp load+probe IMMEDIATELY
     # before each gated pipeline section — the one-shot env probe at

@@ -421,6 +421,29 @@ def test_contended_section_excluded_from_gates():
     assert not any(
         "stream" in v for v in bench.check_throughput_gates(interim)
     )
+    # the per-query ceilings get the same treatment (r15: a busy box
+    # turned docs_ngram_jaccard's median 1.97 → 31 s on identical code):
+    # contended queries section → ceilings excluded, named; quiet pair →
+    # a genuine 10× median regression still fires
+    if bench.REF_QUERY_CEILING_SEC:
+        import json
+
+        qname, ceil = next(iter(bench.REF_QUERY_CEILING_SEC.items()))
+        base = art(1200.0, 1.0)
+        base["queries"] = {qname: ceil * 10}
+        busy = json.loads(json.dumps(base))
+        busy["env"]["queries_probe"] = {"probe_scale": 3.0}
+        busy["env"]["queries_probe_after"] = {"probe_scale": 3.1}
+        assert not any(
+            "median" in v for v in bench.check_throughput_gates(busy)
+        )
+        assert any("queries" in e for e in bench.gate_exclusions(busy))
+        quiet = json.loads(json.dumps(base))
+        quiet["env"]["queries_probe"] = {"probe_scale": 1.0}
+        quiet["env"]["queries_probe_after"] = {"probe_scale": 1.0}
+        fired = bench.check_throughput_gates(quiet)
+        assert any("median" in v for v in fired), fired
+        assert not bench.gate_exclusions(quiet)
 
 
 @pytest.mark.sweep
