@@ -285,7 +285,34 @@ def _bench_prep_15k(spark) -> dict | None:
             return None
         if gen.returncode != 0:
             return None
-    return _bench_prep(spark, out)
+    # Priming + median-of-3 (r16): prep was the LAST single-shot gated
+    # section, and single-shot is exactly what the queries section
+    # abandoned in r8 after phantom regressions. Measured on a quiet box
+    # (same code, same day): first 15k-scale run 2,441 docs/s, then
+    # 3,947, then 4,147 — a real warm-up slope (C2 JIT at full data
+    # volume, same mechanism as the per-query priming passes), plus this
+    # box's wave-shaped external contention that the md5 CPU probe
+    # cannot see (it is memory-bandwidth/IO shaped; two r16 bench runs
+    # read prep 2,900/1,440 against quiet probe pairs while the
+    # standalone repeats above read 4k+). One untimed priming run puts
+    # the timed runs on the steady-state plateau; the median of 3
+    # shrugs off one contended draw; min/max ride along so a real
+    # regression cannot hide in the dispersion.
+    _bench_prep(spark, out)  # priming, untimed
+    runs = [_bench_prep(spark, out) for _ in range(3)]
+    runs = [r for r in runs if r is not None]
+    if not runs:
+        return None
+    runs.sort(key=lambda r: r["sec"])
+    med = dict(runs[len(runs) // 2])
+    rates = sorted(r["docs_per_sec"] for r in runs)
+    med["dispersion"] = {
+        "min_docs_per_sec": rates[0],
+        "median_docs_per_sec": med["docs_per_sec"],
+        "max_docs_per_sec": rates[-1],
+        "n": len(runs),
+    }
+    return med
 
 
 def _bench_prep(spark, sf_dir: str) -> dict | None:
@@ -752,6 +779,20 @@ GATED_SECTIONS = (
     "merge_pipeline_15k", "stream_pipeline_15k", "prep_pipeline_15k"
 )
 
+#: queries that get a probe stamped immediately AFTER their timed runs
+#: (the heavy ones — ceiling ≥ ~1.5 s — whose multi-second runs are
+#: where a mid-section contention spike can hide from the edge pair;
+#: ~6 s per probe, +30 s on a ~340 s bench)
+QUERIES_MID_PROBE_AFTER = frozenset(
+    {
+        "q3_shipping_priority",
+        "q5_regional_revenue",
+        "docs_ngram_jaccard",
+        "docs_minhash_lsh_pairs",
+        "docs_simhash",
+    }
+)
+
 
 def _section_probe(settle_sec: float = 2.0) -> dict:
     """Multi-core md5 probe + 1-min load, stamped at each edge of a
@@ -831,19 +872,64 @@ def _section_gate_scale(data: dict, section: str, env_scale: float):
     return relax, excluded
 
 
-def _queries_gate_scale(data: dict, env_scale: float):
-    """(effective scale, excluded?) for the per-query ceiling gates,
-    from the queries section's before/after probe pair in env — same
-    min/max semantics as _section_gate_scale."""
+def _query_probe_chain(data: dict) -> list[tuple[float, float]] | None:
+    """Chronological (time, probe_scale) points across the queries
+    section. Time is measured in query slots: the section-start probe
+    sits at 0, the probe stamped after query j sits at j+1, the
+    section-end probe at N. Query i therefore RUNS over the interval
+    (i, i+1), and its contention bracket is the nearest probe at-or-
+    before i and at-or-after i+1.
+
+    Why a chain and not a pair (r15 advice): the edge pair brackets the
+    ENTIRE multi-minute section, so a transient mid-section spike that
+    decays before the after-probe — exactly the observed
+    docs_ngram_jaccard 1.97 s → 31 s incident — reads quiet at both
+    edges and still fires as a phantom per-query ceiling violation.
+    Mid-section probes after each known-heavy query make that spike
+    visible to the gate, and per-query brackets mean only the queries
+    the spike actually touched are excluded, not the whole section.
+
+    Returns None for artifacts with no queries probes at all (pre-r15);
+    artifacts with only the edge pair degrade gracefully — every
+    query's bracket is then (before, after), the old semantics."""
     env = data.get("env") or {}
     before = (env.get("queries_probe") or {}).get("probe_scale")
     if before is None:
+        return None
+    names = list((data.get("queries") or {}).keys())
+    chain: list[tuple[float, float]] = [(0.0, float(before))]
+    for entry in env.get("queries_probe_chain") or []:
+        q = entry.get("after_query")
+        s = entry.get("probe_scale")
+        if q in names and s is not None:
+            chain.append((names.index(q) + 1.0, float(s)))
+    after = (env.get("queries_probe_after") or {}).get("probe_scale")
+    if after is not None:
+        chain.append((float(len(names)), float(after)))
+    chain.sort()
+    return chain
+
+
+def _query_ceiling_scale(data: dict, name: str, env_scale: float):
+    """(effective scale, excluded?) for ONE query's ceiling gate, from
+    the probes bracketing that query's run in the probe chain — same
+    min/max semantics as _section_gate_scale (exclusion on bracket MAX,
+    floor/ceiling relaxation on bracket MIN)."""
+    chain = _query_probe_chain(data)
+    if not chain:
         return env_scale, False
-    after = (env.get("queries_probe_after") or {}).get(
-        "probe_scale", before
+    names = list((data.get("queries") or {}).keys())
+    if name not in names:
+        return env_scale, False
+    i = names.index(name)
+    lo = [s for t, s in chain if t <= i + 1e-9]
+    hi = [s for t, s in chain if t >= i + 1 - 1e-9]
+    bracket = (
+        lo[-1] if lo else chain[0][1],
+        hi[0] if hi else chain[-1][1],
     )
-    relax = max(env_scale, min(before, after))
-    excluded = max(before, after) > GATE_SECTION_MAX_PROBE_SCALE
+    relax = max(env_scale, min(bracket))
+    excluded = max(bracket) > GATE_SECTION_MAX_PROBE_SCALE
     return relax, excluded
 
 
@@ -871,15 +957,19 @@ def gate_exclusions(data: dict) -> list[str]:
                 f"after={after} exceeds {GATE_SECTION_MAX_PROBE_SCALE}"
                 " — box got busy mid-run; gate-ineligible, rerun quiet"
             )
-    _, q_excluded = _queries_gate_scale(data, env_scale)
-    if q_excluded:
+    excluded_q = [
+        n
+        for n in (data.get("queries") or {})
+        if _query_ceiling_scale(data, n, env_scale)[1]
+    ]
+    if excluded_q:
         env = data.get("env") or {}
         out.append(
-            "queries: section probe scale before="
-            f"{(env.get('queries_probe') or {}).get('probe_scale')} after="
-            f"{(env.get('queries_probe_after') or {}).get('probe_scale')} "
-            f"exceeds {GATE_SECTION_MAX_PROBE_SCALE} — per-query ceilings "
-            "gate-ineligible, rerun quiet"
+            f"queries[{','.join(excluded_q)}]: bracketing probe scale "
+            f"exceeds {GATE_SECTION_MAX_PROBE_SCALE} (chain edges "
+            f"before={(env.get('queries_probe') or {}).get('probe_scale')} "
+            f"after={(env.get('queries_probe_after') or {}).get('probe_scale')})"
+            " — those per-query ceilings gate-ineligible, rerun quiet"
         )
     return out
 
@@ -939,28 +1029,38 @@ def check_throughput_gates(data: dict) -> list[str]:
     )
     if prep.get("docs_per_sec") is None:
         violations.append("prep_pipeline_15k missing from bench output")
-    elif not p_excluded:
+    else:
+        # docs_in is load-INDEPENDENT configuration validation — it must
+        # fire even when the section's rate gate is contention-excluded
+        # (r15 advice: with the check inside the exclusion branch, an
+        # under-sized prep run on a busy box read only as "excluded",
+        # never as misconfigured). Only the docs/sec floor is gated on
+        # box contention.
         if prep.get("docs_in", 0) < PREP_MIN_DOCS_IN:
             violations.append(
                 f"prep ran on {prep.get('docs_in')} docs < required "
                 f"{PREP_MIN_DOCS_IN} — fixed overhead would dominate"
             )
-        if prep["docs_per_sec"] < PREP_FLOOR_DOCS_S / p_scale:
+        if (
+            not p_excluded
+            and prep["docs_per_sec"] < PREP_FLOOR_DOCS_S / p_scale
+        ):
             violations.append(
                 f"prep {prep['docs_per_sec']} docs/s < floor "
                 f"{PREP_FLOOR_DOCS_S / p_scale:.0f} (scale {p_scale:.2f})"
             )
 
-    q_scale, q_excluded = _queries_gate_scale(data, scale)
-    if not q_excluded:
-        for name, ceiling in REF_QUERY_CEILING_SEC.items():
-            med = (data.get("queries") or {}).get(name)
-            if med is not None and med > ceiling * q_scale:
-                violations.append(
-                    f"{name} median {med}s > ceiling "
-                    f"{ceiling * q_scale:.2f}s "
-                    f"(recorded-dispersion × 1.6, scale {q_scale:.2f})"
-                )
+    for name, ceiling in REF_QUERY_CEILING_SEC.items():
+        med = (data.get("queries") or {}).get(name)
+        if med is None:
+            continue
+        q_scale, q_excluded = _query_ceiling_scale(data, name, scale)
+        if not q_excluded and med > ceiling * q_scale:
+            violations.append(
+                f"{name} median {med}s > ceiling "
+                f"{ceiling * q_scale:.2f}s "
+                f"(recorded-dispersion × 1.6, scale {q_scale:.2f})"
+            )
 
     serve = data.get("pretrained_serve") or {}
     if not serve:
@@ -1030,6 +1130,7 @@ def main() -> None:
     env["queries_probe"] = _section_probe()
     timings: dict[str, float] = {}
     dispersion: dict[str, dict[str, float]] = {}
+    queries_probe_chain: list[dict] = []
     for name in HEADLINE:
         fn = queries[name]
         # median-of-N, not best-of-2: transient host load swings single-shot
@@ -1092,8 +1193,20 @@ def main() -> None:
             "max": round(runs[-1], 3),
             "n": len(runs),
         }
+        # Mid-section probes after the known-heavy queries (r15 advice):
+        # the edge pair can't see a transient spike that decays before
+        # the after-probe — the observed docs_ngram_jaccard 1.97 s→31 s
+        # incident read quiet at both edges. A probe stamped right
+        # after each heavy query gives the gate per-query brackets
+        # (_query_ceiling_scale); the min-of-2-snapshots probe design
+        # already discounts the just-finished query's own GC tail.
+        if name in QUERIES_MID_PROBE_AFTER:
+            p = _section_probe()
+            p["after_query"] = name
+            queries_probe_chain.append(p)
 
     total = round(sum(timings.values()), 3)
+    env["queries_probe_chain"] = queries_probe_chain
     env["queries_probe_after"] = _section_probe()
     merge_stats = _bench_merge(spark)
     # Per-section probes (r14 verdict #2): stamp load+probe IMMEDIATELY

@@ -568,6 +568,29 @@ def ttl_plateau(
     of growing with total receipts."""
     legs: dict = {}
     peaks: dict[int, int] = {}
+    warm = None
+    if state_store == "rocksdb":
+        # The FIRST stateful query a JVM runs against a fresh RocksDB
+        # provider pays one-off native-library load + store setup that
+        # r15 recorded as a 2.5× slower 1-day leg (949.6 r/s vs
+        # 2,401.9 on the 3-day leg, identical code/data shape) — pure
+        # ordering artifact, not a throughput property. Warm the
+        # provider with a small unrecorded drain so BOTH measured legs
+        # run against a warm native store and their rates compare;
+        # the warm leg is annotated in the artifact, not hidden.
+        wbase = f"/tmp/spark_graft_stream_plateau_warm_{n_unique_per_day}"
+        wcounts = generate(
+            max(2_000, n_unique_per_day // 20), wbase, procs,
+            parts=4, span_days=1,
+        )
+        wr = drain_collector(
+            spark, wbase, wcounts,
+            tag=f"_warm_{state_store}", state_store=state_store,
+        )
+        warm = {
+            "n_receipts": wr["n_receipts"],
+            "wall_sec": wr["wall_sec"],
+        }
     for span in (1, 3):
         base = (
             f"/tmp/spark_graft_stream_plateau_{n_unique_per_day}_{span}d"
@@ -604,6 +627,7 @@ def ttl_plateau(
         "state_rows_peak_3d": peaks[3],
         "peak_ratio_3d_over_1d": ratio,
         "max_ratio": PLATEAU_MAX_RATIO,
+        "warm_drain": warm,
         "legs": legs,
         "pass": ratio <= PLATEAU_MAX_RATIO
         and all(r["unique_exact"] for r in legs.values()),
@@ -723,11 +747,36 @@ def replay_stateful(
         .filter(F.col("rn") == 1)
         .select("key", "sources", "first_seen_ms")
     )
-    expected = (
+    receipts_src = (
         spark.read.schema("received_at timestamp, raw_tx string, source string")
         .csv(in_dir)
         .withColumn("hash", tx_hash_udf(F.col("raw_tx")))
         .filter(F.col("hash").isNotNull())
+    )
+    # Generator invariant the fold-order oracle below depends on (r15
+    # advice): the oracle sorts each hash's receipts GLOBALLY by
+    # (ts, source) while the operator folds them in per-micro-batch
+    # arrival order — the two agree only when every hash's receipts sit
+    # inside ONE input file (and therefore one trigger: file streams
+    # never split a file across triggers). Assert it instead of assuming
+    # it, so a future generator change that scatters a hash across files
+    # fails HERE as a harness bug rather than flaking
+    # final_fold_mismatches in a way that reads as an operator bug.
+    spread = (
+        receipts_src.select("hash", F.input_file_name().alias("f"))
+        .groupBy("hash")
+        .agg(F.count_distinct("f").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    if spread:
+        raise RuntimeError(
+            f"stress-generator invariant violated: {spread} hashes span "
+            "multiple input files, so the fold-order oracle is undefined "
+            "— fix the generator, do not loosen the mismatch assertion"
+        )
+    expected = (
+        receipts_src
         .select(
             "hash", "source", epoch_ms("received_at").alias("ts_ms")
         )
