@@ -49,10 +49,22 @@ def cmd_merge(args, spark: SparkSession | None = None) -> int:
         tx_paths=args.tx,
         sourcelog_paths=args.sourcelog or None,
         blacklist_paths=args.tx_blacklist or None,
+        blacklist_table=args.blacklist_table,
+        blacklist_before_day=args.blacklist_before_day,
         blocks=blocks,
         collect_stats=args.stats,
     )
     write_merge_outputs(result, args.out)
+    if args.blacklist_table is not None and args.append_blacklist_day is not None:
+        from mempool_dumpster_spark.plans.merge import append_blacklist_table
+
+        append_blacklist_table(
+            spark,
+            result.transactions,
+            args.blacklist_table,
+            day=args.append_blacklist_day,
+            path=args.blacklist_table_path,
+        )
     if args.sourcelog and result.sourcelog is not None:
         write_sorted_csv(result.sourcelog, f"{args.out}/sourcelog.csv")
     if args.write_summary:
@@ -648,6 +660,28 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument(
         "--tx-blacklist", nargs="*", default=[],
         help="blacklisted tx files (e.g. previous day)",
+    )
+    m.add_argument(
+        "--blacklist-table", default=None,
+        help="persistent hash-bucketed blacklist catalog table (multi-day "
+        "operating mode: the accumulated exclusion list anti-joins "
+        "exchange-free on its side; see plans.merge.append_blacklist_table)",
+    )
+    m.add_argument(
+        "--blacklist-before-day", type=int, default=None,
+        help="with --blacklist-table: anti-join only hashes admitted on "
+        "days strictly before this index (a re-run must never exclude "
+        "its own partial append)",
+    )
+    m.add_argument(
+        "--append-blacklist-day", type=int, default=None,
+        help="with --blacklist-table: after the merge, append this day's "
+        "output hashes to the table under this day index (idempotent — "
+        "the day's partition is replaced, so re-runs are crash-safe)",
+    )
+    m.add_argument(
+        "--blacklist-table-path", default=None,
+        help="external location for --blacklist-table on first creation",
     )
     m.add_argument(
         "--write-summary", action="store_true",

@@ -54,6 +54,16 @@ from mempool_dumpster_spark.sources.zipcsv import expand_zip_inputs
 #: broadcastable; a week of accumulated daily outputs is not).
 BLACKLIST_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
+#: bucket count for the persistent blacklist TABLE (the multi-day
+#: operating mode's accumulated exclusion list). A layout contract:
+#: writer and every J2 read share it, and the day's receipts shuffle
+#: to exactly this many partitions to meet the bucketed side. Sized so
+#: one bucket of a QUARTER of 2M-unique days (~180M hashes, ~12 GB
+#: parquet) is ~190 MB / ~3M hashes — one task's sort fits in memory
+#: with a wide margin. Raise it in lockstep on a fleet-scale redeploy
+#: (the table must be rewritten; bucket count can't change in place).
+BLACKLIST_TABLE_BUCKETS = 64
+
 
 def blacklist_size_bytes(spark: SparkSession, paths: list[str]) -> int | None:
     """Total on-disk bytes of the blacklist inputs, or None if unknown.
@@ -106,6 +116,94 @@ def blacklist_size_bytes(spark: SparkSession, paths: list[str]) -> int | None:
     return total
 
 
+def append_blacklist_table(
+    spark: SparkSession,
+    transactions: DataFrame,
+    table: str,
+    day: int,
+    path: str | None = None,
+    n_buckets: int = BLACKLIST_TABLE_BUCKETS,
+) -> None:
+    """Append one merge day's output hashes to the persistent bucketed
+    blacklist table (the accumulated exclusion list of the multi-day
+    operating mode; reference semantics common/txsfile.go:115-119 —
+    every prior day's admitted hash is blacklisted thereafter).
+
+    Layout: partitioned by `day`, bucketed (and sorted) by `hash`,
+    hashes lowercase-normalized AT WRITE so no expression ever needs to
+    wrap the join key at read time (an expression on the key would
+    discard the bucket partitioning and resurrect the exchange this
+    table exists to eliminate — see read_blacklist_table).
+
+    Crash-safe by replacement, not by transaction: the day's partition
+    directory is deleted (Hadoop FS, so object stores work) before the
+    append, making a re-run of day N idempotent — a merge killed at ANY
+    point (mid-output-write, mid-append, between the two) recovers by
+    re-running the whole day. A half-appended day can never poison its
+    own re-run anyway, because J2 reads strictly `day < N`
+    (read_blacklist_table), and duplicate hashes would be harmless to a
+    left-anti join even if they survived — the replacement just keeps
+    the artifact's bytes/hash flat.
+    """
+    # repartition BY THE BUCKET KEY before the bucketed write:
+    # Spark's bucket id is Pmod(Murmur3(hash), n) — the same function
+    # repartition(n, col) uses — so after this every task holds exactly
+    # one bucket and writes ONE file (a quarter of daily appends stays
+    # at 1 file/bucket/day instead of tasks×buckets). The aggregate for
+    # dropDuplicates then runs shuffle-free on the same layout.
+    hashes = (
+        transactions.select(F.lower(F.col("hash")).alias("hash"))
+        .repartition(n_buckets, "hash")
+        .dropDuplicates(["hash"])
+        .withColumn("day", F.lit(day).cast("int"))
+    )
+    if spark.catalog.tableExists(table):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter(F.col("col_name") == "Location")
+            .collect()
+        )
+        if loc:
+            jvm = spark._jvm
+            part_dir = jvm.org.apache.hadoop.fs.Path(
+                f"{loc[0]['data_type']}/day={day}"
+            )
+            fs = part_dir.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(part_dir, True)
+            spark.catalog.refreshTable(table)
+        w = hashes.write.mode("append")
+    else:
+        w = hashes.write.mode("overwrite")
+        if path is not None:
+            w = w.option("path", path)
+    (
+        w.partitionBy("day")
+        .bucketBy(n_buckets, "hash")
+        .sortBy("hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    spark.catalog.refreshTable(table)
+
+
+def read_blacklist_table(
+    spark: SparkSession, table: str, before_day: int | None = None
+) -> DataFrame:
+    """The J2 input for a given merge day: all hashes admitted on days
+    strictly before `before_day` (partition-pruned), read THROUGH the
+    catalog so the bucket spec survives. `before_day=None` reads the
+    whole table (analytics / audits).
+
+    The returned frame's `hash` column must reach the anti-join
+    unwrapped: merge_transactions aliases it (alias preserves the scan's
+    HashPartitioning through the Project) but never applies lower() or
+    any other expression — normalization happened at write time."""
+    bl = spark.table(table)
+    if before_day is not None:
+        bl = bl.filter(F.col("day") < before_day)
+    return bl.select("hash")
+
+
 @dataclass
 class MergeResult:
     transactions: DataFrame  # TXSUMMARY-shaped, sorted by timestamp
@@ -123,6 +221,8 @@ def merge_transactions(
     tx_paths: list[str],
     sourcelog_paths: list[str] | None = None,
     blacklist_paths: list[str] | None = None,
+    blacklist_table: str | None = None,
+    blacklist_before_day: int | None = None,
     blocks: DataFrame | None = None,
     collect_stats: bool = False,
     rpc_client_factory=None,
@@ -138,11 +238,40 @@ def merge_transactions(
       cmd/merge/inclusioncheck.go TxUpdateWorker pool).
     Omit both and every tx is marked not-included, like running the
     reference without check-nodes.
+
+    The exclusion list (J2) likewise has two paths: `blacklist_paths`
+    (ad-hoc CSVs, the reference's CLI shape — broadcast under
+    BLACKLIST_BROADCAST_MAX_BYTES, shuffled past it) and
+    `blacklist_table` (the persistent hash-bucketed table maintained by
+    append_blacklist_table — the multi-day operating mode, where the
+    accumulated list joins exchange-free; pass `blacklist_before_day`
+    = the current day index so a re-run never anti-joins its own
+    partial append).
     """
     tx_read = read_tx_csv(spark, expand_zip_inputs(tx_paths))
     raw = tx_read.valid.withColumnRenamed("hash", "csv_hash")
 
-    if blacklist_paths:
+    if blacklist_table:
+        # Bucket-aligned J2 (r16): in the multi-day operating mode the
+        # exclusion list is EVERY prior day's output hashes — ~760 MB a
+        # week, ~12 GB a quarter — and the r15 shuffled anti-join
+        # re-partitioned that whole accumulated list on every daily
+        # merge. Reading it as a hash-bucketed catalog table instead
+        # makes its scan ALREADY hash-partitioned: the sort-merge
+        # left-anti plans with ZERO Exchange on the blacklist side, and
+        # only the day's new receipts shuffle (to the bucket count).
+        # That receipt-side exchange is then reused by the A1 dedup
+        # immediately below (same key, partitioning propagates through
+        # the join's left side), so the day pays ONE receipt shuffle
+        # total for J2+A1. The alias keeps the bucket partitioning
+        # (Project is alias-aware); applying lower()/any expression to
+        # the key here would silently bring the exchange back — hashes
+        # were normalized at write time (append_blacklist_table).
+        bl = read_blacklist_table(
+            spark, blacklist_table, before_day=blacklist_before_day
+        ).select(F.col("hash").alias("csv_hash"))
+        raw = raw.join(bl, on="csv_hash", how="left_anti")
+    elif blacklist_paths:
         bl_paths = expand_zip_inputs(blacklist_paths)
         blacklist = read_blacklist_csv(spark, bl_paths)
         # Size-aware J2 (r14, surfaced by the multi-day stress): a
@@ -173,10 +302,16 @@ def merge_transactions(
     # CORES, not bytes: AQE coalesces the dedup shuffle by byte size and a
     # day of raw txs is only ~1 GB, which would funnel hours of ECDSA work
     # into a handful of tasks. Explicit hash repartition pins the fan-out
-    # (AQE never coalesces a user repartition).
-    deduped = deduped.repartition(
-        spark.sparkContext.defaultParallelism, "csv_hash"
-    )
+    # (AQE never coalesces a user repartition). EXCEPT on the bucket-
+    # aligned J2 path: there the receipts already shuffled to the bucket
+    # count to meet the blacklist table, that layout is non-coalescible
+    # (AQE must keep it matched to the bucketed side), and the dedup
+    # rides it for free — re-repartitioning would add a second full
+    # shuffle of the day's receipts for nothing, as long as the bucket
+    # count already covers the cores.
+    par = spark.sparkContext.defaultParallelism
+    if not blacklist_table or BLACKLIST_TABLE_BUCKETS < par:
+        deduped = deduped.repartition(par, "csv_hash")
     parsed = with_parsed_tx(deduped, raw_col="raw_tx")
     if collect_stats:
         # Persist before the multiple counting actions below — otherwise each
