@@ -302,6 +302,12 @@ def _dedup_keeplist_oracle() -> str:
     "untouched singleton. This is the composition a 100 TB corpus dedup "
     "actually runs (shingle → band join → cluster → anti-join), end-to-end "
     "oracle-checked.",
+    # r16 slot rotation (r15 verdict #8): ceded its driver slot to
+    # emb_bucket_sig_digest — every stage of this composition already
+    # holds its own slot (docs_minhash_lsh_pairs, docs_dup_components,
+    # docs_dedup_keep), so its artifact row carried the least marginal
+    # signal; still oracle-checked every round via selfcheck.
+    overflow=True,
 )
 def docs_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -1277,7 +1283,10 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_dedup_oracle(
-    n_hashes: int = 64, n_bands: int = 16, rows_per_band: int = 4
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    digest: bool = False,
 ) -> str:
     """Cross-corpus incremental dedup in DuckDB: 64-slot minhash on both
     sides, 16 bands x 4 rows, exact text-hash anti + estimated-Jaccard
@@ -1286,7 +1295,15 @@ def _incremental_dedup_oracle(
     0.7 threshold the 16-slot estimator's σ≈0.11 made false DROPS — data
     loss — ~10% likely for true-0.55 pairs; 64 slots halve σ twice, and
     16x4 banding keeps the prefilter's S-curve midpoint at ≈0.5 so true
-    near-dups are near-certain candidates)."""
+    near-dups are near-certain candidates).
+
+    `digest=True` wraps the admitted set in the bucketed md5-chain form
+    (docs_incremental_dedup_digest): 16 buckets of doc_id % 16, each
+    carrying its count and md5 over the comma-joined ascending ids. The
+    digest twin runs this oracle at 8 slots / 2×4 banding — the width
+    whose per-slot md5 cost keeps DuckDB LINEAR at the 500k-doc tier
+    (the 64-slot form is 3.2B md5 calls there and spills past the
+    disk; same reduced-width trade docs_minhash_sig_digest made)."""
     shingle = (
         "SELECT DISTINCT doc_id, unnest("
         "CASE WHEN len(w) >= 3 THEN "
@@ -1313,7 +1330,7 @@ def _incremental_dedup_oracle(
         f"(CASE WHEN n.m{i} = o.m{i} THEN 1 ELSE 0 END)"
         for i in range(n_hashes)
     )
-    return f"""
+    admitted = f"""
     WITH new_docs AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
     base AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
     sh_new AS ({shingle.format(src='new_docs')}),
@@ -1337,7 +1354,17 @@ def _incremental_dedup_oracle(
     SELECT doc_id FROM new_docs
     WHERE md5(text) NOT IN (SELECT md5(text) FROM base)
       AND doc_id NOT IN (SELECT doc_id FROM near)
-    ORDER BY doc_id
+    """
+    if not digest:
+        return admitted + " ORDER BY doc_id"
+    return f"""
+    SELECT CAST(doc_id % 16 AS INT) AS bucket,
+           COUNT(*) AS n_admitted,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS chain_md5
+    FROM ({admitted})
+    GROUP BY 1
+    ORDER BY 1
     """
 
 
@@ -1373,6 +1400,57 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross_corpus_filter(new, sigs)
         .select("doc_id")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_incremental_dedup_digest",
+    oracle=_incremental_dedup_oracle(
+        n_hashes=8, n_bands=2, rows_per_band=4, digest=True
+    ),
+    doc="100×-evidence digest twin of docs_incremental_dedup (r16, the "
+    "docs_minhash_sig_digest pattern a third time): the SAME cross-"
+    "corpus code path — corpus_signatures → exact text-hash anti → LSH "
+    "band join → agreeing-slots/n ≥ 0.7 near-drop → anti-join "
+    "(ml.prep.cross_corpus_filter, whose banding self-derives from the "
+    "artifact width) — run at 8 signature slots / 2×4 banding, the "
+    "width whose DuckDB oracle stays LINEAR at the 500k-doc tier (the "
+    "production 64-slot oracle is 3.2B md5 calls there and spills past "
+    "the disk — why docs_incremental_dedup rides rows-only at 100×). "
+    "The admitted id set folds to 16 bucket rows of (count, md5 over "
+    "the ascending comma-joined ids), so the hash compare is exact and "
+    "any divergence localizes to a bucket. Production-width parameters "
+    "stay exact-checked at sf1 via the docs_incremental_dedup entry.",
+    overflow=True,  # oracle-checked via selfcheck; beyond the 50-slot cap
+)
+def docs_incremental_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mempool_dumpster_spark.ml.prep import (
+        corpus_signatures,
+        cross_corpus_filter,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = docs.filter(F.col("source") != "src0")
+    new = docs.filter(F.col("source") == "src0")
+    sigs = corpus_signatures(base, n_hashes=8)
+    admitted = cross_corpus_filter(new, sigs).select("doc_id")
+    return (
+        admitted.groupBy(
+            (F.col("doc_id") % 16).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("chain_md5"),
+        )
+        .orderBy("bucket")
     )
 
 

@@ -882,8 +882,10 @@ def emb_near_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS bucket_digest
     FROM buckets GROUP BY vec_id
     """,
-    overflow=True,  # oracle-checked, but cedes its driver slot: this is
-    # 100x-sweep evidence for emb_near_pairs, which already holds a slot
+    # r16 slot rotation (r15 verdict #8): PROMOTED into the driver's 50
+    # recorded slots (docs_dedup_keeplist ceded — all of its stages hold
+    # their own slots) so at least one digest twin gets the independent
+    # driver-side oracle gate every round, not just selfcheck.
     doc="Scale-proof digest twin of emb_near_pairs' SIGNATURE stage (r14 "
     "verdict #6, the docs_minhash_sig_digest pattern): one md5 over each "
     "vector's 48 per-table LSH bucket ids in table order, computed by the "

@@ -324,15 +324,30 @@ def test_registry_driver_contract_invariants():
     # covered by q1_pricing_summary, q12_shipping_priority_split and
     # included_split, and q6 remains oracle-checked every round via the
     # selfcheck sweep (both scales).
+    #
+    # r16 rotation (the r15 verdict's #8): one swap —
+    #   docs_dedup_keeplist → emb_bucket_sig_digest
+    # The digest twins (scale-evidence queries whose linear oracles make
+    # 100×-tier exact hashing feasible) had zero driver-slot
+    # representation — all three were selfcheck/overflow-only. The
+    # bucket-signature digest is the SemDeDup LSH stage's md5-hyperplane
+    # component chain, exact-oracled at every tier up to 200k vectors;
+    # promoting it gives the digest-twin pattern an independent
+    # driver-side gate every round. docs_dedup_keeplist ceded because
+    # every stage of its composition already holds its own slot
+    # (docs_minhash_lsh_pairs, docs_dup_components, docs_dedup_keep) —
+    # the least marginal signal in the artifact — and it stays
+    # oracle-checked every round via the selfcheck sweep (both scales).
     expected = [
         "docs_langid", "docs_redact_pii", "docs_pack_sequences",
         "docs_mix_corpus", "docs_dedup_keep",
         "docs_minhash_lsh_pairs", "docs_token_stats",
         "docs_binary_stats", "emb_knn", "emb_near_pairs",
+        "emb_bucket_sig_digest",
         "emb_centroids", "docs_bpe_merges", "docs_wordpiece_encode",
         "docs_ngram_lm_score",
         "docs_quality_curriculum", "docs_dup_span_strip",
-        "docs_dup_components", "docs_dedup_keeplist", "docs_gopher_rules",
+        "docs_dup_components", "docs_gopher_rules",
         "docs_tfidf_terms", "docs_prep_pipeline", "docs_split_assign",
         "docs_decontaminate", "docs_training_order",
         "docs_incremental_dedup", "manifest_version_diff", "emb_mmr_topk",

@@ -98,6 +98,9 @@ STRESS_QUERIES = [
     # heavyweight families without 100× exact-hash coverage — ride the
     # 10× tier too so a regression shows before the expensive sweep.
     "emb_bucket_sig_digest", "docs_gram_fingerprint_digest",
+    # r16 (r15 verdict #4): the cross-corpus incremental-dedup digest
+    # twin — 8-slot/2×4 width whose oracle stays linear at 100×
+    "docs_incremental_dedup_digest",
 ]
 
 
@@ -444,6 +447,97 @@ def test_contended_section_excluded_from_gates():
         fired = bench.check_throughput_gates(quiet)
         assert any("median" in v for v in fired), fired
         assert not bench.gate_exclusions(quiet)
+
+
+def test_query_probe_chain_brackets_mid_section_spikes():
+    """r15 advice (bench.py queries gating): the edge probe pair
+    brackets the ENTIRE multi-minute queries section, so a transient
+    mid-section spike that decays before the after-probe — the shape of
+    the observed docs_ngram_jaccard 1.97 s → 31 s incident — read quiet
+    at both edges and fired as a phantom per-query ceiling violation.
+    The probe CHAIN (env.queries_probe_chain, stamped after each heavy
+    query) gives the gate per-query brackets: a spike excludes exactly
+    the queries whose run it brackets, while queries bracketed by quiet
+    probes stay gated — a genuine regression there still fires."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    names = list(bench.REF_QUERY_CEILING_SEC)[:4]
+    assert len(names) == 4
+    base = {
+        "env": {
+            "cpu_probe": {"md5_mt_48mb_sec": bench.REF_CPU_PROBE_MT},
+            "queries_probe": {"probe_scale": 1.0},
+            "queries_probe_after": {"probe_scale": 1.0},
+        },
+        "merge_pipeline_15k": {"tx_per_sec_steady": 9000.0},
+        "stream_pipeline_15k": {"receipts_per_sec_steady": 1200.0},
+        "prep_pipeline_15k": {"docs_per_sec": 3500.0, "docs_in": 16000},
+        "pretrained_serve": {"x": {"serve_sec": None}},
+        # every median 10× its ceiling — each fires unless excluded
+        "queries": {
+            n: bench.REF_QUERY_CEILING_SEC[n] * 10 for n in names
+        },
+    }
+    # chain: quiet probe after query 0, HOT probe after query 2 — the
+    # spike ran somewhere in queries 1-3's window and decayed before the
+    # (quiet) section-end probe
+    spiked = json.loads(json.dumps(base))
+    spiked["env"]["queries_probe_chain"] = [
+        {"after_query": names[0], "probe_scale": 1.0},
+        {"after_query": names[2], "probe_scale": 3.5},
+    ]
+    fired = bench.check_throughput_gates(spiked)
+    # query 0 is bracketed by quiet probes on both sides → still gated
+    assert any(names[0] in v and "median" in v for v in fired), fired
+    # queries 1-3 all touch the hot probe in their bracket → excluded
+    for n in names[1:]:
+        assert not any(n in v and "median" in v for v in fired), (n, fired)
+    excl = bench.gate_exclusions(spiked)
+    assert len(excl) == 1 and all(n in excl[0] for n in names[1:]), excl
+    assert names[0] not in excl[0], excl
+    # mild sustained chain contention (1.5 < the 2.0 bound) relaxes the
+    # ceiling instead of excluding: median at 1.4× passes, and the same
+    # median on a quiet chain fires
+    mild = json.loads(json.dumps(base))
+    mild["queries"] = {names[0]: bench.REF_QUERY_CEILING_SEC[names[0]] * 1.4}
+    mild["env"]["queries_probe"] = {"probe_scale": 1.5}
+    mild["env"]["queries_probe_after"] = {"probe_scale": 1.5}
+    mild["env"]["queries_probe_chain"] = [
+        {"after_query": names[0], "probe_scale": 1.5}
+    ]
+    assert not any(
+        "median" in v for v in bench.check_throughput_gates(mild)
+    )
+    quiet = json.loads(json.dumps(mild))
+    for k in ("queries_probe", "queries_probe_after"):
+        quiet["env"][k] = {"probe_scale": 1.0}
+    quiet["env"]["queries_probe_chain"] = [
+        {"after_query": names[0], "probe_scale": 1.0}
+    ]
+    assert any(
+        "median" in v for v in bench.check_throughput_gates(quiet)
+    )
+    # r15 advice (prep docs_in): the load-INDEPENDENT size check fires
+    # even when the prep section is contention-excluded — an under-sized
+    # run on a busy box must read as misconfigured, not just excluded
+    undersized = json.loads(json.dumps(base))
+    undersized["queries"] = {}
+    undersized["prep_pipeline_15k"] = {
+        "docs_per_sec": 10.0,  # would fail the floor if gated
+        "docs_in": 50,  # way under PREP_MIN_DOCS_IN
+        "section_probe": {"probe_scale": 3.0},
+        "section_probe_after": {"probe_scale": 3.0},
+    }
+    fired = bench.check_throughput_gates(undersized)
+    assert any("docs < required" in v for v in fired), fired
+    assert not any("docs/s < floor" in v for v in fired), fired
 
 
 @pytest.mark.sweep
@@ -829,6 +923,153 @@ def test_blacklist_antijoin_broadcast_bound(spark, tmp_path, monkeypatch):
         for key in ("spark.sql.autoBroadcastJoinThreshold",
                     "spark.sql.adaptive.autoBroadcastJoinThreshold"):
             spark.conf.unset(key)
+
+
+@pytest.mark.sweep
+def test_multiday_bucketed_blacklist_smoke():
+    """The r16 bucketed multiday mode CI-checked small: 3 daily merges
+    at 4k uniques/day against the persistent bucketed blacklist table,
+    pre-seeded with 1 'week' of synthetic hashes, with day 1 run as the
+    kill/re-run idempotence leg. Pins what the full MERGE_STRESS_
+    MULTIDAY_r16 asserts at 12-week scale: per-day J2 plans are
+    bucket-aligned (zero Exchange on the blacklist side), zero
+    re-admissions, and a day re-run after a worst-point crash (outputs
+    destroyed, blacklist append already landed) reproduces the control
+    run's rows, content hash, and day partition exactly."""
+    import json
+
+    out_json = "/tmp/spark_graft_merge_multiday_bucketed_selftest.json"
+    shutil.rmtree("/tmp/spark_graft_merge_multiday_4000_3",
+                  ignore_errors=True)
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "merge_stress_multiday.py"),
+         "4000", "3", out_json,
+         "--bucketed", "--seed-weeks=1", "--kill-rerun-day=1"],
+        cwd=REPO, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"exit {proc.returncode}\n{proc.stdout[-1500:]}\n"
+        f"{proc.stderr[-1500:]}"
+    )
+    with open(out_json) as f:
+        r = json.load(f)
+    assert r["pass"] and r["mode"] == "bucketed_table"
+    assert r["seeded_hashes"] == 7 * 4000
+    assert len(r["days_detail"]) == 3
+    for d in r["days_detail"]:
+        assert d["rows_out"] == d["expected_fresh_unique"]
+        assert d["readmitted_prior_hashes"] == 0
+        # seeded table exists from day 0 → every day's J2 must be
+        # bucket-aligned
+        assert d["j2_plan"]["blacklist_side_exchange_free"], d
+    kr = r["kill_rerun"]
+    assert kr["pass"] and kr["day"] == 1
+    assert kr["content_hash_match"]
+    assert kr["blacklist_day_partition_rows"] == kr["rerun_rows"]
+    assert r["artifact_bytes_per_hash"] <= r["artifact_bytes_per_hash_max"]
+
+
+def test_blacklist_table_bucket_aligned_antijoin(spark, tmp_path):
+    """Bucket-aligned J2 (r16, closes r15 verdict #1): the multi-day
+    operating mode's accumulated exclusion list (~760 MB/week, ~12 GB/
+    quarter) must NOT re-shuffle on every daily merge. Persisted as a
+    hash-bucketed catalog table (append_blacklist_table), its scan is
+    already hash-partitioned, so the sort-merge left-anti plans with
+    ZERO Exchange on the blacklist side — only the day's receipts
+    shuffle. Pins: the exchange-free plan, the before_day re-run guard,
+    append idempotence (day partition replaced, not duplicated), and
+    row-for-row agreement with the CSV-blacklist path."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from pyspark.sql import functions as F
+    from txgen import make_tx, tx_hash_of
+
+    from mempool_dumpster_spark.plans.merge import (
+        append_blacklist_table,
+        merge_transactions,
+        read_blacklist_table,
+    )
+    from mempool_dumpster_spark.sources.readers import read_tx_csv
+
+    tx_csv = tmp_path / "txs.csv"
+    hashes = []
+    with open(tx_csv, "w") as f:
+        for i in range(20):
+            raw = make_tx(priv=0x910000 + i, nonce=i)
+            h = tx_hash_of(raw)
+            hashes.append(h)
+            f.write(f"{1_693_785_600_000 + i},{h},{raw}\n")
+
+    tbl = "bl_pin_r16"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # two daily appends — UPPERCASED input pins write-time normalization
+    for day, h in enumerate(hashes[:2]):
+        append_blacklist_table(
+            spark,
+            spark.createDataFrame([(h.upper(),)], "hash string"),
+            tbl,
+            day=day,
+            path=str(tmp_path / "bl_table"),
+        )
+    for key in ("spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+        spark.conf.set(key, "-1")
+    try:
+        # standalone J2 probe: exactly ONE exchange (the receipts side),
+        # blacklist side reads buckets directly
+        raw = read_tx_csv(spark, [str(tx_csv)]).valid.withColumnRenamed(
+            "hash", "csv_hash"
+        )
+        bl = read_blacklist_table(spark, tbl, before_day=2).select(
+            F.col("hash").alias("csv_hash")
+        )
+        probe = raw.join(bl, on="csv_hash", how="left_anti")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert probe.count() == 18
+
+        # the full merge takes the same plan and drops the same rows
+        res = merge_transactions(
+            spark, tx_paths=[str(tx_csv)],
+            blacklist_table=tbl, blacklist_before_day=2,
+        )
+        full = (
+            res.transactions._jdf.queryExecution().executedPlan().toString()
+        )
+        anti = [ln for ln in full.splitlines() if "LeftAnti" in ln]
+        assert anti and all("SortMergeJoin" in ln for ln in anti), full
+        assert "Bucketed: true" in full, full
+        assert res.transactions.count() == 18
+        res.unpersist()
+
+        # before_day guard: day 1's re-run must not see day 1's own
+        # (possibly partial) append — only day 0 excludes
+        res1 = merge_transactions(
+            spark, tx_paths=[str(tx_csv)],
+            blacklist_table=tbl, blacklist_before_day=1,
+        )
+        assert res1.transactions.count() == 19
+        res1.unpersist()
+
+        # append idempotence: re-appending day 1 REPLACES its partition
+        # (a crashed day recovers by re-running; no duplicate rows, and
+        # a superseded hash set does not linger)
+        append_blacklist_table(
+            spark,
+            spark.createDataFrame([(hashes[2],)], "hash string"),
+            tbl, day=1, path=str(tmp_path / "bl_table"),
+        )
+        day1 = read_blacklist_table(spark, tbl, before_day=2).exceptAll(
+            read_blacklist_table(spark, tbl, before_day=1)
+        )
+        assert [r.hash for r in day1.collect()] == [hashes[2]]
+    finally:
+        for key in ("spark.sql.autoBroadcastJoinThreshold",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+            spark.conf.unset(key)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def test_blacklist_size_probe_dirs_globs_uris(spark, tmp_path):

@@ -96,6 +96,17 @@ SF10_QUERIES = [
     # ExactSubstr span family's positional-gram stage (frequent-gram
     # join oracle spill-heavy). Both oracles are LINEAR in the corpus.
     "emb_bucket_sig_digest", "docs_gram_fingerprint_digest",
+    # r16 (r15 verdict #4): the cross-corpus incremental-dedup digest
+    # twin — the full gate chain (signatures → exact anti → band join →
+    # estimate threshold → anti) at 8 slots / 2×4 banding, the width
+    # whose oracle stays linear here; folds to 16 bucket digests. With
+    # it, BOTH remaining rows-only entries (docs_bpe_encode,
+    # docs_incremental_dedup) are raw-instance entries whose families
+    # carry exact-hash 100× evidence through a digest twin in the same
+    # artifact — the rows-only rider only adds Spark-side
+    # does-it-survive-the-scale coverage for the production-width
+    # parameters. That is this sweep's standing shape, not a gap.
+    "docs_incremental_dedup_digest",
 ]
 
 #: scratch allowance per derived-corpus tier, as a multiple of the
