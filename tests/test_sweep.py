@@ -540,6 +540,51 @@ def test_query_probe_chain_brackets_mid_section_spikes():
     assert not any("docs/s < floor" in v for v in fired), fired
 
 
+def test_pretrained_serve_ratio_gate():
+    """r15 verdict #2: the pretrained serve gate was 3× its OWN warm
+    calibration — self-referencing, so a serving regression landed in
+    the same round as a recalibration would pass. The primary gate is
+    now serve_sec ≤ 2.0× the inline sibling measured in the SAME bench
+    run (both read ANN_RUNG_PARAMS through aliased dicts, so the ratio
+    isolates the serving path and box contention scales both sides
+    out). The absolute ceilings remain as the fallback for artifacts
+    without the anchor."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod3", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def art(entry):
+        return {
+            "env": {"cpu_probe": {"md5_mt_48mb_sec": bench.REF_CPU_PROBE_MT}},
+            "merge_pipeline_15k": {"tx_per_sec_steady": 9000.0},
+            "stream_pipeline_15k": {"receipts_per_sec_steady": 1200.0},
+            "prep_pipeline_15k": {"docs_per_sec": 3500.0, "docs_in": 16000},
+            "queries": {},
+            "pretrained_serve": {"emb_knn_ivfpq_pretrained": entry},
+        }
+
+    fires = lambda e: [  # noqa: E731
+        v for v in bench.check_throughput_gates(art(e)) if "serve" in v
+    ]
+    # at the bound: quiet; past it: fires with the same-run anchor named
+    assert not fires({"serve_sec": 10.0, "inline_sec": 5.0})
+    fired = fires({"serve_sec": 10.1, "inline_sec": 5.0})
+    assert fired and "same-run inline" in fired[0], fired
+    # sub-noise-floor serve readings never fire the ratio (a single GC
+    # pause flips a sub-3s ratio without any plan change)
+    assert not fires({"serve_sec": 2.9, "inline_sec": 1.0})
+    # a 2.3×-of-inline reading — the shape r15's contended 200k artifact
+    # recorded — fires when reproduced inside one run
+    assert fires({"serve_sec": 195.9, "inline_sec": 84.1})
+    # fallback: no anchor → absolute ceiling semantics (unchanged)
+    assert fires({"serve_sec": 21.0})
+    assert not fires({"serve_sec": 19.0})
+
+
 @pytest.mark.sweep
 def test_throughput_floor_gates():
     """r11 verdict #1 (third time of asking): the OLD gates gated noisy
