@@ -135,10 +135,12 @@ def generate_day(day: int, n_day: int, base: str, procs: int) -> dict:
     return totals
 
 
-def _content_hash(df) -> int:
+def _content_hash(df) -> str:
     """Order-independent content fingerprint: sum of per-row xxhash64
     over every column (cast to string, nulls sentinel'd), column order
-    fixed by name. Two outputs with the same row multiset hash equal —
+    fixed by name, accumulated in DECIMAL(38,0) — a LONG sum overflows
+    ANSI mode after ~2 rows of adversarial hashes and ~millions of
+    average ones. Two outputs with the same row multiset hash equal —
     the kill/rerun idempotence assertion."""
     from pyspark.sql import functions as F
 
@@ -146,8 +148,10 @@ def _content_hash(df) -> int:
         F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
         for c in sorted(df.columns)
     ]
-    return (
-        df.select(F.xxhash64(*cols).alias("h"))
+    return str(
+        df.select(
+            F.xxhash64(*cols).cast("decimal(38,0)").alias("h")
+        )
         .agg(F.sum("h").alias("s"))
         .collect()[0]["s"]
     )
@@ -210,12 +214,35 @@ def _j2_plan_probe(spark, tx_paths: list[str], table: str, before_day: int) -> d
     bl = read_blacklist_table(spark, table, before_day=before_day).select(
         F.col("hash").alias("csv_hash")
     )
-    plan = (
-        raw.join(bl, on="csv_hash", how="left_anti")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # broadcast disabled for the probe: at smoke scale the accumulated
+    # list is small enough that Spark (correctly) broadcasts it, which
+    # hides the layout property this probe exists to pin — that the
+    # bucketed table plans an exchange-free sort-merge anti the moment
+    # broadcast stops being an option (the real operating regime: the
+    # full tier's seeded table is past any broadcast threshold, so
+    # there the unforced plan is the same one probed here).
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    saved = {}
+    for key in keys:
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, "-1")
+    try:
+        plan = (
+            raw.join(bl, on="csv_hash", how="left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        for key in keys:
+            if saved[key] is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, saved[key])
     return {
         "exchanges": plan.count("Exchange"),
         "bucketed_scan": "Bucketed: true" in plan,
