@@ -57,6 +57,18 @@ def dedup_keep_earliest_row(
     Window-function variant (row_number()==1) — the idiomatic Spark form of
     reference common/trashfile.go:90-99 (trash dedup keeps the earliest whole
     entry). ``order`` should include a tiebreaker column to be deterministic.
+
+    Measured and kept (r16): a ``min_by(struct(payload), struct(order))``
+    hash-aggregate rewrite was tried against this form — min_by's
+    variable-width struct buffer forces a non-codegen SortAggregate on
+    both sides of the exchange, and the bench medians REGRESSED
+    (dedup_earliest 0.32 s → 0.43 s, first_source_counts 0.34 s → 0.39 s
+    at sf0.1/local[32]). The window form is already shuffle-minimal on
+    Spark 3.5+: WindowGroupLimit prunes to ≤1 row per (key, map
+    partition) BEFORE the exchange, which is the same map-side reduction
+    a partial aggregate would buy, with codegen'd sorts. Equivalence of
+    the two forms is pinned by tests/test_operators.py::
+    test_dedup_keep_earliest_row_matches_window.
     """
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])

@@ -24,6 +24,7 @@ def sources_by_first_seen(
     hash_col: str = "hash",
     source_col: str = "source",
     ts_col: str = "timestamp_ms",
+    pre_partition: int | None = None,
 ) -> DataFrame:
     """Collapse a sourcelog to one row per hash with the source array ordered
     by first-seen timestamp (reference cmd/merge/transactions.go:111-136).
@@ -32,7 +33,21 @@ def sources_by_first_seen(
       (hash, source) → min ts   then   hash → sort_array(collect_list(...))
     The struct sort key is (min_ts, source) so ordering is total and
     deterministic even when two sources tie on the millisecond.
+
+    ``pre_partition`` (r16): when set, the input is hash-partitioned on
+    ``hash_col`` into that many partitions FIRST, which makes BOTH
+    groupBys exchange-free — HashPartitioning(hash) satisfies the
+    clustered distribution of (hash, source) and of (hash), so the plan
+    carries exactly one Exchange of raw receipt rows instead of two
+    Exchanges of aggregated rows (guide §2.4). The raw form shuffles
+    fewer total bytes whenever receipts < distinct(hash, source) +
+    distinct(hash) — i.e. whenever the per-(hash, source) duplicate
+    factor is below ~2, which holds for the reference's sourcelog (most
+    sources deliver a tx once). Leave None when duplicates dominate and
+    the map-side combine of the two-exchange form is worth more.
     """
+    if pre_partition:
+        sourcelog = sourcelog.repartition(pre_partition, hash_col)
     per_source = sourcelog.groupBy(hash_col, source_col).agg(
         F.min(ts_col).alias("__first_ts")
     )

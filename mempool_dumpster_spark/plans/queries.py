@@ -150,8 +150,17 @@ def trash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sources_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, ["events"])["events"]
+    # pre_partition (r16): one exchange of raw events instead of two
+    # aggregated exchanges — events carry ~66 rows per key here but only
+    # ~13 distinct (key, source) pairs fewer, and the removed Exchange's
+    # fixed stage cost dominates at bench SF while raw-row bytes stay
+    # within ~1 shuffle of the two-exchange form at any SF.
     src = sources_by_first_seen(
-        events, hash_col="user_id", source_col="event_type", ts_col="ts"
+        events,
+        hash_col="user_id",
+        source_col="event_type",
+        ts_col="ts",
+        pre_partition=spark.sparkContext.defaultParallelism,
     )
     return src.select(
         "user_id",

@@ -50,7 +50,14 @@ def doc_shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFram
 
     Plan choices for the CPU-bound shingling projection:
     - spread the input over cores first (a byte-small scan is 1 split, and
-      shingling cost scales with words, not bytes);
+      shingling cost scales with words, not bytes) — HASHED on doc_id, not
+      round-robin (r16): every consumer aggregates or dedups on doc_id (or
+      a superset of it), and HashPartitioning(doc_id) satisfies those
+      ClusteredDistributions outright, so the downstream groupBy/distinct
+      plans WITHOUT its own Exchange — the exploded shingle rows never
+      cross a second shuffle (guide §2.4: two operations keyed the same
+      way share one exchange). docs ≫ partitions at every SF, so the
+      hash spread matches round-robin's balance;
     - materialize `split(text)` ONCE per doc before the k-gram lambda —
       Catalyst does not CSE a non-deterministic-width expression inside
       higher-order-function lambdas, so inlining the split would re-split
@@ -59,7 +66,7 @@ def doc_shingles(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFram
       (min for MinHash, collect_set) pass distinct=False and skip a whole
       shuffle of the exploded shingle rows."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    w = docs.repartition(par).select("doc_id", words_col().alias("__w"))
+    w = docs.repartition(par, "doc_id").select("doc_id", words_col().alias("__w"))
     out = w.select(
         "doc_id", F.explode(shingles_expr(F.col("__w"), k)).alias("shingle")
     )
@@ -250,11 +257,12 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One aggregate produces the exact shingle set AND its size; the MinHash
     # signature is a projection over the cached arrays, so shingling runs
     # exactly once end-to-end. The shingle bag skips the distinct shuffle
-    # (collect_set dedups), and the explicit hash repartition both serves as
-    # the groupBy clustering and pins CORE-count partitions for the
-    # CPU-bound signature projection over the cache (AQE would coalesce
-    # a byte-small shuffle to 1 task otherwise).
-    par = spark.sparkContext.defaultParallelism
+    # (collect_set dedups). doc_shingles hash-partitions on doc_id with a
+    # pinned CORE-count partition number (r16), so the groupBy below plans
+    # with NO Exchange at all — the exploded bag is aggregated in place and
+    # only the text bytes ever shuffle (previously the full shingle bag
+    # crossed a second, unaggregated exchange; see plans/r16/
+    # docs_ngram_jaccard_before.txt (4)+(7) vs _after.txt).
     n_bands = 32  # see the registry doc: the exactness-vs-scale knob
     sh = doc_shingles(docs, distinct=False)
     # ONE aggregate produces the exact shingle set AND the per-band
@@ -272,8 +280,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (subexpression-elimination bug over NamedLambdaVariable hash exprs —
     # observed on Spark 4.1: all 8 "different" band mins came back equal).
     arrs = (
-        sh.repartition(par, "doc_id")
-        .groupBy("doc_id")
+        sh.groupBy("doc_id")
         .agg(
             F.collect_set("shingle").alias("shs"),
             *[
@@ -465,8 +472,10 @@ def _simhash_sql_duck() -> str:
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     digest = F.md5("word")
-    # CPU-bound md5-per-word projection: spread over cores, not scan splits
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound md5-per-word projection: spread over cores, not scan splits.
+    # Hashed on doc_id (r16) so the vote aggregate below needs no second
+    # Exchange — partial+final collapse onto the pinned 32 partitions.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     w = docs.select("doc_id", F.explode(words_col()).alias("word")).select(
         "doc_id",
         *[
@@ -554,8 +563,9 @@ def _simhash64_spark() -> Column:
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     digest = F.md5("word")
-    # CPU-bound md5-per-word projection: spread over cores, not scan splits
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # CPU-bound md5-per-word projection: spread over cores, not scan splits.
+    # Hashed on doc_id (r16): the signature aggregate plans exchange-free.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     w = docs.select("doc_id", F.explode(words_col()).alias("word")).select(
         "doc_id",
         *[
@@ -1795,7 +1805,10 @@ def _dup_spans(docs: DataFrame, k: int = 5, min_docs: int = 2):
     the span join (cached locally; at 100 TB prefer recomputing the
     projection over caching TBs — it is one scan either way)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    w = docs.repartition(par).select("doc_id", words_col().alias("__w"))
+    # hashed on doc_id (r16): the (doc_id, gram) distinct below dedups
+    # in place — HashPartitioning(doc_id) satisfies the clustered
+    # distribution on the superset key, so no second exchange of grams
+    w = docs.repartition(par, "doc_id").select("doc_id", words_col().alias("__w"))
     grams = (
         w.select(
             "doc_id",

@@ -58,6 +58,46 @@ def test_dedup_keep_earliest_row(spark):
     assert got == {("h1", "s1"): "x", ("h1", "s2"): "z"}
 
 
+def test_dedup_keep_earliest_row_matches_window(spark):
+    """The shipped row_number()==1 window form must keep exactly the rows a
+    min_by(struct(payload), struct(order)) aggregate would keep — including
+    NULL ordering fields (struct comparison = ASC NULLS FIRST, same as the
+    window's orderBy default) and payload columns that never appear in the
+    order list. Documents the r16 measurement that chose the window form:
+    min_by's variable-width struct buffer plans as a non-codegen
+    SortAggregate and benched SLOWER (operators/dedup.py docstring), but
+    the two are the same function — this pins that equivalence so either
+    implementation can be swapped in if a future Spark makes the aggregate
+    form cheap. Also pins that the shipped plan still gets the map-side
+    WindowGroupLimit prune (the property that makes the window form
+    shuffle-minimal on Spark 3.5+)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("h1", "s1", 100, 7, "x"),
+        ("h1", "s1", 100, 3, "y"),   # tiebreak on the 2nd order col
+        ("h1", "s2", 90, 1, "z"),
+        ("h2", "s1", None, 5, "n"),  # NULL ts sorts first (NULLS FIRST)
+        ("h2", "s1", 10, 2, "m"),
+        ("h3", "s3", 50, None, "q"),  # NULL tiebreak field
+        ("h3", "s3", 50, 4, "r"),
+    ]
+    schema = "hash string, source string, ts long, seq long, note string"
+    df = spark.createDataFrame(rows, schema)
+    out = dedup_keep_earliest_row(df, key=["hash", "source"], order=["ts", "seq"])
+    got = sorted(map(tuple, out.collect()))
+    payload = [c for c in df.columns if c not in ("hash", "source")]
+    agg = (
+        df.groupBy("hash", "source")
+        .agg(F.min_by(F.struct(*payload), F.struct("ts", "seq")).alias("__r"))
+        .select("hash", "source", *[F.col("__r")[c].alias(c) for c in payload])
+        .select(df.columns)
+    )
+    assert got == sorted(map(tuple, agg.collect()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_sourcelog_dedup_min(spark):
     df = spark.createDataFrame(
         [(100, "h1", "a"), (90, "h1", "a"), (95, "h1", "b")],
