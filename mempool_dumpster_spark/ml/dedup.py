@@ -98,10 +98,17 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     exact Jaccard. Spreads the CPU-bound k-gram projection over cores and
     reuses `shingles()`'s arrays_zip formulation (byte-identical output,
     measured 6-10× over the per-gram element_at form this function used
-    to inline — this feeds every prep/append hot path)."""
+    to inline — this feeds every prep/append hot path).
+
+    The spread is HASHED on the id (r16), not round-robin: both
+    downstream consumers cluster on doc_id — the (doc_id, shingle)
+    distinct right below and minhash_signatures' groupBy(doc_id) — and
+    HashPartitioning(doc_id) satisfies both clustered distributions, so
+    the exploded shingle rows never cross a second exchange (guide §2.4);
+    the whole signature chain pays ONE shuffle, of the input text."""
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(par)
+        df.repartition(par, id_col)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(shingles(text_col, k)).alias("shingle"),

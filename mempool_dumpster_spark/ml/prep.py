@@ -114,9 +114,18 @@ def prep_corpus(
         gates.append(
             near_dup_keeplist(docs, id_col=id_col, text_col=text_col, k=cfg.shingle_k)
         )
-    out = docs
+    # Intersect the id-only keep-lists FIRST, then gate the text-carrying
+    # docs through ONE semi-join (r16). Every gate emits a unique-id
+    # frame, so inner-joining them is exact set intersection and the
+    # combined semi-join keeps precisely the rows the old per-gate chain
+    # kept — but the wide text rows now cross at most one join instead
+    # of one per gate (at scale each non-broadcast semi re-shuffled the
+    # text; the id∩id joins shuffle ~8 bytes/doc). Guide §8: decide on
+    # the lightweight proxy, move the heavy bytes once.
+    keep: DataFrame | None = None
     for g in gates:
-        out = out.join(g, id_col, "left_semi")
+        keep = g if keep is None else keep.join(g, id_col)
+    dirty: DataFrame | None = None
     if cfg.decontaminate and benchmark is not None:
         dirty = (
             contamination(
@@ -125,7 +134,14 @@ def prep_corpus(
             .filter(F.col("contaminated") == 1)
             .select(id_col)
         )
-        out = out.join(dirty, id_col, "left_anti")
+    if keep is not None:
+        if dirty is not None:
+            keep = keep.join(dirty, id_col, "left_anti")
+        out = docs.join(keep, id_col, "left_semi")
+    elif dirty is not None:
+        out = docs.join(dirty, id_col, "left_anti")
+    else:
+        out = docs
     if cfg.dsir_target is not None and cfg.dsir_keep is not None:
         from mempool_dumpster_spark.ml.selection import dsir_top_k
 

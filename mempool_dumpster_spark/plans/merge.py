@@ -295,7 +295,12 @@ def merge_transactions(
             ),
         )
 
-    # A1 before the UDF: one RLP parse per unique hash
+    # A1 before the UDF: one RLP parse per unique hash. (r16: a
+    # window/row_number form with pre-repartition was A/B-measured against
+    # this min_by aggregate at the 15k tier — 3.65 s vs 3.38 s steady —
+    # and rejected; the partial SortAggregate already dedups receipts
+    # map-side before the exchange, which the window's WindowGroupLimit
+    # merely matches.)
     deduped = dedup_keep_earliest(raw, key="csv_hash", ts_col="timestamp_ms")
 
     # The parse UDF is CPU-bound (~ms/tx), so its partitioning must follow
@@ -362,11 +367,21 @@ def merge_transactions(
         enriched = rpc_inclusion_enrich(
             txs, rpc_client_factory, hash_col="hash", ts_col="timestamp"
         )
+    elif blocks is not None:
+        enriched = inclusion_enrich(txs, blocks, ts_col="timestamp")
     else:
-        blocks_df = blocks if blocks is not None else spark.createDataFrame(
-            [], "hash string, block_number long, block_timestamp_ms long"
+        # No inclusion source (reference run without check-nodes): every tx
+        # gets the not-included sentinels 0/0/0 (common/txsummary.go:64-66).
+        # Identical to inclusion_enrich against an empty blocks frame —
+        # left join with zero matches + coalesce(…, 0) — but as a literal
+        # projection, which drops a BroadcastExchange + BroadcastHashJoin
+        # from the default merge plan (r16; the join against a provably
+        # empty side was pure fixed overhead on every run).
+        enriched = (
+            txs.withColumn("includedAtBlockHeight", F.lit(0).cast("long"))
+            .withColumn("includedBlockTimestamp", F.lit(0).cast("long"))
+            .withColumn("inclusionDelayMs", F.lit(0).cast("long"))
         )
-        enriched = inclusion_enrich(txs, blocks_df, ts_col="timestamp")
 
     # F3: drop txs included on-chain ≥12 s before first receipt
     filtered = enriched.filter(
