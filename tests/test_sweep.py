@@ -941,6 +941,16 @@ def test_blacklist_antijoin_broadcast_bound(spark, tmp_path, monkeypatch):
         "BroadcastHashJoin" in ln for ln in small_anti
     ), "small blacklist should broadcast:\n" + "\n".join(small_anti)
 
+    # Release the first merge's persisted pre-sort frame before re-planning:
+    # CacheManager matches cached plans AFTER hint elimination, so the
+    # second call's persist() would otherwise resolve to the FIRST call's
+    # InMemoryRelation and replay its broadcast physical plan — the plan
+    # assertion below would then observe the cache, not the planner. (This
+    # surfaced in r16: the empty-blocks join was replaced by a literal
+    # projection, making the two calls' plans differ only by the hint;
+    # before that, a fresh empty LocalRelation kept them distinct.)
+    big.unpersist()
+
     # Past the bound the code drops the F.broadcast HINT — Catalyst/AQE
     # then picks the strategy by ACTUAL size (a hint overrides size
     # thresholds unconditionally, which is the failure mode). The test
