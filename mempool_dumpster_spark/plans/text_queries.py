@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from mempool_dumpster_spark.ml.similarity import cosine_near_pairs
 from mempool_dumpster_spark.plans.registry import register
-from mempool_dumpster_spark.plans.tables import load_tables
+from mempool_dumpster_spark.plans.tables import load_tables, spread_scan
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -779,6 +779,12 @@ def emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
+    # spread_scan (r16): the |C| × |Q| higher-order-function dot products
+    # run between the scan and the window exchange — single-threaded on
+    # the one-split testdata scan. Spreading the candidate side fans them
+    # over the cores (measured 0.55 → 0.41 s); no-op when the input
+    # already scans wide (tables.spread_scan doc).
+    c = spread_scan(c, sf_dir, "embeddings", "neighbor_id")
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
