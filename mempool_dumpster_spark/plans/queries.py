@@ -21,9 +21,8 @@ from mempool_dumpster_spark.operators.dedup import (
     dedup_keep_earliest_row,
     dedup_min_timestamp,
 )
-from mempool_dumpster_spark.operators.joins import sources_by_first_seen
 from mempool_dumpster_spark.plans.registry import register
-from mempool_dumpster_spark.plans.tables import load_tables, spread_scan
+from mempool_dumpster_spark.plans.tables import load_tables, scan_spread_hint
 
 # ---------------------------------------------------------------------------
 # Mempool-core operator analogs on `events`
@@ -48,15 +47,20 @@ from mempool_dumpster_spark.plans.tables import load_tables, spread_scan
     "One shuffle on the key; window variant keeps the whole earliest row.",
 )
 def dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, ["events"])["events"]
-    first = dedup_keep_earliest_row(events, key="user_id", order=["ts", "event_id"])
-    return first.select(
-        "user_id",
-        F.col("event_id").alias("first_event_id"),
-        F.col("ts").alias("first_ts"),
-        F.col("event_type").alias("first_event_type"),
-        F.col("value").alias("first_value"),
-    )
+    load_tables(spark, sf_dir, ["events"])
+    # SQL form of dedup_keep_earliest_row(events, user_id, [ts, event_id])
+    # (r16 construction cut; same WindowGroupLimit-pruned window plan —
+    # the operator module keeps the canonical DataFrame implementation
+    # for the merge pipeline).
+    return spark.sql("""
+      SELECT user_id, event_id AS first_event_id, ts AS first_ts,
+             event_type AS first_event_type, value AS first_value
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS __rn
+        FROM events
+      ) WHERE __rn = 1
+    """)
 
 
 @register(
@@ -149,24 +153,33 @@ def trash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "common/txsummary.go:104). Two-level agg; shuffle ∝ distinct keys.",
 )
 def sources_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, ["events"])["events"]
+    load_tables(spark, sf_dir, ["events"])
     # pre_partition (r16): one exchange of raw events instead of two
     # aggregated exchanges — events carry ~66 rows per key here but only
     # ~13 distinct (key, source) pairs fewer, and the removed Exchange's
     # fixed stage cost dominates at bench SF while raw-row bytes stay
-    # within ~1 shuffle of the two-exchange form at any SF.
-    src = sources_by_first_seen(
-        events,
-        hash_col="user_id",
-        source_col="event_type",
-        ts_col="ts",
-        pre_partition=spark.sparkContext.defaultParallelism,
-    )
-    return src.select(
-        "user_id",
-        F.size("sources").cast("bigint").alias("n_sources"),
-        F.array_join("sources", " ").alias("sources_str"),
-    )
+    # within ~1 shuffle of the two-exchange form at any SF. SQL form of
+    # sources_by_first_seen(pre_partition=cores) (r16 construction cut;
+    # the operator module keeps the canonical DataFrame implementation
+    # for the merge pipeline).
+    par = spark.sparkContext.defaultParallelism
+    return spark.sql(f"""
+      SELECT user_id,
+             CAST(size(sources) AS BIGINT) AS n_sources,
+             array_join(sources, ' ') AS sources_str
+      FROM (
+        SELECT user_id,
+               transform(sort_array(collect_list(struct(__first_ts, event_type))),
+                         s -> s.event_type) AS sources
+        FROM (
+          SELECT user_id, event_type, min(ts) AS __first_ts
+          FROM (SELECT /*+ REPARTITION({par}, user_id) */
+                       user_id, event_type, ts FROM events)
+          GROUP BY user_id, event_type
+        )
+        GROUP BY user_id
+      )
+    """)
 
 
 @register(
@@ -183,12 +196,18 @@ def sources_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per source (ref collector/tx_processor.go:240-247, sourcemetrics.go:29-55).",
 )
 def first_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, ["events"])["events"]
-    first = dedup_keep_earliest_row(events, key="user_id", order=["ts", "event_id"])
-    return (
-        first.groupBy(F.col("event_type").alias("source"))
-        .agg(F.count("*").alias("n_first"))
-    )
+    load_tables(spark, sf_dir, ["events"])
+    # SQL form of dedup_keep_earliest_row + count per source (r16
+    # construction cut; same WindowGroupLimit-pruned window plan).
+    return spark.sql("""
+      SELECT event_type AS source, count(*) AS n_first
+      FROM (
+        SELECT event_type, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS __rn
+        FROM events
+      ) WHERE __rn = 1
+      GROUP BY event_type
+    """)
 
 
 @register(
@@ -285,14 +304,27 @@ def per_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table is date-partitioned.",
 )
 def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, ["events"])["events"]
-    return events.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket"),
-        F.col("event_type").alias("source"),
-    ).agg(
-        F.count("*").alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
+    load_tables(spark, sf_dir, ["events"])
+    # r16 (guide §2.4, same trade as sources_attach's pre_partition): the
+    # countDistinct otherwise plans TWO exchanges — (bucket, source,
+    # user_id) partials, then (bucket, source) finals. Hash-partitioning
+    # the raw rows on (bucket, source) up front satisfies BOTH aggregates'
+    # clustered distributions, so the plan carries exactly one Exchange of
+    # raw (bucket, source, user_id) rows. That is fewer bytes than the
+    # two-exchange form whenever the per-(bucket, source, user) duplicate
+    # factor is below ~2 — true for receipt-shaped streams where a source
+    # delivers a tx to a user-hour once or twice; revisit if duplication
+    # dominates (the map-side combine of the two-exchange form wins then).
+    par = spark.sparkContext.defaultParallelism
+    return spark.sql(f"""
+      SELECT bucket, source, count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM (
+        SELECT /*+ REPARTITION({par}, bucket, source) */ bucket, source, user_id
+        FROM (SELECT date_trunc('hour', ts) AS bucket,
+                     event_type AS source, user_id FROM events)
+      )
+      GROUP BY bucket, source
+    """)
 
 
 @register(
@@ -389,7 +421,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_approx (one pass, mergeable sketches).",
 )
 def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, ["events"])["events"]
+    load_tables(spark, sf_dir, ["events"])
     # r16, two byte-level cuts with identical output (guide §2.3):
     # - the window orders by value ONLY — the oracle's event_id tiebreak
     #   permutes row numbers among EQUAL values, and the query emits the
@@ -402,28 +434,28 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   demand, but AQE can no longer coalesce the small post-shuffle
     #   stage down to 1-2 tasks and serialize the 5 per-group sorts
     #   (measured 0.39 → 0.28 s).
-    w = Window.partitionBy("event_type").orderBy("value")
-    wc = Window.partitionBy("event_type")
-    o = events.repartition(
-        spark.sparkContext.defaultParallelism, "event_type"
-    ).select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("cnt"),
+    # Built as one spark.sql call (r16): ~0.12 s of py4j Column
+    # construction per invocation gone; same optimized plan. The D-suffixed
+    # percentile literals keep Spark's DOUBLE arithmetic for the rank
+    # position bit-identical to the F.lit() form this replaced.
+    par = spark.sparkContext.defaultParallelism
+    picks = ", ".join(
+        f"max(CASE WHEN rn = 1 + floor({p}D * (cnt - 1)) THEN value END)"
+        f" AS p{lbl}"
+        for p, lbl in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
     )
-
-    def pick(p: float):
-        return F.max(
-            F.when(F.col("rn") == 1 + F.floor(F.lit(p) * (F.col("cnt") - 1)), F.col("value"))
-        )
-
-    return o.groupBy(F.col("event_type").alias("source")).agg(
-        pick(0.5).alias("p50"),
-        pick(0.9).alias("p90"),
-        pick(0.99).alias("p99"),
-        F.count("*").alias("n"),
-    )
+    return spark.sql(f"""
+      SELECT event_type AS source, {picks}, count(*) AS n
+      FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM (SELECT /*+ REPARTITION({par}, event_type) */ event_type, value
+              FROM events)
+      )
+      GROUP BY event_type
+    """)
 
 
 @register(
@@ -479,27 +511,30 @@ def value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analyzer (A6-A9). DECIMAL-exact arithmetic, final cast to DOUBLE.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    # spread_scan (r16): the 3 decimal sums are ~0.5 s of single-threaded
+    load_tables(spark, sf_dir, ["lineitem"])
+    # spread hint (r16): the 3 decimal sums are ~0.5 s of single-threaded
     # work over the one-split testdata scan (measured: scan+filter 0.21 s,
     # +decimal agg 0.72 s); hash-spreading on the high-cardinality orderkey
-    # fans the partial aggregate over the cores (0.66 → 0.48 s) and is a
-    # no-op whenever the input already scans wide (tables.spread_scan doc).
-    li = spread_scan(li, sf_dir, "lineitem", "l_orderkey")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
-            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
-    )
+    # fans the partial aggregate over the cores (0.66 → 0.48 s) and is
+    # EMPTY whenever the input already scans wide (scan_spread_hint doc).
+    # Built as one spark.sql call (r16): ~0.1 s of py4j Column
+    # construction per invocation gone; same optimized plan.
+    spread = scan_spread_hint(spark, sf_dir, "lineitem", "l_orderkey")
+    return spark.sql(f"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_qty,
+             count(*) AS count_order
+      FROM (SELECT {spread} * FROM lineitem)
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 @register(
@@ -524,26 +559,33 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as tiebreaker so the top-10 set is deterministic.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
-    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
-    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    o = t["orders"].filter(F.col("o_orderdate") < cutoff).select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    l = t["lineitem"].filter(F.col("l_shipdate") > cutoff).select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
-    return (
-        l.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey), l.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
-    )
+    load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    # Built as one spark.sql call (r16): ~0.15 s of py4j Column
+    # construction per invocation gone; same optimized plan (broadcast
+    # hint only on the filtered customer dim; the l⋈o strategy stays
+    # planner-chosen, so it adapts at scale).
+    return spark.sql("""
+      SELECT l_orderkey, revenue, o_orderdate
+      FROM (
+        SELECT l.l_orderkey, o.o_orderdate,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue
+        FROM (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00') l
+        JOIN (
+          SELECT /*+ BROADCAST(c) */ o_orderkey, o_orderdate
+          FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+                WHERE o_orderdate < TIMESTAMP '1998-03-15 00:00:00') o
+          JOIN (SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING') c
+            ON o.o_custkey = c.c_custkey
+        ) o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey, o.o_orderdate
+      )
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """)
 
 
 @register(
@@ -567,35 +609,46 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle only on the orders⋈lineitem equi-join; AQE handles skew.",
 )
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(
+    load_tables(
         spark, sf_dir, ["region", "nation", "customer", "supplier", "orders", "lineitem"]
     )
-    r = t["region"].filter(F.col("r_name") == "ASIA")
-    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-    c = t["customer"].join(
-        F.broadcast(n.select("n_nationkey", "n_name")),
-        F.col("c_nationkey") == F.col("n_nationkey"),
-    )
-    o = t["orders"].filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    )
-    oc = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey", "n_name")),
-        F.col("o_custkey") == F.col("c_custkey"),
-    )
-    l = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    ol = l.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
-    s = t["supplier"].select("s_suppkey", "s_nationkey")
-    joined = ol.join(
-        F.broadcast(s),
-        (F.col("s_suppkey") == F.col("l_suppkey"))
-        & (F.col("s_nationkey") == F.col("c_nationkey")),
-    )
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
-    )
-    return joined.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
+    # Built as one spark.sql call (r16): ~0.2 s of py4j Column
+    # construction per invocation gone; same optimized plan. Broadcast
+    # hints sit on the DIM side of each star join exactly as before
+    # (region→nation→customer chain + supplier); the lineitem⋈orders
+    # strategy stays planner-chosen so the fact-fact join adapts at scale.
+    return spark.sql("""
+      WITH n AS (
+        SELECT /*+ BROADCAST(r) */ n_nationkey, n_name
+        FROM nation JOIN (SELECT r_regionkey FROM region
+                          WHERE r_name = 'ASIA') r
+          ON n_regionkey = r_regionkey
+      ),
+      c AS (
+        SELECT /*+ BROADCAST(n) */ c_custkey, c_nationkey, n_name
+        FROM customer JOIN n ON c_nationkey = n_nationkey
+      ),
+      oc AS (
+        SELECT /*+ BROADCAST(c) */ o_orderkey, c_nationkey, n_name
+        FROM (SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00') o
+        JOIN c ON o_custkey = c_custkey
+      ),
+      ol AS (
+        SELECT l_suppkey, l_extendedprice, l_discount, c_nationkey, n_name
+        FROM (SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount
+              FROM lineitem) l
+        JOIN oc ON l_orderkey = o_orderkey
+      )
+      SELECT /*+ BROADCAST(s) */ n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM ol JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+        ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      GROUP BY n_name
+    """)
 
 
 @register(

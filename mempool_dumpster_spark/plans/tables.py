@@ -81,10 +81,11 @@ def _size_bytes(path: str) -> int:
         return 0
 
 
-def spread_scan(df: DataFrame, sf_dir: str, name: str, *keys: str) -> DataFrame:
-    """Redistribute a scan whose INPUT LAYOUT caps parallelism below the
-    session's cores — and ONLY then (r16, guide §2.5 "input skew: one huge
-    unsplittable file … repartition immediately after the read").
+def scan_spread_hint(df_or_spark, sf_dir: str, name: str, *keys: str) -> str:
+    """REPARTITION hint for a scan whose INPUT LAYOUT caps parallelism
+    below the session's cores — and ONLY then (r16, guide §2.5 "input
+    skew: one huge unsplittable file … repartition immediately after the
+    read").
 
     The driver testdata tables are one parquet file with ONE row group, so
     every scan stage is a single task no matter how many cores the session
@@ -92,19 +93,20 @@ def spread_scan(df: DataFrame, sf_dir: str, name: str, *keys: str) -> DataFrame:
     products) sits between the scan and its first exchange runs that work
     single-threaded. When the estimated split count
     (bytes / spark.sql.files.maxPartitionBytes) is below the core count,
-    hash-repartition on ``keys`` to fan the compute out. Hash, NOT
-    round-robin: a keyless repartition pays sortBeforeRepartition on every
-    input row (SPARK-23207), measured +0.15 s on a 600 k-row spread —
-    ``keys`` should be a high-cardinality column (any column; correctness
-    is unaffected by placement).
+    return ``/*+ REPARTITION(par, keys) */`` to fan the compute out.
+    Hash, NOT round-robin: a keyless repartition pays
+    sortBeforeRepartition on every input row (SPARK-23207), measured
+    +0.15 s on a 600 k-row spread — ``keys`` should be a high-cardinality
+    column (any column; correctness is unaffected by placement).
 
     At production scale the condition is false — a table bigger than
-    cores × maxPartitionBytes already scans wide — so the extra exchange
-    this inserts NEVER appears in a plan at 100 TB; it is strictly the
-    small-input/local-mode fix, and it scales with the session's actual
-    core count (SPARK_GRAFT_CPUS), not a constant.
-    """
-    spark = df.sparkSession
+    cores × maxPartitionBytes already scans wide — so the empty string is
+    returned and the extra exchange NEVER appears in a plan at 100 TB; it
+    is strictly the small-input/local-mode fix, and it scales with the
+    session's actual core count (SPARK_GRAFT_CPUS), not a constant.
+    (This replaced the r16 DataFrame-side `spread_scan` when the callers
+    moved to spark.sql-constructed plans.)"""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     par = spark.sparkContext.defaultParallelism
     max_split = int(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip(
@@ -113,8 +115,8 @@ def spread_scan(df: DataFrame, sf_dir: str, name: str, *keys: str) -> DataFrame:
     )
     est_splits = max(1, _size_bytes(f"{sf_dir}/{name}.parquet") // max_split)
     if est_splits >= par:
-        return df
-    return df.repartition(par, *keys)
+        return ""
+    return f"/*+ REPARTITION({par}, {', '.join(keys)}) */"
 
 
 def load_tables(

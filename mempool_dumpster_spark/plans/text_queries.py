@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from mempool_dumpster_spark.ml.similarity import cosine_near_pairs
 from mempool_dumpster_spark.plans.registry import register
-from mempool_dumpster_spark.plans.tables import load_tables, spread_scan
+from mempool_dumpster_spark.plans.tables import load_tables, scan_spread_hint
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -253,91 +253,82 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs at ≥0.75, where b=32 misses ~1e-17).",
 )
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    # One aggregate produces the exact shingle set AND its size; the MinHash
-    # signature is a projection over the cached arrays, so shingling runs
-    # exactly once end-to-end. The shingle bag skips the distinct shuffle
-    # (collect_set dedups). doc_shingles hash-partitions on doc_id with a
-    # pinned CORE-count partition number (r16), so the groupBy below plans
-    # with NO Exchange at all — the exploded bag is aggregated in place and
-    # only the text bytes ever shuffle (previously the full shingle bag
-    # crossed a second, unaggregated exchange; see plans/r16/
-    # docs_ngram_jaccard_before.txt (4)+(7) vs _after.txt).
-    n_bands = 32  # see the registry doc: the exactness-vs-scale knob
-    sh = doc_shingles(docs, distinct=False)
-    # ONE aggregate produces the exact shingle set AND the per-band
-    # minhash keys — there is no separate signature projection stage at
-    # all. Two wins over hashing the cached arrays afterwards:
-    # - the band keys are prefilter-only (unlike docs_minhash_lsh_pairs,
-    #   whose md5 minhash IS the oracle-checked output), so they can use
-    #   xxhash64 — whole-stage-codegen'd, ~10× cheaper than md5;
-    # - min() partial-aggregates map-side, and the CPU-bound hashing rides
-    #   the same pass that builds the set, removing the straggler-sensitive
-    #   post-cache span behind this query's round-to-round timing swings.
-    # NB the hashes must live in a plain aggregate, NOT inside a
-    # higher-order-function lambda: `transform(shs, s -> xxhash64(i, s))`
-    # returns corrupt values when several such lambdas share a projection
+    load_tables(spark, sf_dir, ["documents"])
+    # One aggregate produces the exact shingle set AND the per-band minhash
+    # keys — shingling runs exactly once end-to-end, the bag skips the
+    # distinct shuffle (collect_set dedups), and the hash-partitioned
+    # REPARTITION hint pins the explode spread so the groupBy plans with NO
+    # Exchange of the exploded bag (r16; see plans/r16/ before vs after).
+    # The band keys are prefilter-only (unlike docs_minhash_lsh_pairs,
+    # whose md5 minhash IS the oracle-checked output), so they use
+    # xxhash64 — whole-stage-codegen'd, ~10× cheaper than md5. NB the
+    # hashes must live in a plain aggregate, NOT inside a higher-order-
+    # function lambda: `transform(shs, s -> xxhash64(i, s))` returns
+    # corrupt values when several such lambdas share a projection
     # (subexpression-elimination bug over NamedLambdaVariable hash exprs —
     # observed on Spark 4.1: all 8 "different" band mins came back equal).
-    arrs = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.collect_set("shingle").alias("shs"),
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
-                for i in range(n_bands)
-            ],
+    #
+    # r16 construction form: the whole plan is built as TWO spark.sql
+    # calls instead of ~500 py4j Column round-trips — the 32 min-hash
+    # aggregates plus the band/verify joins cost 0.94 s of DRIVER time
+    # per invocation to construct through py4j (measured; Catalyst
+    # analysis+optimization of the same tree is 0.04 s). Parsing the
+    # identical expressions JVM-side drops construction to ~0.03 s. The
+    # optimized plan is the same shape: the band explode is `stack`
+    # (one Generate, same topology as the explode-of-structs form).
+    n_bands = 32  # see the registry doc: the exactness-vs-scale knob
+    par = spark.sparkContext.defaultParallelism
+    mins = ", ".join(
+        f"min(xxhash64({i}, shingle)) AS m{i}" for i in range(n_bands)
+    )
+    mcols = ", ".join(f"m{i}" for i in range(n_bands))
+    arrs = spark.sql(f"""
+      SELECT doc_id, shs, CAST(size(shs) AS BIGINT) AS n_sh, {mcols}
+      FROM (
+        SELECT doc_id, collect_set(shingle) AS shs, {mins}
+        FROM (
+          SELECT doc_id, explode(
+            CASE WHEN size(__w) >= 3 THEN
+              transform(sequence(1, size(__w) - 2),
+                        i -> concat_ws(' ',
+                               element_at(__w, CAST(i AS INT)),
+                               element_at(__w, CAST(i + 1 AS INT)),
+                               element_at(__w, CAST(i + 2 AS INT))))
+            ELSE CAST(array() AS ARRAY<STRING>) END) AS shingle
+          FROM (
+            SELECT doc_id, split(text, ' ') AS __w
+            FROM (SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, text
+                  FROM documents)
+          )
         )
-        .select(
-            "doc_id",
-            "shs",
-            F.size("shs").cast("bigint").alias("n_sh"),
-            *[f"m{i}" for i in range(n_bands)],
-        )
-        .cache()
+        GROUP BY doc_id
+      )
+    """).cache()
+    arrs.createOrReplaceTempView("__jac_arrs")
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(n_bands))
+    bands_sql = (
+        f"SELECT doc_id, stack({n_bands}, {stack_args}) AS (band, key) "
+        "FROM __jac_arrs"
     )
-    bands = arrs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"m{i}").alias("key"))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("nb_shared"))
-        .filter(F.col("nb_shared") >= 2)
-    )
-    aa = arrs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shs").alias("sa"),
-        F.col("n_sh").alias("na"),
-    )
-    bb = arrs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shs").alias("sb"),
-        F.col("n_sh").alias("nb"),
-    )
-    n_inter = F.size(F.array_intersect("sa", "sb"))
-    jac = n_inter.cast("double") / (F.col("na") + F.col("nb") - n_inter)
-    return (
-        cand.join(aa, "doc_a")
-        .join(bb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    return spark.sql(f"""
+      SELECT doc_a, doc_b, jaccard
+      FROM (
+        SELECT cand.doc_a, cand.doc_b,
+               CAST(size(array_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - size(array_intersect(sa.shs, sb.shs)))
+                 AS jaccard
+        FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nb_shared
+          FROM ({bands_sql}) a
+          JOIN ({bands_sql}) b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= 2
+        ) cand
+        JOIN __jac_arrs sa ON sa.doc_id = cand.doc_a
+        JOIN __jac_arrs sb ON sb.doc_id = cand.doc_b
+      ) WHERE jaccard >= 0.5
+    """)
 
 
 def _minhash_cols(n_hashes: int = 8) -> list:
@@ -384,45 +375,54 @@ def _duck_minhash(n_hashes: int = 8) -> str:
     "band key so shuffle ∝ docs × bands, never docs².",
 )
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    load_tables(spark, sf_dir, ["documents"])
     # cache: both self-join sides would otherwise re-run the whole
     # shingle→md5→agg pipeline (no exchange reuse across join aliases).
-    # min() is duplicate-idempotent, so the shingle bag (distinct=False)
-    # feeds the aggregate directly: the 8×md5-per-shingle work happens in
-    # the map-side partial aggregate on the parallel explode partitions, and
-    # the only shuffle moves 8 hashes per doc.
-    sig = (
-        doc_shingles(docs, distinct=False)
-        .groupBy("doc_id")
-        .agg(*_minhash_cols(8))
-        .cache()
+    # min() is duplicate-idempotent, so the shingle bag (no distinct
+    # shuffle) feeds the aggregate directly: the 8×md5-per-shingle work
+    # happens in the map-side partial aggregate on the parallel explode
+    # partitions, and the only shuffle moves 8 hashes per doc. The band
+    # spread is one `stack` Generate instead of an 8-way union: the union
+    # re-evaluates the signature aggregation once per branch.
+    # r16 construction form: two spark.sql calls instead of ~250 py4j
+    # Column round-trips (0.45 s of driver time per invocation, measured;
+    # same optimized plan).
+    par = spark.sparkContext.defaultParallelism
+    mins = ", ".join(
+        f"min(md5(concat('{i}:', shingle))) AS m{i}" for i in range(8)
     )
-    # One explode instead of an 8-way union: the union re-evaluates the
-    # signature aggregation once per branch; the explode computes it once.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"m{i}").alias("key"))
-                    for i in range(8)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sig = spark.sql(f"""
+      SELECT doc_id, {mins}
+      FROM (
+        SELECT doc_id, explode(
+          CASE WHEN size(__w) >= 3 THEN
+            transform(sequence(1, size(__w) - 2),
+                      i -> concat_ws(' ',
+                             element_at(__w, CAST(i AS INT)),
+                             element_at(__w, CAST(i + 1 AS INT)),
+                             element_at(__w, CAST(i + 2 AS INT))))
+          ELSE CAST(array() AS ARRAY<STRING>) END) AS shingle
+        FROM (
+          SELECT doc_id, split(text, ' ') AS __w
+          FROM (SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, text
+                FROM documents)
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared_bands"))
-        .filter(F.col("n_shared_bands") >= 2)
+      )
+      GROUP BY doc_id
+    """).cache()
+    sig.createOrReplaceTempView("__mh_sig")
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(8))
+    bands_sql = (
+        f"SELECT doc_id, stack(8, {stack_args}) AS (band, key) FROM __mh_sig"
     )
+    return spark.sql(f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      FROM ({bands_sql}) a
+      JOIN ({bands_sql}) b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 2
+    """)
 
 
 def _simhash_bit_exprs_spark() -> Column:
@@ -470,20 +470,37 @@ def _simhash_sql_duck() -> str:
     "mined by banding the simhash bits, same topology as MinHash-LSH.",
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    digest = F.md5("word")
+    load_tables(spark, sf_dir, ["documents"])
     # CPU-bound md5-per-word projection: spread over cores, not scan splits.
     # Hashed on doc_id (r16) so the vote aggregate below needs no second
-    # Exchange — partial+final collapse onto the pinned 32 partitions.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    w = docs.select("doc_id", F.explode(words_col()).alias("word")).select(
-        "doc_id",
-        *[
-            F.conv(F.substring(digest, c + 1, 1), 16, 10).cast("int").alias(f"nib{c}")
-            for c in range(4)
-        ],
+    # Exchange — partial+final collapse onto the pinned partitions.
+    # r16 construction form: one spark.sql call instead of ~200 py4j
+    # Column round-trips for the 16 vote terms (0.58 s of driver time per
+    # invocation, measured; same optimized plan).
+    par = spark.sparkContext.defaultParallelism
+    terms = []
+    for j in range(16):
+        nib = f"nib{j // 4}"
+        bit = f"(shiftright({nib}, {3 - (j % 4)}) & 1)"
+        vote = f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2**j} ELSE 0 END")
+    total = " + ".join(terms)
+    nibs = ", ".join(
+        f"CAST(conv(substring(md5(word), {c + 1}, 1), 16, 10) AS INT) AS nib{c}"
+        for c in range(4)
     )
-    return w.groupBy("doc_id").agg(_simhash_bit_exprs_spark().alias("simhash16"))
+    return spark.sql(f"""
+      SELECT doc_id, CAST(0 + {total} AS BIGINT) AS simhash16
+      FROM (
+        SELECT doc_id, {nibs}
+        FROM (
+          SELECT doc_id, explode(split(text, ' ')) AS word
+          FROM (SELECT /*+ REPARTITION({par}, doc_id) */ doc_id, text
+                FROM documents)
+        )
+      )
+      GROUP BY doc_id
+    """)
 
 
 def _simhash64_sql_duck() -> str:
@@ -760,52 +777,48 @@ def docs_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replaces the cross join with a bucket equi-join.",
 )
 def emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    e = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
-    dot = lambda u, v: F.aggregate(
-        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    e = e.withColumn("norm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    # spread_scan (r16): the |C| × |Q| higher-order-function dot products
+    load_tables(spark, sf_dir, ["embeddings"])
+    # spread hint (r16): the |C| × |Q| higher-order-function dot products
     # run between the scan and the window exchange — single-threaded on
     # the one-split testdata scan. Spreading the candidate side fans them
-    # over the cores (measured 0.55 → 0.41 s); no-op when the input
-    # already scans wide (tables.spread_scan doc).
-    c = spread_scan(c, sf_dir, "embeddings", "neighbor_id")
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                4,
-            ).alias("sim_r"),
+    # over the cores (measured 0.55 → 0.41 s); the hint is EMPTY when the
+    # input already scans wide (tables.scan_spread_hint doc), so it never
+    # appears in a plan at production scale.
+    # r16 construction form: one spark.sql call instead of ~150 py4j
+    # Column round-trips for the HOF dot-product lambdas (0.45 s of
+    # driver time per invocation, measured; same optimized plan).
+    spread = scan_spread_hint(spark, sf_dir, "embeddings", "neighbor_id")
+    dot = (
+        "aggregate(zip_with({u}, {v}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return spark.sql(f"""
+      WITH n AS (
+        SELECT vec_id, emb,
+               sqrt({dot.format(u="emb", v="emb")}) AS norm
+        FROM (SELECT vec_id,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings)
+      ),
+      q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+            FROM n WHERE vec_id < 10),
+      c AS (SELECT {spread} vec_id AS neighbor_id, emb AS c_emb,
+                   norm AS c_norm
+            FROM n)
+      SELECT query_id, neighbor_id, sim_r, CAST(rank AS BIGINT) AS rank
+      FROM (
+        SELECT query_id, neighbor_id, sim_r,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id
+               ) AS rank
+        FROM (
+          SELECT /*+ BROADCAST(q) */ query_id, neighbor_id,
+                 round({dot.format(u="q_emb", v="c_emb")}
+                       / (q_norm * c_norm), 4) AS sim_r
+          FROM c JOIN q ON neighbor_id <> query_id
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim_r").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id", "sim_r", "rank")
-    )
+      ) WHERE rank <= 3
+    """)
 
 
 @register(
