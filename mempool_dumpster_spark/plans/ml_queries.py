@@ -1603,14 +1603,21 @@ _FUNNEL_STAGES = [
     "order).",
 )
 def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.text import gopher_rules, language_id
+    from mempool_dumpster_spark.ml.text import language_id, with_gopher_stats
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    g = gopher_rules(docs)
-    lang = language_id(docs).select("doc_id", "predicted_lang")
+    # One projection computes BOTH rule families (r16): gopher_rules is
+    # now a row-local projection (ml.text.with_gopher_stats), so the
+    # former gopher⋈language_id join — a self-join of two projections
+    # over the SAME scan, costing an exchange + a second scan — is just
+    # two withColumns stages on one frame. Plan: scan → project →
+    # explode(sequence) → one 5-group aggregate. Results identical.
+    per_doc = with_gopher_stats(language_id(docs))
+    mean_len = F.col("total_chars").cast("double") / F.col("n_words")
+    top_ratio = F.col("top_word_count").cast("double") / F.col("n_words")
     wc_ok = F.col("n_words").between(30, 100000)
-    mwl_ok = (F.col("mean_word_len") >= 3.8) & (F.col("mean_word_len") <= 5.0)
-    twr_ok = F.col("top_word_ratio") <= 0.12
+    mwl_ok = (mean_len >= 3.8) & (mean_len <= 5.0)
+    twr_ok = top_ratio <= 0.12
     lang_ok = F.col("predicted_lang") == "en"
     lvl = (
         F.when(~wc_ok, 0)
@@ -1619,7 +1626,7 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~lang_ok, 3)
         .otherwise(4)
     )
-    per = g.join(lang, "doc_id").select("n_words", lvl.alias("lvl"))
+    per = per_doc.select("n_words", lvl.alias("lvl"))
     names = F.array(*[F.lit(s) for s in _FUNNEL_STAGES])
     return (
         per.select(
