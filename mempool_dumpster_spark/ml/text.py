@@ -1017,6 +1017,7 @@ def unigram_train(
     prune_frac: float = 0.2,
     text_col: str = "text",
     max_seed_pieces: int = 1 << 20,
+    driver_max_pretokens: int = 200_000,
 ) -> list[tuple[str, float]]:
     """SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
     hard-EM (Viterbi-EM) variant: seed a candidate vocabulary from the
@@ -1104,6 +1105,26 @@ def unigram_train(
         # the prune step ranks pieces by the E-step's usage counts — with
         # zero EM rounds there are none (an unbound `used` was a NameError)
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    # Driver-side EM fast path (r16, the duplicate_components dual-path
+    # precedent): the EM loop runs n_iters × O(log vocab / prune_frac)
+    # E-steps — ~30-45 Spark jobs, each a mapInPandas + aggregate +
+    # collect barrier over the DISTINCT-PRETOKEN table. When that table
+    # is small (bench corpora: 61 rows; anything under ~200 k ≈ a few MB
+    # of strings), per-job fixed overhead IS the training time — measured
+    # 13 s of a 16 s sf0.1 train, vs milliseconds of driver CPU for the
+    # same arithmetic. Collect it once (bounded probe: limit(cap+1), so
+    # an over-cap vocabulary never materializes on the driver) and fold
+    # the Counter locally; the distributed mapInPandas path is unchanged
+    # for web-scale vocabularies. Both paths sum the SAME exact integer
+    # counts through the SAME _viterbi_segment — the model is
+    # bit-identical (integer addition is associative; the E-step has no
+    # float accumulation), pinned by the pure-Python-reference parity
+    # test.
+    tok_rows: list[tuple[str, int]] | None = None
+    probe = vocab.limit(driver_max_pretokens + 1).collect()
+    if len(probe) <= driver_max_pretokens:
+        tok_rows = [(r["tok"], int(r["cnt"])) for r in probe]
+    del probe
     try:
         while True:
             for _ in range(n_iters):
@@ -1111,25 +1132,35 @@ def unigram_train(
                 ml = max(len(p) for p in cur)
                 unk = max(cur.values()) + 10.0
 
-                def estep(batches, _c=cur, _ml=ml, _unk=unk):
-                    for pdf in batches:
-                        agg: Counter = Counter()
-                        for tok, cnt in zip(pdf["tok"], pdf["cnt"]):
-                            for piece in _viterbi_segment(tok, _c, _ml, _unk):
-                                agg[piece] += int(cnt)
-                        yield pd.DataFrame(
-                            {"piece": list(agg), "used": list(agg.values())}
-                        )
+                if tok_rows is not None:
+                    agg: Counter = Counter()
+                    for tok, cnt in tok_rows:
+                        for piece in _viterbi_segment(tok, cur, ml, unk):
+                            agg[piece] += cnt
+                    used = dict(agg)
+                else:
 
-                used = {
-                    r["piece"]: r["used"]
-                    for r in vocab.mapInPandas(
-                        estep, schema="piece string, used long"
-                    )
-                    .groupBy("piece")
-                    .agg(F.sum("used").cast("bigint").alias("used"))
-                    .collect()
-                }
+                    def estep(batches, _c=cur, _ml=ml, _unk=unk):
+                        for pdf in batches:
+                            agg: Counter = Counter()
+                            for tok, cnt in zip(pdf["tok"], pdf["cnt"]):
+                                for piece in _viterbi_segment(
+                                    tok, _c, _ml, _unk
+                                ):
+                                    agg[piece] += int(cnt)
+                            yield pd.DataFrame(
+                                {"piece": list(agg), "used": list(agg.values())}
+                            )
+
+                    used = {
+                        r["piece"]: r["used"]
+                        for r in vocab.mapInPandas(
+                            estep, schema="piece string, used long"
+                        )
+                        .groupBy("piece")
+                        .agg(F.sum("used").cast("bigint").alias("used"))
+                        .collect()
+                    }
                 total = sum(used.get(p, 0) for p in costs) or 1
                 floor_c = -math.log(0.5 / total)  # unused: sub-single-use
                 costs = {

@@ -3188,6 +3188,15 @@ def test_unigram_train_reference_pin_and_invariance(spark):
         min_count=2,
     )
     assert m2 == model
+    # r16 dual-path parity: driver_max_pretokens=0 forces the distributed
+    # mapInPandas E-step (the web-scale-vocabulary path); the default runs
+    # the bounded driver-side fold. Same integer arithmetic, same model —
+    # the duplicate_components dual-path discipline.
+    m3 = unigram_train(
+        df, vocab_size=24, max_piece_len=4, n_iters=2, min_count=2,
+        driver_max_pretokens=0,
+    )
+    assert m3 == model
 
 
 def test_unigram_viterbi_optimality_and_roundtrip(spark):
