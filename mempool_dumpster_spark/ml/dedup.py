@@ -121,9 +121,14 @@ def minhash_signatures(
     sh: DataFrame, n_hashes: int = 16
 ) -> DataFrame:
     """MinHash signature per document from a (doc_id, shingle) set:
-    h_i(s) = md5(i ':' s), min per i. One map-side-combined aggregate."""
+    h_i(s) = md5(i ':' s), min per i. One map-side-combined aggregate.
+
+    Each slot is ONE parsed F.expr instead of a five-call py4j Column
+    chain (r16): at the 64-slot artifact width the old form cost ~320
+    driver round trips (~0.5 s) per invocation purely to construct the
+    plan — the expression trees after parsing are identical."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        F.expr(f"min(md5(concat('{i}:', shingle))) AS m{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -135,17 +140,21 @@ def lsh_band_rows(
     """(doc_id, band, key) rows from a `minhash_signatures` frame —
     the joinable form of the LSH banding shared by the self-join
     (`lsh_candidate_pairs`) and the cross-corpus incremental join
-    (ml.prep.prep_incremental). Tiny: docs × bands rows."""
-    band_cols = []
-    for b in range(bands):
-        slots = [f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"), F.concat_ws("|", *slots).alias("key")
-            )
+    (ml.prep.prep_incremental). Tiny: docs × bands rows. Built as ONE
+    parsed F.expr (r16): the per-band struct/concat_ws Column chain was
+    ~6 py4j round trips per band of pure plan-construction driver time;
+    the parsed tree is identical."""
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {slots}) AS key)".format(
+            b=b,
+            slots=", ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
+        for b in range(bands)
+    )
     return sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
 
 
@@ -271,24 +280,30 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Generated as `bits` integer aggregates — wide but fully codegen'd.
     """
     assert bits <= 64 and bits % 4 == 0
-    digest = F.md5("word")
     # md5 + conv run once per (word, nibble) in this projection — NOT once
     # per bit inside the aggregate (4× fewer string ops in the hot loop).
+    # Per-nibble and per-bit expressions are parsed F.exprs (r16): the
+    # Column-chain form cost ~7 py4j round trips per bit of pure
+    # plan-construction driver time per invocation; identical trees.
     w = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("word")
     ).select(
         "doc_id",
         *[
-            F.conv(F.substring(digest, c + 1, 1), 16, 10).cast("int").alias(f"__n{c}")
+            F.expr(
+                f"CAST(conv(substring(md5(word), {c + 1}, 1), 16, 10) "
+                f"AS INT) AS __n{c}"
+            )
             for c in range(bits // 4)
         ],
     )
-    total = F.lit(0).cast("long")
+    terms = []
     for j in range(bits):
-        bit = F.shiftright(F.col(f"__n{j // 4}"), 3 - (j % 4)).bitwiseAND(F.lit(1))
-        vote = F.sum(F.when(bit == 1, 1).otherwise(-1))
+        bit = f"(shiftright(__n{j // 4}, {3 - (j % 4)}) & 1)"
+        vote = f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
         # shiftleft so bit 63 lands in the sign bit instead of overflowing
-        total = total + F.shiftleft((vote > 0).cast("long"), j)
+        terms.append(f"shiftleft(CAST(({vote} > 0) AS BIGINT), {j})")
+    total = F.expr("0L + " + " + ".join(terms))
     return w.groupBy("doc_id").agg(total.alias("simhash"))
 
 

@@ -1749,78 +1749,62 @@ def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "therefore bit-for-bit reproducible in the oracle.",
 )
 def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mempool_dumpster_spark.ml.similarity import (
-        dot,
-        with_unit_vector,
+    load_tables(spark, sf_dir, ["embeddings"])
+    # r16 construction form: units/pool/pair are three spark.sql calls
+    # instead of ~150 py4j Column round-trips (~0.9 s of pure driver
+    # plan-construction per invocation, measured — the HOF unit/dot
+    # lambdas and the window/join chain each cost several round trips).
+    # The expressions are verbatim ports of the previous Column forms:
+    # unit = emb/nrm component-wise with the same sequential-fold dot, so
+    # every sim_r/s_bp/ps_bp value is bit-identical. pool and pair stay
+    # CACHED: the unrolled MMR stages reference pair i-1 times at pick i
+    # and each reference would otherwise re-derive the pool self-join +
+    # two unit joins + dot products (mmr_rerank docstring's "prefer
+    # caching pool/pair" advice; both frames are |Q|·m²-bounded, never
+    # corpus-sized — measured 2.04 → 1.35 s at sf0.1/local[32]).
+    dot_sql = (
+        "aggregate(zip_with({u}, {v}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    from pyspark.sql import Window
-
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    units = with_unit_vector(emb).select("vec_id", "unit").cache()
-    q = units.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit")
-    )
-    sims = (
-        units.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("unit").alias("c_unit")
+    units = spark.sql(f"""
+      SELECT vec_id, transform(emb, x -> x / nrm) AS unit
+      FROM (
+        SELECT vec_id, emb, sqrt({dot_sql.format(u="emb", v="emb")}) AS nrm
+        FROM (SELECT vec_id,
+                     transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              FROM embeddings)
+      )
+    """).cache()
+    units.createOrReplaceTempView("__mmr_units")
+    pool = spark.sql(f"""
+      SELECT query_id, neighbor_id,
+             CAST(round(sim_r * 10000) AS BIGINT) AS s_bp, rk
+      FROM (
+        SELECT query_id, neighbor_id, sim_r,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id
+               ) AS rk
+        FROM (
+          SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id,
+                 c.vec_id AS neighbor_id,
+                 round({dot_sql.format(u="q.unit", v="c.unit")}, 4) AS sim_r
+          FROM __mmr_units c
+          JOIN (SELECT * FROM __mmr_units WHERE vec_id < 5) q
+            ON c.vec_id <> q.vec_id
         )
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot(F.col("q_unit"), F.col("c_unit")), 4).alias("sim_r"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("sim_r").desc(), "neighbor_id"
-    )
-    pool = (
-        sims.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= 10)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("sim_r") * 10000).cast("bigint").alias("s_bp"),
-            "rk",
-        )
-        .cache()
-    )
-    ua = units.select(
-        F.col("vec_id").alias("a"), F.col("unit").alias("unit_a")
-    )
-    ub = units.select(
-        F.col("vec_id").alias("b"), F.col("unit").alias("unit_b")
-    )
-    pair = (
-        pool.select("query_id", F.col("neighbor_id").alias("a"))
-        .join(
-            pool.select(
-                F.col("query_id").alias("query_id2"),
-                F.col("neighbor_id").alias("b"),
-            ),
-            (F.col("query_id") == F.col("query_id2"))
-            & (F.col("a") != F.col("b")),
-        )
-        .join(ua, "a")
-        .join(ub, "b")
-        .select(
-            "query_id",
-            "a",
-            "b",
-            F.round(F.round(dot(F.col("unit_a"), F.col("unit_b")), 4) * 10000)
-            .cast("bigint")
-            .alias("ps_bp"),
-        )
-        # r16: the unrolled MMR stages reference `pair` i-1 times at pick i
-        # (3 references at k=3), and each reference re-derived the pool
-        # self-join + two unit joins + dot products — exactly the
-        # mmr_rerank docstring's "prefer caching pool/pair" advice. The
-        # frame is m²-bounded per query (|Q|·m² rows of 4 ints — never
-        # corpus-sized), so the cache is safe at any scale. Measured
-        # 2.04 → 1.35 s at sf0.1/local[32].
-        .cache()
-    )
+      ) WHERE rk <= 10
+    """).cache()
+    pool.createOrReplaceTempView("__mmr_pool")
+    pair = spark.sql(f"""
+      SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+             CAST(round(round({dot_sql.format(u="ua.unit", v="ub.unit")}, 4)
+                        * 10000) AS BIGINT) AS ps_bp
+      FROM __mmr_pool p1
+      JOIN __mmr_pool p2 ON p2.query_id = p1.query_id
+                        AND p2.neighbor_id <> p1.neighbor_id
+      JOIN __mmr_units ua ON ua.vec_id = p1.neighbor_id
+      JOIN __mmr_units ub ON ub.vec_id = p2.neighbor_id
+    """).cache()
     from mempool_dumpster_spark.ml.similarity import mmr_rerank
 
     return mmr_rerank(pool, pair, k=3)

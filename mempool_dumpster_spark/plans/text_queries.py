@@ -550,15 +550,16 @@ def _simhash64_spark() -> Column:
     """64-bit SimHash vote aggregate over nibble columns nib0..nib15 —
     same vote math as _simhash_bit_exprs_spark widened to 64 bits; bit 63
     lands in the sign bit (weight = min-long, matching the DuckDB oracle
-    and ml.dedup.simhash's shiftleft form)."""
-    total = F.lit(0).cast("long")
+    and ml.dedup.simhash's shiftleft form). ONE parsed F.expr (r16): the
+    per-bit Column chain was ~8 py4j round trips × 64 bits of pure
+    plan-construction driver time per invocation; identical tree."""
+    terms = []
     for j in range(64):
-        nib = F.col(f"nib{j // 4}")
-        bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
-        vote = F.sum(F.when(bit == 1, 1).otherwise(-1))
-        weight = F.lit(-9223372036854775808) if j == 63 else F.lit(2**j)
-        total = total + F.when(vote > 0, weight).otherwise(F.lit(0)).cast("long")
-    return total
+        bit = f"(shiftright(nib{j // 4}, {3 - (j % 4)}) & 1)"
+        vote = f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        w = "-9223372036854775808L" if j == 63 else f"{2**j}L"
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {w} ELSE 0L END)")
+    return F.expr("0L + " + " + ".join(terms))
 
 
 @register(
@@ -604,14 +605,16 @@ def _simhash64_spark() -> Column:
 )
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    digest = F.md5("word")
     # CPU-bound md5-per-word projection: spread over cores, not scan splits.
     # Hashed on doc_id (r16): the signature aggregate plans exchange-free.
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     w = docs.select("doc_id", F.explode(words_col()).alias("word")).select(
         "doc_id",
         *[
-            F.conv(F.substring(digest, c + 1, 1), 16, 10).cast("int").alias(f"nib{c}")
+            F.expr(
+                f"CAST(conv(substring(md5(word), {c + 1}, 1), 16, 10) "
+                f"AS INT) AS nib{c}"
+            )
             for c in range(16)
         ],
     )
