@@ -169,63 +169,66 @@ def with_gopher_stats(
     the explode form's semantics, where split(NULL) exploded to no
     rows).
 
-    top_word_count = longest run in the SORTED token array, computed by
-    index arithmetic: run-start positions (where s[i] != s[i-1]) via one
-    filter() over the index sequence, run lengths as the diff of
-    consecutive starts, max of those. This exactly equals max(count per
-    distinct word) in exact integers. sort_array is a codegen'd non-HOF
-    expression; the filter/zip_with passes are the only interpreted
-    pieces.
+    top_word_count = longest run in the SORTED token array, computed as
+    one fold: adjacent-equality flags (zip_with of the sorted array
+    against its own 1-shifted slice), then an aggregate() whose BIGINT
+    state packs (current run << 32 | best run) — run resets to 0 on an
+    unequal pair, best = max. longest-equal-run + 1 IS max(count per
+    distinct word), in exact integers.
 
-    STRUCTURE IS LOAD-BEARING: each intermediate (token array, sorted
-    array, run-start positions) is materialized as its OWN column in a
-    chained projection before anything references it more than once or
-    from inside a lambda. Interpreted HOF lambdas re-evaluate their
-    operand expressions per ELEMENT — an earlier form that inlined
-    `sort_array(__w)` inside the filter lambda's get() calls re-sorted
-    the array per token, O(n² log n) per doc: measured 114 µs/doc vs
-    4 µs/doc for this form at 200 k docs. (A/B notes: a struct-state
-    aggregate() fold carrying (prev, run, best) reads 3.3× this form —
-    one struct built per token; the old explode→(doc,word)-agg shuffle
-    form reads 1.6× — before counting its two Exchanges.)
+    SUBSTITUTION SAFETY IS LOAD-BEARING: this expression is ONE
+    self-contained tree whose lambdas touch only their own variables,
+    and no non-cheap subexpression is referenced more than twice (the
+    sorted array appears exactly twice, so a fully-inlined copy costs
+    two per-ROW sorts, never per-element work). That matters because
+    PushDownPredicates substitutes Project aliases into a pushed filter
+    UNCONDITIONALLY — `gopher_rules(df).filter("keep")`, the prep-gate
+    shape, inlines whatever tree defines these columns. Two measured
+    failure modes at 200 k docs: an index-diff run-length form whose
+    filter() lambda read the sorted array via get() — after pushdown
+    the sort re-inlined PER ELEMENT, 175 µs/doc (vs 3.6 projected, 10
+    sort_array copies in the optimized plan); and a struct-state
+    (prev, run, best) fold — safe but 13.5 µs/doc (a struct built per
+    token). This packed-bits form measures ~4 µs/doc as a projection
+    AND stays O(n log n)/row under full substitution.
 
     total_chars needs no pass at all: split on single-space means every
     separator is exactly one char, so sum(length(word)) ==
     length(text) - (n_words - 1) — exact for any text, including
     consecutive spaces (empty-string words) and the empty document.
     """
-    s = F.col("__s")
-    n = F.size("__w")
-    idx = F.sequence(F.lit(1), F.size("__s"))
-    starts = F.filter(
-        idx,
-        lambda i: (i == 1) | (F.get(s, i - 1) != F.get(s, i - 2)),
+    w = F.col("__w")
+    n = F.size(w)
+    mask = F.lit((1 << 32) - 1).cast("long")
+    eqs = F.zip_with(
+        F.sort_array(w),
+        F.slice(F.sort_array(w), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: a.eqNullSafe(b).cast("long"),
     )
-    bounds = F.concat(F.col("__starts"), F.array(F.size("__s") + 1))
-    runs = F.zip_with(
-        F.slice(bounds, 2, F.size("__starts")),
-        F.col("__starts"),
-        lambda a, b: a - b,
+    folded = F.aggregate(
+        eqs,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(
+            (F.shiftright(acc, 32) + F.lit(1)) * x, 32
+        ).bitwiseOR(
+            F.greatest(
+                acc.bitwiseAND(mask),
+                (F.shiftright(acc, 32) + F.lit(1)) * x,
+            )
+        ),
     )
+    top = F.when(n > 0, folded.bitwiseAND(mask) + 1).otherwise(F.lit(0))
     return (
         df.filter(F.col(text_col).isNotNull())
         .withColumn("__w", words(text_col))
-        .withColumn("__s", F.sort_array(F.col("__w")))
-        .withColumn("__starts", starts)
         .withColumns(
             {
                 "n_words": n.cast("bigint"),
-                # n >= 1 always for split() output; the guard keeps this
-                # total if a caller ever hands it an empty text column
-                # (sequence(1, 0) would otherwise generate a DESCENDING
-                # [1, 0]).
-                "top_word_count": F.when(n > 0, F.array_max(runs))
-                .otherwise(F.lit(0))
-                .cast("bigint"),
+                "top_word_count": top.cast("bigint"),
                 "total_chars": (F.length(text_col) - n + 1).cast("bigint"),
             }
         )
-        .drop("__w", "__s", "__starts")
+        .drop("__w")
     )
 
 
