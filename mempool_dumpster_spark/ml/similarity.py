@@ -826,65 +826,71 @@ def mmr_rerank(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    s1 = pool.filter(F.col("rk") == 1).select(
-        "query_id",
-        F.col("neighbor_id").alias("p1"),
-        (F.lit(relevance_weight) * F.col("s_bp")).alias("score1"),
-    )
-    picks = [
-        s1.select(
-            "query_id",
-            F.lit(1).cast("bigint").alias("pick"),
-            F.col("p1").alias("neighbor_id"),
-            F.col("score1").alias("score_bp"),
-        )
+    # r16 construction form: the unrolled stages are GENERATED AS ONE SQL
+    # string and parsed JVM-side in a single spark.sql call — the
+    # DataFrame-op form cost ~0.4 s of py4j round trips per invocation at
+    # k=3 (measured; Θ(k²) joins, each several driver round trips). The
+    # CTE tree below is a verbatim port: same join keys, same <>-filters,
+    # same integer score arithmetic, same (score DESC, neighbor_id)
+    # row_number tie discipline — greedy-parity stays pinned for k ≤ 8 in
+    # tests/test_properties.py.
+    spark = pool.sparkSession
+    pool.createOrReplaceTempView("__mmr_rr_pool")
+    pair.createOrReplaceTempView("__mmr_rr_pair")
+    rw, dw = int(relevance_weight), int(diversity_weight)
+    ctes = [
+        f"""s1 AS (
+          SELECT query_id, neighbor_id AS p1, {rw} * s_bp AS score1
+          FROM __mmr_rr_pool WHERE rk = 1
+        )""",
+        "acc1 AS (SELECT query_id, p1 FROM s1)",
     ]
-    acc = s1.select("query_id", "p1")
+    pick_selects = [
+        "SELECT query_id, CAST(1 AS BIGINT) AS pick, p1 AS neighbor_id, "
+        "score1 AS score_bp FROM s1"
+    ]
     for i in range(2, k + 1):
-        cand = pool.join(acc, "query_id")
-        for j in range(1, i):
-            cand = cand.filter(F.col("neighbor_id") != F.col(f"p{j}"))
-        for j in range(1, i):
-            cand = cand.join(
-                pair.select(
-                    "query_id",
-                    F.col("a").alias("neighbor_id"),
-                    F.col("b").alias(f"p{j}"),
-                    F.col("ps_bp").alias(f"ps{j}"),
-                ),
-                ["query_id", "neighbor_id", f"p{j}"],
-            )
-        penalty = F.greatest(*[F.col(f"ps{j}") for j in range(1, i)]) \
-            if i > 2 else F.col("ps1")
-        cand = cand.withColumn(
-            "score",
-            F.lit(relevance_weight) * F.col("s_bp")
-            - F.lit(diversity_weight) * penalty,
+        prev_ps = [f"a{i}.p{j}" for j in range(1, i)]
+        neq = " AND ".join(f"p.neighbor_id <> {pj}" for pj in prev_ps)
+        pair_joins = "\n".join(
+            f"JOIN __mmr_rr_pair pr{j} ON pr{j}.query_id = p.query_id "
+            f"AND pr{j}.a = p.neighbor_id AND pr{j}.b = a{i}.p{j}"
+            for j in range(1, i)
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), "neighbor_id"
+        penalty = (
+            "greatest(" + ", ".join(f"pr{j}.ps_bp" for j in range(1, i)) + ")"
+            if i > 2
+            else "pr1.ps_bp"
         )
-        si = (
-            cand.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
+        carry = ", ".join(prev_ps)
+        ctes.append(f"""c{i} AS (
+          SELECT p.query_id, p.neighbor_id, {carry},
+                 {rw} * p.s_bp - {dw} * {penalty} AS score
+          FROM __mmr_rr_pool p
+          JOIN acc{i - 1} a{i} ON a{i}.query_id = p.query_id
+          {pair_joins}
+          WHERE {neq}
+        )""")
+        ctes.append(f"""s{i} AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id
+            ) AS __rk FROM c{i}
+          ) WHERE __rk = 1
+        )""")
+        ctes.append(
+            f"acc{i} AS (SELECT query_id, {', '.join(f'p{j}' for j in range(1, i))}, "
+            f"neighbor_id AS p{i} FROM s{i})"
         )
-        picks.append(
-            si.select(
-                "query_id",
-                F.lit(i).cast("bigint").alias("pick"),
-                "neighbor_id",
-                F.col("score").alias("score_bp"),
-            )
+        pick_selects.append(
+            f"SELECT query_id, CAST({i} AS BIGINT) AS pick, neighbor_id, "
+            f"score AS score_bp FROM s{i}"
         )
-        acc = si.select(
-            "query_id",
-            *[F.col(f"p{j}") for j in range(1, i)],
-            F.col("neighbor_id").alias(f"p{i}"),
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+    sql = (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(pick_selects)
+    )
+    return spark.sql(sql)
 
 
 # --- product quantization (IVF-PQ's compression half) -----------------------
