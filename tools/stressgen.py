@@ -20,9 +20,15 @@ this script produces byte-equivalent content:
 - embeddings: factor copies, vec_id' = vec_id + c·100_000; copy 0
   verbatim, later copies perturbed per-component by c·0.001·((i mod 5)−2)
   — near-identical vectors stress the ANN/semantic-dedup candidate paths.
-- every other table (TPC-H + events) is copied from the base dir
-  unchanged: the ten heaviest registry queries by SELFCHECK spark_sec are
-  all documents/embeddings-bound, and the copy keeps the sf dir complete
+- events / lineitem / orders (r17, for the bench's sf1 quiet query tier):
+  `factor` copies with key columns shifted per copy (event_id/user_id
+  + c·10M; l_orderkey/o_orderkey + c·10M) and every other column
+  verbatim — orderkey joins stay consistent within a copy, dimension
+  joins (custkey, partkey, suppkey) fan out 10× onto the unchanged dims,
+  and per-key row-count distributions are copy-invariant (no synthetic
+  skew). Deterministic and linear in factor, like documents.
+- the remaining tables (dims: region/nation/customer/supplier/part) are
+  copied from the base dir unchanged, which keeps the sf dir complete
   for tools/selfcheck.py.
 
 Usage: python tools/stressgen.py [base_sf_dir] [out_dir] [factor]
@@ -37,8 +43,24 @@ import sys
 
 COPIED_TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events",
 ]
+
+#: fact tables scaled factor× by shifting their key columns per copy
+#: (value columns verbatim; +c·10M keeps copies disjoint at any factor
+#: this harness uses — base keys top out ~6M at sf0.1·100×)
+SHIFTED_TABLES: dict[str, list[str]] = {
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+}
+KEY_SHIFT = 10_000_000
+
+#: generator layout version, written to `<out>/_GENVER`: bumped when the
+#: derived corpus gains tables/columns, so consumers that cache the dir
+#: (bench.py's sf1 query tier) can detect a stale pre-bump derivation
+#: and regenerate instead of silently reading the old layout. 2 = r17
+#: (scaled events/lineitem/orders added).
+GENVER = 2
 
 
 def _write_single_parquet(df, path: str) -> None:
@@ -61,6 +83,22 @@ def generate(spark, base: str, out: str, factor: int = 10) -> dict:
     os.makedirs(out, exist_ok=True)
     for t in COPIED_TABLES:
         shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+    copies0 = spark.range(factor).withColumnRenamed("id", "c")
+    for t, keys in SHIFTED_TABLES.items():
+        df = spark.read.parquet(f"{base}/{t}.parquet")
+        cols = [
+            (F.col(k) + F.col("c") * KEY_SHIFT).cast("long").alias(k)
+            if k in keys
+            else F.col(k)
+            for k in df.columns
+        ]
+        big = (
+            df.crossJoin(copies0)
+            .select(*cols)
+            .repartitionByRange(32, *keys)
+        )
+        _write_single_parquet(big, f"{out}/{t}.parquet")
 
     docs = spark.read.parquet(f"{base}/documents.parquet")
     copies = spark.range(factor).withColumnRenamed("id", "c")
@@ -117,6 +155,8 @@ def generate(spark, base: str, out: str, factor: int = 10) -> dict:
     )
     _write_single_parquet(big_emb, f"{out}/embeddings.parquet")
 
+    with open(f"{out}/_GENVER", "w") as f:
+        f.write(str(GENVER))
     return {
         "documents": spark.read.parquet(f"{out}/documents.parquet").count(),
         "embeddings": spark.read.parquet(f"{out}/embeddings.parquet").count(),
