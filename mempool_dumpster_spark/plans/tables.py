@@ -7,6 +7,8 @@ registers each as a temp view so both the DataFrame and SQL surfaces work.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,25 +25,36 @@ TABLES = [
     "embeddings",
 ]
 
-#: Per-session DataFrame handles, keyed (applicationId, path) — METADATA
-#: memoization only (r16, guide §5: the driver should do almost no work).
-#: Re-creating a scan frame costs two footer reads (pyarrow ns-col probe +
-#: the JVM schema read in spark.read.parquet) plus a py4j round-trip per
-#: table, ~0.1 s each on this box; a 6-table query paid ~0.6 s of its
-#: ~1.2 s total re-deriving metadata that cannot change within a session.
-#: The memoized object is the LOGICAL scan plan, not data: nothing is
-#: persisted, no .cache() is involved, and every action on a returned
-#: frame re-reads the parquet inputs (bench.py's clearCache() between
-#: timed runs is unaffected — there is no cache entry to clear). This is
-#: exactly what registering a catalog table once at session start does on
-#: a long-running deployment.
-_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Per-session DataFrame handles — METADATA memoization only (r16, guide
+#: §5: the driver should do almost no work). Re-creating a scan frame
+#: costs two footer reads (pyarrow ns-col probe + the JVM schema read in
+#: spark.read.parquet) plus a py4j round-trip per table, ~0.1 s each on
+#: this box; a 6-table query paid ~0.6 s of its ~1.2 s total re-deriving
+#: metadata that cannot change within a session. The memoized object is
+#: the LOGICAL scan plan, not data: nothing is persisted, no .cache() is
+#: involved, and every action on a returned frame re-reads the parquet
+#: inputs (bench.py's clearCache() between timed runs is unaffected —
+#: there is no cache entry to clear). This is exactly what registering a
+#: catalog table once at session start does on a long-running deployment.
+#:
+#: Keyed by the SESSION OBJECT in a WeakValueDictionary-style nested map
+#: (r17, r16 advice): the old (applicationId, path) key collided across
+#: `spark.newSession()` siblings — same appId, separate temp-view
+#: catalogs and separate DataFrame bindings — so a sibling session got a
+#: false "view already bound" hit and its spark.sql failed with
+#: view-not-found. A WeakKeyDictionary also bounds the memo's lifetime to
+#: the sessions that exist (the old dict grew per (appId, path) forever).
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
-#: Which path each (applicationId, view-name) is currently bound to, so a
+#: Which path each view name is currently bound to IN THAT SESSION, so a
 #: cache hit skips the ~10 ms py4j createOrReplaceTempView round-trip when
 #: the binding is already correct, and re-points it when a session
 #: alternates sf dirs (stale views are never observable).
-_VIEW_BOUND: dict[tuple[str, str], str] = {}
+_VIEW_BOUND: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
@@ -81,6 +94,27 @@ def _size_bytes(path: str) -> int:
         return 0
 
 
+def _parse_size_bytes(value: str, default: int = 134217728) -> int:
+    """Spark byte-size conf parser (the subset Spark's JavaUtils
+    accepts): a bare number is bytes; `k/m/g/t` suffixes (optionally
+    followed by `b`), case-insensitive, scale by 1024-powers. The old
+    `int(value.rstrip('b'))` hard-crashed on a legitimate unit-suffixed
+    setting like '128MB' or '64m' (r16 advice); unparseable values fall
+    back to `default` (Spark's own 128 MB) rather than raising — the
+    hint is an optimization, never worth failing a query over."""
+    try:
+        s = value.strip().lower()
+        if s.endswith("b"):
+            s = s[:-1]
+        mult = 1
+        if s and s[-1] in "kmgt":
+            mult = 1024 ** (1 + "kmgt".index(s[-1]))
+            s = s[:-1]
+        return int(s) * mult
+    except (ValueError, AttributeError):
+        return default
+
+
 def scan_spread_hint(df_or_spark, sf_dir: str, name: str, *keys: str) -> str:
     """REPARTITION hint for a scan whose INPUT LAYOUT caps parallelism
     below the session's cores — and ONLY then (r16, guide §2.5 "input
@@ -108,10 +142,8 @@ def scan_spread_hint(df_or_spark, sf_dir: str, name: str, *keys: str) -> str:
     moved to spark.sql-constructed plans.)"""
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     par = spark.sparkContext.defaultParallelism
-    max_split = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip(
-            "b"
-        )
+    max_split = _parse_size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     est_splits = max(1, _size_bytes(f"{sf_dir}/{name}.parquet") // max_split)
     if est_splits >= par:
@@ -123,14 +155,15 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
-    app_id = spark.sparkContext.applicationId
+    scans = _SCAN_CACHE.setdefault(spark, {})
+    views = _VIEW_BOUND.setdefault(spark, {})
     for name in names or TABLES:
         path = f"{sf_dir}/{name}.parquet"
-        cached = _SCAN_CACHE.get((app_id, path))
+        cached = scans.get(path)
         if cached is not None:
-            if _VIEW_BOUND.get((app_id, name)) != path:
+            if views.get(name) != path:
                 cached.createOrReplaceTempView(name)
-                _VIEW_BOUND[(app_id, name)] = path
+                views[name] = path
             out[name] = cached
             continue
         ns_cols = _nanos_timestamp_cols(path)
@@ -142,7 +175,7 @@ def load_tables(
         for c in ns_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         df.createOrReplaceTempView(name)
-        _SCAN_CACHE[(app_id, path)] = df
-        _VIEW_BOUND[(app_id, name)] = path
+        scans[path] = df
+        views[name] = path
         out[name] = df
     return out
