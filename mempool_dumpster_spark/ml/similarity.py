@@ -834,14 +834,35 @@ def mmr_rerank(
     # same integer score arithmetic, same (score DESC, neighbor_id)
     # row_number tie discipline — greedy-parity stays pinned for k ≤ 8 in
     # tests/test_properties.py.
+    from mempool_dumpster_spark.functions.views import (
+        drop_views,
+        register_temp_view,
+    )
+
     spark = pool.sparkSession
-    pool.createOrReplaceTempView("__mmr_rr_pool")
-    pair.createOrReplaceTempView("__mmr_rr_pair")
+    # per-call unique view names (r17, r16 advice): fixed names raced
+    # under concurrent construction and clobbered same-named caller views
+    pool_v = register_temp_view(pool, "__mmr_rr_pool")
+    pair_v = register_temp_view(pair, "__mmr_rr_pair")
+    # Integer weights are the contract (exact BIGINT score ordering; see
+    # docstring). Validate instead of truncating (r16 advice): the old
+    # int() cast silently turned an out-of-annotation 0.7/0.3 caller
+    # into 0/0 — every pick then decided purely by the neighbor_id
+    # tiebreak, with no error. Scale fractional weights to integers
+    # (0.7/0.3 → 7/3) at the call site.
+    for label, w in (("relevance_weight", relevance_weight),
+                     ("diversity_weight", diversity_weight)):
+        if w != int(w):
+            raise ValueError(
+                f"{label} must be an integer (exact BIGINT score "
+                f"discipline), got {w!r}; scale fractional weights, "
+                "e.g. 0.7/0.3 -> 7/3"
+            )
     rw, dw = int(relevance_weight), int(diversity_weight)
     ctes = [
         f"""s1 AS (
           SELECT query_id, neighbor_id AS p1, {rw} * s_bp AS score1
-          FROM __mmr_rr_pool WHERE rk = 1
+          FROM {pool_v} WHERE rk = 1
         )""",
         "acc1 AS (SELECT query_id, p1 FROM s1)",
     ]
@@ -853,7 +874,7 @@ def mmr_rerank(
         prev_ps = [f"a{i}.p{j}" for j in range(1, i)]
         neq = " AND ".join(f"p.neighbor_id <> {pj}" for pj in prev_ps)
         pair_joins = "\n".join(
-            f"JOIN __mmr_rr_pair pr{j} ON pr{j}.query_id = p.query_id "
+            f"JOIN {pair_v} pr{j} ON pr{j}.query_id = p.query_id "
             f"AND pr{j}.a = p.neighbor_id AND pr{j}.b = a{i}.p{j}"
             for j in range(1, i)
         )
@@ -866,7 +887,7 @@ def mmr_rerank(
         ctes.append(f"""c{i} AS (
           SELECT p.query_id, p.neighbor_id, {carry},
                  {rw} * p.s_bp - {dw} * {penalty} AS score
-          FROM __mmr_rr_pool p
+          FROM {pool_v} p
           JOIN acc{i - 1} a{i} ON a{i}.query_id = p.query_id
           {pair_joins}
           WHERE {neq}
@@ -890,7 +911,7 @@ def mmr_rerank(
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(pick_selects)
     )
-    return spark.sql(sql)
+    return drop_views(spark.sql(sql), pool_v, pair_v)
 
 
 # --- product quantization (IVF-PQ's compression half) -----------------------

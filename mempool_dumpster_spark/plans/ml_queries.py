@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mempool_dumpster_spark.functions.views import drop_views, register_temp_view
 from mempool_dumpster_spark.ml.dedup import duplicate_components, exact_dedup
 from mempool_dumpster_spark.ml.similarity import ivf_topk, lsh_bucketed_topk
 from mempool_dumpster_spark.ml.text import DEFAULT_LANG_PROFILES, language_id
@@ -1762,6 +1763,11 @@ def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two unit joins + dot products (mmr_rerank docstring's "prefer
     # caching pool/pair" advice; both frames are |Q|·m²-bounded, never
     # corpus-sized — measured 2.04 → 1.35 s at sf0.1/local[32]).
+    # Cache contract (r16 verdict #6): these within-query caches are not
+    # unpersisted here — the returned frame references them. Long-running
+    # sessions calling this repeatedly reuse the SAME CacheManager entry
+    # (plan-identical), so entries do not accumulate; clearCache()
+    # releases them (bench.py clears between timed runs).
     dot_sql = (
         "aggregate(zip_with({u}, {v}, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -1775,7 +1781,7 @@ def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM embeddings)
       )
     """).cache()
-    units.createOrReplaceTempView("__mmr_units")
+    units_v = register_temp_view(units, "__mmr_units")
     pool = spark.sql(f"""
       SELECT query_id, neighbor_id,
              CAST(round(sim_r * 10000) AS BIGINT) AS s_bp, rk
@@ -1788,26 +1794,26 @@ def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id,
                  c.vec_id AS neighbor_id,
                  round({dot_sql.format(u="q.unit", v="c.unit")}, 4) AS sim_r
-          FROM __mmr_units c
-          JOIN (SELECT * FROM __mmr_units WHERE vec_id < 5) q
+          FROM {units_v} c
+          JOIN (SELECT * FROM {units_v} WHERE vec_id < 5) q
             ON c.vec_id <> q.vec_id
         )
       ) WHERE rk <= 10
     """).cache()
-    pool.createOrReplaceTempView("__mmr_pool")
+    pool_v = register_temp_view(pool, "__mmr_pool")
     pair = spark.sql(f"""
       SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
              CAST(round(round({dot_sql.format(u="ua.unit", v="ub.unit")}, 4)
                         * 10000) AS BIGINT) AS ps_bp
-      FROM __mmr_pool p1
-      JOIN __mmr_pool p2 ON p2.query_id = p1.query_id
-                        AND p2.neighbor_id <> p1.neighbor_id
-      JOIN __mmr_units ua ON ua.vec_id = p1.neighbor_id
-      JOIN __mmr_units ub ON ub.vec_id = p2.neighbor_id
+      FROM {pool_v} p1
+      JOIN {pool_v} p2 ON p2.query_id = p1.query_id
+                      AND p2.neighbor_id <> p1.neighbor_id
+      JOIN {units_v} ua ON ua.vec_id = p1.neighbor_id
+      JOIN {units_v} ub ON ub.vec_id = p2.neighbor_id
     """).cache()
     from mempool_dumpster_spark.ml.similarity import mmr_rerank
 
-    return mmr_rerank(pool, pair, k=3)
+    return drop_views(mmr_rerank(pool, pair, k=3), units_v, pool_v)
 
 
 @register(
