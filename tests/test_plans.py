@@ -441,3 +441,63 @@ def test_ngram_novelty_conserves_and_bounds(spark):
     assert first["novelty"] == 1.0
     assert all(0.0 <= r["novelty"] <= 1.0 and r["n_novel"] <= r["n_grams"]
                for r in rows)
+
+
+def test_parse_size_bytes_suffixes():
+    """The maxPartitionBytes parser must accept every form Spark's own
+    JavaUtils does for this conf (bare bytes, k/m/g/t with optional b,
+    any case) and fall back to the default on garbage — the old
+    int(value.rstrip('b')) crashed q1/emb_knn on a legitimate '128MB'."""
+    from mempool_dumpster_spark.plans.tables import _parse_size_bytes
+
+    assert _parse_size_bytes("134217728") == 134217728
+    assert _parse_size_bytes("128m") == 128 * 1024**2
+    assert _parse_size_bytes("128MB") == 128 * 1024**2
+    assert _parse_size_bytes("64k") == 64 * 1024
+    assert _parse_size_bytes("1g") == 1024**3
+    assert _parse_size_bytes("2tb") == 2 * 1024**4
+    assert _parse_size_bytes("1024b") == 1024
+    assert _parse_size_bytes("garbage", default=7) == 7
+    assert _parse_size_bytes("", default=7) == 7
+
+
+def test_load_tables_memo_is_per_session(spark):
+    """spark.newSession() shares the applicationId but has its OWN
+    temp-view catalog: the scan memo must re-register views there
+    instead of reporting a false 'already bound' hit (r16 advice)."""
+    from mempool_dumpster_spark.plans.tables import load_tables
+
+    load_tables(spark, SF_DIR, ["events"])
+    assert spark.sql("SELECT count(*) FROM events").first()[0] > 0
+    sibling = spark.newSession()
+    try:
+        load_tables(sibling, SF_DIR, ["events"])
+        # the view must resolve in the SIBLING's catalog
+        assert sibling.sql("SELECT count(*) FROM events").first()[0] > 0
+    finally:
+        sibling.catalog.dropTempView("events")
+    # and the original session's binding is untouched
+    assert spark.sql("SELECT count(*) FROM events").first()[0] > 0
+
+
+def test_register_temp_view_unique_and_dropped(spark):
+    """Per-call view names never collide and drop_views releases them:
+    two registrations of the same stem coexist, and after drop_views the
+    names are gone from the catalog while the result stays usable."""
+    from mempool_dumpster_spark.functions.views import (
+        drop_views,
+        register_temp_view,
+    )
+
+    a = spark.range(3).withColumnRenamed("id", "v")
+    b = spark.range(5).withColumnRenamed("id", "v")
+    va = register_temp_view(a, "__vt_stem")
+    vb = register_temp_view(b, "__vt_stem")
+    assert va != vb
+    out = spark.sql(f"SELECT (SELECT count(*) FROM {va}) + "
+                    f"(SELECT count(*) FROM {vb}) AS n")
+    out = drop_views(out, va, vb)
+    names = {t.name for t in spark.catalog.listTables()}
+    assert va not in names and vb not in names
+    # plan was resolved before the drop, so execution still works
+    assert out.first()["n"] == 8

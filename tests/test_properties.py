@@ -768,3 +768,31 @@ def test_probe_cells_np_matches_udf(spark, n_cells, dim, n_vecs, seed):
         assert (got_np == got_udf).all(), (
             f"probe divergence at top={top}:\nnp  {got_np}\nudf {got_udf}"
         )
+
+
+def test_mmr_rerank_rejects_fractional_weights(spark):
+    """mmr_rerank's exact-BIGINT score contract requires integer weights;
+    fractional callers must get a ValueError, not silent truncation to
+    0/0 (r16 advice: 0.7/0.3 previously became 0/0 and every pick fell
+    through to the neighbor_id tiebreak with no error)."""
+    import pytest
+
+    from mempool_dumpster_spark.ml.similarity import mmr_rerank
+
+    pool = spark.createDataFrame(
+        [(1, 2, 9000, 1), (1, 3, 8000, 2)],
+        "query_id long, neighbor_id long, s_bp long, rk int",
+    )
+    pair = spark.createDataFrame(
+        [(1, 2, 3, 5000), (1, 3, 2, 5000)],
+        "query_id long, a long, b long, ps_bp long",
+    )
+    with pytest.raises(ValueError, match="relevance_weight"):
+        mmr_rerank(pool, pair, k=1, relevance_weight=0.7, diversity_weight=3)
+    with pytest.raises(ValueError, match="diversity_weight"):
+        mmr_rerank(pool, pair, k=1, relevance_weight=7, diversity_weight=0.3)
+    # float-typed but integral weights stay accepted (7.0 == 7)
+    rows = mmr_rerank(
+        pool, pair, k=1, relevance_weight=7.0, diversity_weight=3.0
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} == {(1, 2)}
