@@ -123,15 +123,26 @@ def minhash_signatures(
     """MinHash signature per document from a (doc_id, shingle) set:
     h_i(s) = md5(i ':' s), min per i. One map-side-combined aggregate.
 
-    Each slot is ONE parsed F.expr instead of a five-call py4j Column
-    chain (r16): at the 64-slot artifact width the old form cost ~320
-    driver round trips (~0.5 s) per invocation purely to construct the
-    plan — the expression trees after parsing are identical."""
-    aggs = [
-        F.expr(f"min(md5(concat('{i}:', shingle))) AS m{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    Constructed as ONE spark.sql statement (r17; the r16 form was one
+    parsed F.expr PER SLOT — still 64 py4j round trips at the artifact
+    width, ~0.13 s per invocation, and the incremental-dedup entries
+    invoke this twice). The parsed aggregate tree is identical; the
+    per-call temp view is dropped after the plan resolves."""
+    from mempool_dumpster_spark.functions.views import (
+        drop_views,
+        register_temp_view,
+    )
+
+    v = register_temp_view(sh, "__mh_sets")
+    slots = ", ".join(
+        f"min(md5(concat('{i}:', shingle))) AS m{i}" for i in range(n_hashes)
+    )
+    return drop_views(
+        sh.sparkSession.sql(
+            f"SELECT doc_id, {slots} FROM {v} GROUP BY doc_id"
+        ),
+        v,
+    )
 
 
 def lsh_band_rows(
