@@ -112,6 +112,34 @@ def _pq_shape(
     return m, k_codes, d_sub
 
 
+#: target rows per task for the Lloyd ITERATION passes — vectorized
+#: numpy assignment costs ~µs/row, so a task under ~64k rows (≈32 MB of
+#: dim-64 doubles) is dominated by fixed task+Arrow overhead, not work.
+#: Distinct from _spread's concern (the 1.5 ms/row normalize fold wants
+#: every core): the normalize materializes the cache ONCE at full width;
+#: the per-iteration reads coalesce to this density.
+_ITER_ROWS_PER_TASK = 65536
+
+
+def _iteration_frame(c: DataFrame) -> DataFrame:
+    """Training-loop view of the cached unit frame: coalesced (never
+    shuffled, never widened) so each Lloyd job runs tasks sized by DATA
+    instead of one per cache partition. A no-op whenever the input is
+    big enough to fill its partitions (rows/partitions ≥ the target) —
+    i.e. at scale nothing changes; at bench scale the 32 near-empty
+    pandas-UDF tasks per iteration collapse to a few (measured 0.81 →
+    0.52 s per iteration at 5k vectors). Coalesce only re-groups rows,
+    and both the row-local assignment and the DECIMAL(38,18) sums are
+    partitioning-independent, so trained centroids/codebooks stay
+    bit-identical (pinned by the pretrained-parity tests)."""
+    n_rows = c.count()  # one cheap job; materializes the cache if new
+    have = c.rdd.getNumPartitions()
+    parts = max(1, min(
+        have, (n_rows + _ITER_ROWS_PER_TASK - 1) // _ITER_ROWS_PER_TASK
+    ))
+    return c.coalesce(parts) if parts < have else c
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin a THIN input (fewer partitions than cores) across the
     cluster before the unit-vector projection. `with_unit_vector`'s norm
@@ -588,6 +616,7 @@ def train_ivf_centroids(
     emb_col: str = "embedding",
     dim: int = 64,
     seed: str = "ivf",
+    unit_df: DataFrame | None = None,
 ) -> list[list[float]]:
     """Spherical-k-means coarse quantizer: Lloyd iterations where the
     per-cell mean is computed with DECIMAL(38,18)-exact sums (order-
@@ -597,8 +626,24 @@ def train_ivf_centroids(
     tiny (n_cells × dim floats) and becomes a broadcast literal for the next
     round. At 100 TB you would train on a deterministic sample (filter on a
     hash of the id) — the loop shape is identical. Empty cells keep their
-    previous centroid (standard Lloyd degeneracy handling)."""
-    c = with_unit_vector(_spread(candidates), emb_col).select(F.col("unit")).cache()
+    previous centroid (standard Lloyd degeneracy handling).
+
+    ``unit_df`` (r17, guide §5): a caller-owned frame whose `unit` column
+    is the ALREADY-normalized (and typically cached) vectors — the serve
+    paths build exactly this frame anyway, and passing it here removes a
+    second spread+normalize+cache materialization per build. The fold
+    arithmetic is unchanged either way (same expression tree produced
+    the units; the DECIMAL sums are order-independent), so centroids are
+    bit-identical with or without it. When given, the caller owns the
+    cache lifecycle."""
+    own_cache = unit_df is None
+    if own_cache:
+        c = with_unit_vector(_spread(candidates), emb_col).select(
+            F.col("unit")
+        ).cache()
+    else:
+        c = unit_df.select(F.col("unit"))
+    c = _iteration_frame(c)
     centroids = _unit_centroids(dim, n_cells, seed)
     # dim sums as COLUMNS of one n_cells-group aggregate (not a
     # posexplode to rows×dim — same DECIMAL-exact order-independent sums,
@@ -627,7 +672,8 @@ def train_ivf_centroids(
             norm_m = sum(x * x for x in m) ** 0.5 if m else 0.0
             new.append([x / norm_m for x in m] if norm_m > 0 else old)
         centroids = new
-    c.unpersist()
+    if own_cache:
+        c.unpersist()
     return centroids
 
 
@@ -671,15 +717,21 @@ def ivf_topk(
     Past the broadcast guard the original all-candidate exact scoring
     runs (at that scale per-cell candidate lists are the real serving
     shape anyway — see ivfpq_topk_pretrained)."""
+    # ONE spread+normalize+cache per build (r17, guide §5) — the serve
+    # path needs this frame anyway (cell assignment + exact re-rank
+    # fetch); training reads the same units through it. Centroids are
+    # bit-identical (same unit expression, order-independent DECIMAL
+    # sums).
+    c = with_unit_vector(_spread(candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    ).cache()
     if centroids is None:
         centroids = train_ivf_centroids(
-            candidates, n_cells, n_iters, id_col, emb_col, dim
+            candidates, n_cells, n_iters, id_col, emb_col, dim,
+            unit_df=c.select(F.col("c_unit").alias("unit")),
         )
     c_probe = _probe_cells_udf(centroids, top=n_assign)
     q_probe = _probe_cells_udf(centroids, top=nprobe)
-    c = with_unit_vector(_spread(candidates), emb_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    ).cache()  # re-materialized by index/encode + the exact re-rank fetch
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -978,6 +1030,7 @@ def train_pq_codebooks(
     emb_col: str = "embedding",
     dim: int = 64,
     seed: str = "pq",
+    unit_df: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al. 2011): split the
     UNIT vector into `m` subspaces and k-means each independently. Lloyd
@@ -988,11 +1041,21 @@ def train_pq_codebooks(
     (subspace, code, subvector) rows — the same bytes as one corpus
     scan. Empty codes keep their previous codeword (standard Lloyd
     degeneracy handling). At 100 TB train on a deterministic hash-sample;
-    the loop shape is identical."""
+    the loop shape is identical.
+
+    ``unit_df``: caller-owned pre-normalized `unit` frame — see
+    `train_ivf_centroids`; codebooks are bit-identical either way."""
     if dim % m:
         raise ValueError(f"dim ({dim}) must divide into m ({m}) subspaces")
     d_sub = dim // m
-    u = with_unit_vector(_spread(candidates), emb_col).select("unit").cache()
+    own_cache = unit_df is None
+    if own_cache:
+        u = with_unit_vector(_spread(candidates), emb_col).select(
+            "unit"
+        ).cache()
+    else:
+        u = unit_df.select("unit")
+    u = _iteration_frame(u)
     books = _pq_init_codebooks(dim, m, k_codes, seed)
     sum_cols = [
         F.sum(F.element_at("sub", i + 1).cast("decimal(38,18)")).alias(f"s{i}")
@@ -1029,7 +1092,8 @@ def train_pq_codebooks(
             ]
             for s in range(m)
         ]
-    u.unpersist()
+    if own_cache:
+        u.unpersist()
     return books
 
 
@@ -1062,16 +1126,22 @@ def pq_topk(
     argmax ties to the lowest code index)."""
     from pyspark.sql.functions import pandas_udf
 
+    # ONE spread+normalize+cache per build (r17, guide §5): the serve
+    # path needs this frame anyway (encode pass + exact re-rank fetch),
+    # and training reads the same units through it instead of
+    # materializing its own copy — codebooks bit-identical (same unit
+    # expression, order-independent DECIMAL sums).
+    c = with_unit_vector(_spread(candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    ).cache()
     if codebooks is None:
         codebooks = train_pq_codebooks(
-            candidates, m, k_codes, n_iters, emb_col, dim
+            candidates, m, k_codes, n_iters, emb_col, dim,
+            unit_df=c.select(F.col("c_unit").alias("unit")),
         )
     # supplied codebooks are the shape authority (m/k_codes params are
     # training knobs only) — see _pq_shape
     m, k_codes, d_sub = _pq_shape(codebooks, dim)
-    c = with_unit_vector(_spread(candidates), emb_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    ).cache()  # re-materialized by index/encode + the exact re-rank fetch
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -1176,20 +1246,48 @@ def ivfpq_topk(
     the train-once/serve-many lifecycle."""
     from pyspark.sql.functions import pandas_udf
 
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            candidates, n_cells, n_iters, id_col, emb_col, dim
-        )
-    if codebooks is None:
-        codebooks = train_pq_codebooks(
-            candidates, m, k_codes, n_iters, emb_col, dim
-        )
+    # ONE spread+normalize+cache per build (r17, guide §5): serve +
+    # BOTH trainings read the same cached unit frame (previously three
+    # separate spread+normalize+cache materializations per build). And
+    # since the two trainings are INDEPENDENT aggregate loops over that
+    # shared cache, they run as concurrent driver-submitted jobs (guide
+    # §2.6 "overlap independent jobs"): wall = max(ivf, pq) instead of
+    # the sum. Each training's per-iteration arithmetic is untouched —
+    # same unit expression, same order-independent DECIMAL sums, same
+    # sequential iteration order within each trainer — so centroids AND
+    # codebooks are bit-identical to the serial form (pinned by the
+    # pretrained-parity and recall tests).
+    c = with_unit_vector(_spread(candidates), emb_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    ).cache()
+    if centroids is None or codebooks is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        unit = c.select(F.col("c_unit").alias("unit"))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_cent = (
+                pool.submit(
+                    train_ivf_centroids, candidates, n_cells, n_iters,
+                    id_col, emb_col, dim, unit_df=unit,
+                )
+                if centroids is None
+                else None
+            )
+            fut_books = (
+                pool.submit(
+                    train_pq_codebooks, candidates, m, k_codes, n_iters,
+                    emb_col, dim, unit_df=unit,
+                )
+                if codebooks is None
+                else None
+            )
+            if fut_cent is not None:
+                centroids = fut_cent.result()
+            if fut_books is not None:
+                codebooks = fut_books.result()
     # supplied codebooks are the shape authority (m/k_codes params are
     # training knobs only) — see _pq_shape
     m, k_codes, d_sub = _pq_shape(codebooks, dim)
-    c = with_unit_vector(_spread(candidates), emb_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
-    ).cache()  # re-materialized by index/encode + the exact re-rank fetch
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
@@ -1664,14 +1762,21 @@ def train_sq8_bounds(
     candidates: DataFrame,
     emb_col: str = "embedding",
     dim: int = 64,
+    unit_df: DataFrame | None = None,
 ) -> list[list[float]]:
     """Per-dimension [lo, hi] over the corpus's UNIT vectors — the entire
     trained state of the SQ8 quantizer (2·dim floats; PQ needs m·k_codes·
     d_sub). min/max are exact order-free folds, so unlike k-means there is
     no iteration and no tie-break discipline needed: any partitioning of
     any cluster trains bit-identical bounds in one aggregation pass.
-    Returns [lo_list, hi_list]."""
-    c = with_unit_vector(_spread(candidates), emb_col)
+    Returns [lo_list, hi_list]. ``unit_df``: caller-owned pre-normalized
+    `unit` frame — see `train_ivf_centroids`; min/max are order-free, so
+    bounds are bit-identical either way."""
+    c = (
+        unit_df
+        if unit_df is not None
+        else with_unit_vector(_spread(candidates), emb_col)
+    )
     u = F.col("unit")
     aggs = []
     for d in range(dim):
@@ -1750,13 +1855,17 @@ def sq8_topk(
     are bit-identical to what `cosine_topk` would emit for those pairs.
     Degenerate dimensions (hi == lo) encode to code 0 and decode exactly
     to lo, contributing the exact constant q_d·lo_d via the bias term."""
-    if bounds is None:
-        bounds = train_sq8_bounds(candidates, emb_col, dim)
-    _sq8_check_bounds(bounds, dim)
-
     c = with_unit_vector(_spread(candidates), emb_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
     )
+    if bounds is None:
+        # share the serve frame's unit plan (r17): one _spread probe per
+        # build, identical min/max fold — bounds bit-identical
+        bounds = train_sq8_bounds(
+            candidates, emb_col, dim,
+            unit_df=c.select(F.col("c_unit").alias("unit")),
+        )
+    _sq8_check_bounds(bounds, dim)
     q = with_unit_vector(queries, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
     )
