@@ -759,7 +759,17 @@ PREP_MIN_DOCS_IN = 15_000
 #: fails from either calibration point (1230/1.3 = 946, 1106/1.3 =
 #: 851, both < 1000); the low-session warm max 1,106 clears it by
 #: ~10% plus probe normalization.
-STREAM_15K_STEADY_FLOOR = 1000.0
+#:
+#: r17 re-base 1000 → 1600: drain_collector's batch size moved 16 → 64
+#: files/trigger (see tools/stream_stress.py — the r16-verdict
+#: state-store measurement showed per-batch fixed cost dominated at 16),
+#: which roughly 2.5×'d the steady rate, so the old floor would have let
+#: a halving of the new pipeline rate pass. Calibration: interleaved
+#: A/B on a contended box read 1,901-2,652 r/s at mfpt=64 (old config
+#: 734-825 on the same box); the end-of-round QUIET artifact reads are
+#: recorded in OPTIMIZATION_r17.md — floor set at ~2/3 of the lower
+#: quiet reading, same discipline as the 1000 floor was derived.
+STREAM_15K_STEADY_FLOOR = 1600.0
 
 #: serve-only ceilings for the pretrained ANN entries (r12 verdict
 #: finding #1 → r13 item #4): serve_sec = entry wall − recorded index

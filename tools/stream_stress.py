@@ -267,14 +267,34 @@ class _StateStoreConf:
 
 
 def drain_collector(
-    spark, base: str, counts: dict, max_files_per_trigger: int = 16,
+    spark, base: str, counts: dict, max_files_per_trigger: int | None = None,
     tag: str = "", state_store: str | None = None,
 ) -> dict:
     """Single availableNow drain through the live topology, no kill —
     the bench's streaming-throughput measurement (mirrors _bench_merge's
     n=15000 tier; the kill/restart semantics live in replay_collector
     and the committed STREAM_STRESS artifact). Sinks and checkpoint are
-    recreated fresh so every call measures a full cold replay."""
+    recreated fresh so every call measures a full cold replay.
+
+    max_files_per_trigger defaults to 64 (r17, was 16; env override
+    SPARK_GRAFT_STREAM_MFPT): the r16 verdict's state-store-vs-overhead
+    measurement showed per-batch FIXED cost — 32 state-store delta-file
+    commits (~1.2 s/batch wall) plus trigger/offset machinery — was the
+    dominant term at 16 files/batch (~3.7k receipts), i.e. the gate was
+    measuring micro-batch bookkeeping, not the pipeline. 64 files/batch
+    amortizes it (interleaved A/B: steady ~800 → ~2,000-2,600 r/s,
+    identical ledgers); this is ordinary trigger sizing — the production
+    collector picks its trigger interval the same way — and the
+    exactly-once kill/replay proof (replay_collector, mfpt=12, several
+    batches + mid-batch kill) is deliberately unchanged. State-partition
+    count stays at the session's cores: it also fixes the post-dedup
+    ECDSA parse parallelism, which must keep scaling with cores at
+    production rates. The stream floor gate is re-calibrated to the new
+    batch size (bench.py STREAM_15K_STEADY_FLOOR, r17 note)."""
+    if max_files_per_trigger is None:
+        max_files_per_trigger = int(
+            os.environ.get("SPARK_GRAFT_STREAM_MFPT", "64")
+        )
     from mempool_dumpster_spark.streaming.collector import (
         file_stream_source,
         start_collector,
