@@ -139,13 +139,30 @@ def scan_spread_hint(df_or_spark, sf_dir: str, name: str, *keys: str) -> str:
     is strictly the small-input/local-mode fix, and it scales with the
     session's actual core count (SPARK_GRAFT_CPUS), not a constant.
     (This replaced the r16 DataFrame-side `spread_scan` when the callers
-    moved to spark.sql-constructed plans.)"""
+    moved to spark.sql-constructed plans.)
+
+    Decode parallelism is ROW-GROUP-bounded, not byte-split-bounded
+    (r17): a parquet file is decodable only at row-group granularity,
+    so a multi-group file parallelizes its decode even when the
+    byte-split estimate reads 1 (the 10× stress corpus is exactly this
+    after GENVER 3 — 75 groups in an 84 MB lineitem), and there the
+    REPARTITION hint would shuffle millions of rows to fix a problem
+    the layout no longer has (measured +0.5 s on sf1 q1). The estimate
+    is therefore max(byte splits, footer row-group count), falling back
+    to bytes alone if the footer probe fails."""
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     par = spark.sparkContext.defaultParallelism
     max_split = _parse_size_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    est_splits = max(1, _size_bytes(f"{sf_dir}/{name}.parquet") // max_split)
+    path = f"{sf_dir}/{name}.parquet"
+    est_splits = max(1, _size_bytes(path) // max_split)
+    try:
+        import pyarrow.parquet as pq
+
+        est_splits = max(est_splits, pq.ParquetFile(path).num_row_groups)
+    except Exception:
+        pass
     if est_splits >= par:
         return ""
     return f"/*+ REPARTITION({par}, {', '.join(keys)}) */"

@@ -59,17 +59,35 @@ KEY_SHIFT = 10_000_000
 #: derived corpus gains tables/columns, so consumers that cache the dir
 #: (bench.py's sf1 query tier) can detect a stale pre-bump derivation
 #: and regenerate instead of silently reading the old layout. 2 = r17
-#: (scaled events/lineitem/orders added).
-GENVER = 2
+#: (scaled events/lineitem/orders added); 3 = r17 (≤8 MiB row groups —
+#: single-group files decode on one task, see _write_single_parquet).
+GENVER = 3
 
 
 def _write_single_parquet(df, path: str) -> None:
     """Write as ONE parquet FILE (not a directory): the sf fixtures are
-    single files and tools/selfcheck.py's oracle reads them as such."""
+    single files and tools/selfcheck.py's oracle reads them as such.
+
+    Row groups are capped at 2 MiB of writer-buffered bytes (r17,
+    GENVER 3; parquet.block.size — default 128 MiB): a parquet file is
+    decodable only at ROW-GROUP granularity, so the pre-r17 single-group
+    files (6 M rows in one group for 10× lineitem) pinned every scan's
+    decode to ONE task no matter how many byte-range splits Spark
+    planned — guide §2.5's unsplittable-input skew, and it flattened
+    the sf1 tier's core-scaling signal. ~2 MiB groups give the 10×
+    fact tables dozens of independently decodable groups (each still
+    MBs — not small-file pathology), and the preceding
+    repartitionByRange keeps rows clustered by key so per-group min/max
+    stats stay selective."""
     import glob
 
     tmp = f"{path}.__tmpdir__"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(2 * 1024 * 1024))
+        .parquet(tmp)
+    )
     (part,) = glob.glob(f"{tmp}/part-*.parquet")
     if os.path.isdir(path):
         shutil.rmtree(path)
