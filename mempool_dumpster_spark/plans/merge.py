@@ -327,15 +327,18 @@ def merge_transactions(
     # zero address, common/txsfile.go:165-169) but DROPS chainId-not-set rows
     # entirely (ParseTx returns ErrChainIDNotSet and readTxFile skips the row,
     # common/txsfile.go:160-162, 131-136).
+    # one parsed predicate + one selectExpr batch (r17, guide §5: the
+    # per-Column form was ~20 py4j round trips of per-submission driver
+    # cost; identical expression trees)
     txs = parsed.filter(
-        F.col("parse_ok") & (F.col("reason") != REASON_CHAINID_NOT_SET)
-    ).select(
-        F.col("timestamp_ms").alias("timestamp"),
+        F.expr(f"parse_ok AND reason != '{REASON_CHAINID_NOT_SET}'")
+    ).selectExpr(
+        "timestamp_ms AS timestamp",
         "hash",
         "chainId",
         "txType",
-        "from",
-        "to",
+        "`from`",
+        "`to`",
         "value",
         "nonce",
         "gas",
@@ -377,10 +380,11 @@ def merge_transactions(
         # projection, which drops a BroadcastExchange + BroadcastHashJoin
         # from the default merge plan (r16; the join against a provably
         # empty side was pure fixed overhead on every run).
-        enriched = (
-            txs.withColumn("includedAtBlockHeight", F.lit(0).cast("long"))
-            .withColumn("includedBlockTimestamp", F.lit(0).cast("long"))
-            .withColumn("inclusionDelayMs", F.lit(0).cast("long"))
+        enriched = txs.selectExpr(
+            "*",
+            "CAST(0 AS LONG) AS includedAtBlockHeight",
+            "CAST(0 AS LONG) AS includedBlockTimestamp",
+            "CAST(0 AS LONG) AS inclusionDelayMs",
         )
 
     # F3: drop txs included on-chain ≥12 s before first receipt

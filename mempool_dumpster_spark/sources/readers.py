@@ -50,6 +50,22 @@ def _string_schema(names: list[str]) -> T.StructType:
 
 _INT_RE = r"^[0-9]+$"
 
+#: the F1 validity predicate as ONE parsed expression (r17, guide §5:
+#: construction is per-submission driver cost — the Column-call form was
+#: ~10 py4j round trips per reader; the parsed tree is identical to
+#: `rlike & is_valid_hash(lower(hash)) & <col> IS NOT NULL`)
+_OK_SQL = (
+    "timestamp_ms RLIKE '^[0-9]+$' AND length(lower(hash)) = 66 "
+    "AND lower(hash) RLIKE '^0x[0-9a-f]{{64}}$' AND {extra} IS NOT NULL"
+)
+
+
+def _split_valid(raw: DataFrame, extra_col: str, valid_exprs: list[str]) -> ReadResult:
+    ok_sql = _OK_SQL.format(extra=extra_col)
+    valid = raw.filter(F.expr(ok_sql)).selectExpr(*valid_exprs)
+    rejects = raw.filter(F.expr(f"NOT ({ok_sql}) OR ({ok_sql}) IS NULL"))
+    return ReadResult(valid=valid, rejects=rejects)
+
 
 def read_tx_csv(spark: SparkSession, paths: list[str] | str) -> ReadResult:
     """S1: collector transactions CSV `timestamp_ms,hash,raw_tx` (headerless).
@@ -61,17 +77,15 @@ def read_tx_csv(spark: SparkSession, paths: list[str] | str) -> ReadResult:
     raw = spark.read.schema(_string_schema(["timestamp_ms", "hash", "raw_tx"])).csv(
         paths if isinstance(paths, list) else [paths]
     )
-    ok = (
-        F.col("timestamp_ms").rlike(_INT_RE)
-        & is_valid_hash(F.lower("hash"))
-        & F.col("raw_tx").isNotNull()
+    return _split_valid(
+        raw,
+        "raw_tx",
+        [
+            "CAST(timestamp_ms AS LONG) AS timestamp_ms",
+            "lower(hash) AS hash",
+            "raw_tx",
+        ],
     )
-    valid = raw.filter(ok).select(
-        F.col("timestamp_ms").cast("long").alias("timestamp_ms"),
-        F.lower("hash").alias("hash"),
-        F.col("raw_tx"),
-    )
-    return ReadResult(valid=valid, rejects=raw.filter(~ok | ok.isNull()))
 
 
 def read_sourcelog_csv(spark: SparkSession, paths: list[str] | str) -> ReadResult:
@@ -80,17 +94,15 @@ def read_sourcelog_csv(spark: SparkSession, paths: list[str] | str) -> ReadResul
     raw = spark.read.schema(_string_schema(["timestamp_ms", "hash", "source"])).csv(
         paths if isinstance(paths, list) else [paths]
     )
-    ok = (
-        F.col("timestamp_ms").rlike(_INT_RE)
-        & is_valid_hash(F.lower("hash"))
-        & F.col("source").isNotNull()
+    return _split_valid(
+        raw,
+        "source",
+        [
+            "CAST(timestamp_ms AS LONG) AS timestamp_ms",
+            "lower(hash) AS hash",
+            "source",
+        ],
     )
-    valid = raw.filter(ok).select(
-        F.col("timestamp_ms").cast("long").alias("timestamp_ms"),
-        F.lower("hash").alias("hash"),
-        F.col("source"),
-    )
-    return ReadResult(valid=valid, rejects=raw.filter(~ok | ok.isNull()))
 
 
 def read_trash_csv(spark: SparkSession, paths: list[str] | str) -> ReadResult:
