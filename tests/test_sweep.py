@@ -400,15 +400,17 @@ def test_contended_section_excluded_from_gates():
     )
     assert bench.gate_exclusions(ramped)
     # mild sustained contention (1.5 both edges, under the 2.0 bound):
-    # floor relaxes by the section scale — 700 r/s passes 1000/1.5=667
+    # floor relaxes by the section scale — 1120 r/s passes 1600/1.5=1067
+    # (rates here track STREAM_15K_STEADY_FLOOR, re-based 1000 -> 1600 in
+    # r17 with the 64-files/trigger drain)
     assert not any(
-        "stream" in v for v in bench.check_throughput_gates(art(700.0, 1.5))
+        "stream" in v for v in bench.check_throughput_gates(art(1120.0, 1.5))
     )
-    assert not bench.gate_exclusions(art(700.0, 1.5))
+    assert not bench.gate_exclusions(art(1120.0, 1.5))
     # DECAYING bench-tail load (before 1.5, after 1.0): the floor must
     # NOT relax — the min of the pair keys relaxation, so a genuine
-    # 700 r/s regression on a section that ran quiet still fails
-    decayed = bench.check_throughput_gates(art(700.0, 1.5, 1.0))
+    # 1120 r/s regression on a section that ran quiet still fails
+    decayed = bench.check_throughput_gates(art(1120.0, 1.5, 1.0))
     assert any("stream_15k" in v for v in decayed), decayed
     # same slow reading on a QUIET probe pair → genuine regression
     quiet_slow = bench.check_throughput_gates(art(316.0, 1.0))
@@ -419,7 +421,7 @@ def test_contended_section_excluded_from_gates():
     assert not bench.gate_exclusions(art(316.0, None))
     # interim single-probe artifact (before only, e.g. BENCH_r15_quiet):
     # that probe serves both roles
-    interim = art(700.0, 1.5, None)
+    interim = art(1120.0, 1.5, None)
     del interim["stream_pipeline_15k"]["section_probe_after"]
     assert not any(
         "stream" in v for v in bench.check_throughput_gates(interim)
