@@ -508,20 +508,28 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # EXISTS (another supplier on the order): orders with >= 2 distinct
-    # suppliers, from the full fact
+    # suppliers, from the full fact. distinct-count >= 2 on a non-null key
+    # is exactly min != max — a plain map-side-combinable aggregate, so no
+    # per-group distinct expansion and only two longs per order shuffle.
     multi = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("__ns"))
-        .filter(F.col("__ns") >= 2)
+        .agg(
+            F.min("l_suppkey").alias("__lo"),
+            F.max("l_suppkey").alias("__hi"),
+        )
+        .filter(F.col("__lo") != F.col("__hi"))
         .select(F.col("l_orderkey").alias("__mk"))
     )
     # NOT EXISTS (another LATE supplier on the order): orders with exactly
-    # one distinct late supplier
+    # one distinct late supplier — min == max under the same identity.
     solo_late = (
         late.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("__nl"))
-        .filter(F.col("__nl") == 1)
+        .agg(
+            F.min("l_suppkey").alias("__lo"),
+            F.max("l_suppkey").alias("__hi"),
+        )
+        .filter(F.col("__lo") == F.col("__hi"))
         .select(F.col("l_orderkey").alias("__sk"))
     )
     kept = (
