@@ -662,7 +662,18 @@ def _cpu_probe() -> dict:
     the r11 driver host whose matmul sat at 63× and whose Spark-side
     numbers were 2-14× degraded: single-core md5 simply does not see
     multi-core contention, and Spark local[32] is a 32-way workload.
-    The throughput gates normalize by THIS probe."""
+    The throughput gates normalize by THIS probe.
+
+    r17: added a first-touch ALLOCATION probe (alloc_touch_256mb_sec —
+    allocate 256 MB and dirty one byte per 4 KiB page), recorded but
+    NON-GATING. Measured blind spot it covers: an r17 session observed
+    Spark runs 5-10× degraded while md5_mt read quiet parity (0.085 s
+    single-core / mt unchanged) — this box's contention waves are
+    host-level memory pressure that taxes page faults and fresh
+    allocations, which hashing a RESIDENT buffer never performs; a
+    512 MB numpy first-touch read 13.7 s during such a wave vs 0.14 s
+    quiet. The field rides along for forensics so a polluted artifact
+    is identifiable even when the CPU probes read parity."""
     import hashlib
     import threading
 
@@ -703,7 +714,20 @@ def _cpu_probe() -> dict:
         "matmul_512_x8_sec": round(sorted(mm_runs)[1], 3),
         "md5_mt_48mb_sec": round(sorted(mt_runs)[1], 3),
         "mt_threads": n_thr,
+        "alloc_touch_256mb_sec": _alloc_touch_probe(),
     }
+
+
+def _alloc_touch_probe(n_mb: int = 256) -> float:
+    """First-touch allocation probe (r17, recorded-only — see _cpu_probe
+    docstring): allocate n_mb and dirty one byte per 4 KiB page, timing
+    the page-fault path the CPU probes never exercise. Quiet box:
+    ~0.10-0.15 s at 256 MB; during a host-memory-pressure wave: 10 s+."""
+    t0 = time.time()
+    b = bytearray(n_mb << 20)
+    step = 4096
+    b[::step] = bytes(len(b[::step]))
+    return round(time.time() - t0, 3)
 
 
 #: ---- throughput gates (r12 re-base) ----------------------------------
@@ -972,6 +996,9 @@ def _section_probe(settle_sec: float = 2.0) -> dict:
         "snapshots": [round(s1, 3), round(s2, 3)],
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "probe_scale": round(max(1.0, sec / REF_CPU_PROBE_MT), 2),
+        # recorded-only (r17): catches host-memory-pressure waves the
+        # CPU probes are blind to — see _alloc_touch_probe/_cpu_probe
+        "alloc_touch_256mb_sec": _alloc_touch_probe(),
     }
 
 
